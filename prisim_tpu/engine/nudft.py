@@ -77,8 +77,8 @@ def _phasors(p0h, p0l, dh, dl, steps):
 
 
 def _source_block_vis(seh, sel, blh, bll, amps, g0h, g0l, gdh, gdl, Q, L,
-                      s_sky=None, bl_len=None, inv_wl=None, sigma_uv=None,
-                      gradient=False):
+                      chan0=0, s_sky=None, bl_len=None, inv_wl=None,
+                      sigma_uv=None, gradient=False):
     """Visibility contribution of one source block.
 
     seh/sel: (S, 3) effective direction cosines (s_hat - pc_hat), two-float
@@ -93,7 +93,10 @@ def _source_block_vis(seh, sel, blh, bll, amps, g0h, g0l, gdh, gdl, Q, L,
     dh, dl = tf.df_frac(*tf.df_mul(kh, kl, gdh, gdl), xp=jnp)
 
     S, B = kh.shape
-    q_steps = jnp.arange(Q, dtype=jnp.float32) * jnp.float32(L)
+    # chan0 shifts the local grid under channel sharding: global channel
+    # index is chan0 + q*L + r (chan0 may be a traced axis offset).
+    q_steps = (jnp.arange(Q, dtype=jnp.float32) * jnp.float32(L)
+               + jnp.asarray(chan0, dtype=jnp.float32))
     r_steps = jnp.arange(L, dtype=jnp.float32)
     Uc, Us = _phasors(p0h, p0l, dh, dl, q_steps)               # (S, B, Q)
     Wc, Ws = _phasors(jnp.zeros_like(p0h), jnp.zeros_like(p0l),
@@ -153,8 +156,8 @@ def _source_block_vis(seh, sel, blh, bll, amps, g0h, g0l, gdh, gdl, Q, L,
 @functools.partial(jax.jit,
                    static_argnames=("nchan", "src_block", "gradient"))
 def nudft_visibilities(seh, sel, blh, bll, amps, grid_scalars, nchan,
-                       src_shape_sigma=None, s_sky=None, inv_wl=None,
-                       src_block=512, gradient=False):
+                       chan0=0, src_shape_sigma=None, s_sky=None,
+                       inv_wl=None, src_block=512, gradient=False):
     """Full NUDFT over all sources, scan-blocked.
 
     seh/sel : (S, 3) two-float effective dircos (s_hat - pc_hat) per source
@@ -204,7 +207,7 @@ def nudft_visibilities(seh, sel, blh, bll, amps, grid_scalars, nchan,
         elif gradient:
             kw = dict(s_sky=sl(s_sky_p))
         out = _source_block_vis(sl(seh_p), sl(sel_p), blh, bll, sl(amps_p),
-                                g0h, g0l, gdh, gdl, Q, L,
+                                g0h, g0l, gdh, gdl, Q, L, chan0=chan0,
                                 gradient=gradient, **kw)
         if gradient:
             vr, vi, gr, gi = out

@@ -1,0 +1,71 @@
+"""Sharded simulation must match the single-device path bit-for-bit-ish
+on the virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from prisim_tpu import skymodel as sm
+from prisim_tpu import layouts as lay
+from prisim_tpu import baselines as bls
+from prisim_tpu.engine import (Instrument, Observation, SkySources,
+                               simulate_drift)
+from prisim_tpu.beams import airy_beam
+from prisim_tpu.parallel import (make_mesh, simulate_drift_sharded,
+                                 simulate_drift_src_sharded)
+
+
+def _problem(C=24, n_acc=2, nsrc=80):
+    layout = lay.preset_layout("HERA-7")
+    bset = bls.build_baselines(layout, redundant=False)  # 21 baselines
+    freqs = 150e6 + 390625.0 * np.arange(C)
+    inst = Instrument.build(bset.vectors, freqs, latitude=-30.72)
+    model = sm.random_point_source_model(nsrc, seed=11)
+    sky = SkySources.from_skymodel(model, freqs)
+    lst = np.linspace(30.0, 40.0, n_acc)
+    obs = Observation(lst_deg=lst, jd=2457349.5 + lst / 360.0,
+                      t_acc=np.full(n_acc, 60.0),
+                      pointing_altaz=np.tile([90.0, 270.0], (n_acc, 1)))
+    beam_fn = lambda dc, f: airy_beam(dc, f, 14.0)
+    return inst, sky, obs, beam_fn
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("shape,axes", [
+    ((8, 1), ("bl", "chan")),
+    ((1, 8), ("bl", "chan")),
+    ((4, 2), ("bl", "chan")),
+    ((2, 4), ("bl", "chan")),
+])
+def test_bl_chan_sharding_matches_single_device(shape, axes):
+    inst, sky, obs, beam_fn = _problem()
+    ref = np.asarray(simulate_drift(inst, sky, obs, beam_fn, src_block=64))
+    mesh = make_mesh(shape, axes)
+    got = np.asarray(simulate_drift_sharded(inst, sky, obs, beam_fn, mesh,
+                                            src_block=64))
+    assert got.shape == ref.shape
+    scale = np.abs(ref).max()
+    assert np.max(np.abs(got - ref)) / scale < 1e-5
+
+
+def test_src_sharding_psum_matches():
+    inst, sky, obs, beam_fn = _problem()
+    ref = np.asarray(simulate_drift(inst, sky, obs, beam_fn, src_block=64))
+    mesh = make_mesh((4, 2), ("src", "chan"))
+    got = np.asarray(simulate_drift_src_sharded(inst, sky, obs, beam_fn,
+                                                mesh, src_block=64))
+    scale = np.abs(ref).max()
+    assert np.max(np.abs(got - ref)) / scale < 1e-5
+
+
+def test_three_axis_mesh():
+    inst, sky, obs, beam_fn = _problem()
+    ref = np.asarray(simulate_drift(inst, sky, obs, beam_fn, src_block=64))
+    mesh = make_mesh((2, 2, 2), ("src", "bl", "chan"))
+    got = np.asarray(simulate_drift_src_sharded(inst, sky, obs, beam_fn,
+                                                mesh, src_block=64))
+    scale = np.abs(ref).max()
+    assert np.max(np.abs(got - ref)) / scale < 1e-5
