@@ -136,7 +136,7 @@ def _sharded_drift(mesh, instrument, sky, observation, beam_fn, src_block,
                            nchan_local=nchan_local, src_block=src_block,
                            has_chan=has_chan, has_src=has_src)
     mapped = jax.jit(shard_map(fn, mesh=mesh, in_specs=in_specs,
-                               out_specs=out_specs, check_rep=False))
+                               out_specs=out_specs, check_vma=False))
     vis = mapped(jnp.asarray(blh), jnp.asarray(bll),
                  jnp.asarray(freqs, dtype=jnp.float32),
                  jnp.asarray(flux, dtype=jnp.float32),
