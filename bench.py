@@ -1,0 +1,112 @@
+"""Benchmark: NUDFT complex MACs/sec/chip (the BASELINE.json metric).
+
+Runs a HERA-37 snapshot — 666 all-pairs baselines x 1024 channels x a
+49152-pixel (nside-64) sky — on the available accelerator, and compares
+against a measured CPU throughput of the reference's inner loop
+(phase_matrix = exp(-2 pi i tau nu); skyvis = sum over sources — the
+float64 numpy formulation of /root/reference/prisim/interferometry.py:
+6355-6376) timed on a scaled-down problem.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def _tpu_macs_per_sec(nbl=666, nchan=1024, nsrc=49152, repeats=3):
+    import jax
+    import jax.numpy as jnp
+    from prisim_tpu import layouts as lay
+    from prisim_tpu import baselines as bls
+    from prisim_tpu import skymodel as sm
+    from prisim_tpu import twofloat as tf
+    from prisim_tpu.engine import (Instrument, Observation, SkySources,
+                                   enu_rotation_from_eq)
+    from prisim_tpu.engine.observe import df_rotate3
+    from prisim_tpu.engine.nudft import nudft_visibilities
+    from prisim_tpu.beams import airy_beam
+
+    layout = lay.preset_layout("HERA-37")
+    bset = bls.build_baselines(layout, redundant=False)
+    nbl = bset.nbl
+    freqs = 100e6 + 97656.25 * np.arange(nchan)
+    inst = Instrument.build(bset.vectors, freqs, latitude=-30.72)
+
+    rng = np.random.default_rng(0)
+    # nside-64 upper-hemisphere sky as generic sources.
+    from prisim_tpu import healpix as hp
+    nside = 64
+    theta, phi = hp.pix2ang(nside, np.arange(hp.nside2npix(nside)))
+    ra = np.degrees(phi)
+    dec = 90.0 - np.degrees(theta)
+    loc = np.stack([ra, dec], axis=-1)
+    nsrc = loc.shape[0]
+    model = sm.SkyModel(location=loc, spec_kind="power-law", spec_parms={
+        "flux-scale": rng.uniform(0.1, 10.0, nsrc),
+        "freq-ref": np.full(nsrc, 150e6),
+        "power-law-index": np.full(nsrc, -0.8),
+        "flux-offset": np.zeros(nsrc)})
+    sky = SkySources.from_skymodel(model, freqs)
+
+    Mh, Ml = tf.split_f64(enu_rotation_from_eq(30.0, inst.latitude))
+    pch, pcl = tf.split_f64(np.array([0.0, 0.0, 1.0]))
+    gs = inst.grid_scalars()
+    freqs_f32 = jnp.asarray(freqs, dtype=jnp.float32)
+
+    @jax.jit
+    def snapshot(mh, ml, ph, pl):
+        sh, sl = df_rotate3(mh, ml, sky.s_eq_hi, sky.s_eq_lo)
+        seh, sel = tf.df_add(sh, sl, -ph[None, :], -pl[None, :])
+        pb = airy_beam(sh, freqs_f32, 14.0)
+        amps = jnp.where((sh[:, 2] > 0.0)[:, None], pb * sky.flux, 0.0)
+        return nudft_visibilities(seh, sel, inst.bl_hi, inst.bl_lo, amps,
+                                  gs, nchan, src_block=2048)
+
+    args = tuple(jnp.asarray(a) for a in (Mh, Ml, pch, pcl))
+    snapshot(*args).block_until_ready()  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        out = snapshot(*args)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / repeats
+    macs = float(nsrc) * nbl * nchan
+    return macs / dt, dt, dict(nbl=nbl, nchan=nchan, nsrc=nsrc)
+
+
+def _cpu_reference_macs_per_sec(nsrc=1024, nbl=666, nchan=128):
+    """Reference-style float64 numpy inner loop, timed on a small slab."""
+    from prisim_tpu import constants as CNST
+    rng = np.random.default_rng(1)
+    s = rng.normal(size=(nsrc, 3))
+    s /= np.linalg.norm(s, axis=1, keepdims=True)
+    bl = rng.uniform(-200, 200, (nbl, 3))
+    freqs = 100e6 + 97656.25 * np.arange(nchan)
+    amps = rng.uniform(0.1, 10.0, (nsrc, nchan))
+    tau = s @ bl.T / CNST.c
+    t0 = time.perf_counter()
+    phase = 2.0 * np.pi * tau[:, :, None] * freqs[None, None, :]
+    vis = np.sum(amps[:, None, :] * np.exp(-1j * phase), axis=0)
+    dt = time.perf_counter() - t0
+    del vis
+    return (nsrc * nbl * nchan) / dt
+
+
+def main():
+    tpu_rate, dt, shape = _tpu_macs_per_sec()
+    cpu_rate = _cpu_reference_macs_per_sec()
+    print(json.dumps({
+        "metric": "NUDFT complex MACs/sec/chip (HERA-37, 1024 chan, "
+                  "nside-64 sky)",
+        "value": tpu_rate,
+        "unit": "MAC/s",
+        "vs_baseline": tpu_rate / cpu_rate,
+        "detail": {"snapshot_seconds": dt, **shape,
+                   "cpu_reference_macs_per_sec": cpu_rate},
+    }))
+
+
+if __name__ == "__main__":
+    main()
