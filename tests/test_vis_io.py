@@ -1,0 +1,198 @@
+"""VisibilitySet operations (phasing, projection, conjugation, merge,
+delay transform) and HDF5/NPZ round-trips."""
+
+import numpy as np
+import pytest
+
+from prisim_tpu.vis import (VisibilitySet, phase_centering,
+                            project_baselines, conjugate, concatenate,
+                            delay_transform, to_dircos)
+from prisim_tpu.io import save_hdf5, load_hdf5, save_npz, load_npz
+from prisim_tpu import constants as CNST
+
+
+def _make_vs(nbl=5, nchan=16, nacc=3, seed=0):
+    rng = np.random.RandomState(seed)
+    bl = rng.randn(nbl, 3) * 50.0
+    labels = np.asarray([[str(i + 1), "0"] for i in range(nbl)])
+    freqs = 150e6 + 1e5 * np.arange(nchan)
+    sv = rng.randn(nbl, nchan, nacc) + 1j * rng.randn(nbl, nchan, nacc)
+    return VisibilitySet(
+        baselines=bl, labels=labels, freqs=freqs,
+        lst=np.asarray([10.0, 10.5, 11.0])[:nacc],
+        skyvis=sv.astype(np.complex128),
+        vis=(sv + 0.1).astype(np.complex128),
+        vis_noise=np.full((nbl, nchan, nacc), 0.1 + 0j),
+        timestamps=2458000.0 + np.arange(nacc) / 86400.0,
+        t_acc=np.full(nacc, 10.0),
+        latitude=-30.7, longitude=21.4,
+        pointing_center=np.tile([[90.0, 270.0]], (nacc, 1)),
+        pointing_coords="altaz",
+        phase_center=np.tile([[90.0, 270.0]], (nacc, 1)),
+        phase_center_coords="altaz",
+        telescope={"id": "hera", "shape": "dish", "size": 14.0},
+        layout=dict(positions=rng.randn(4, 3),
+                    labels=np.asarray(["0", "1", "2", "3"]),
+                    ids=np.arange(4), coords="ENU"))
+
+
+def test_phase_centering_roundtrip():
+    vs = _make_vs()
+    target = np.asarray([[45.0, 180.0]])
+    shifted = phase_centering(vs, target, "altaz")
+    assert not np.allclose(shifted.skyvis, vs.skyvis)
+    np.testing.assert_allclose(np.abs(shifted.skyvis), np.abs(vs.skyvis),
+                               rtol=1e-12)
+    back = phase_centering(shifted, np.asarray([[90.0, 270.0]]), "altaz")
+    np.testing.assert_allclose(back.skyvis, vs.skyvis, rtol=1e-9,
+                               atol=1e-12)
+
+
+def test_phase_centering_removes_source_phase():
+    # single source at (alt, az): skyvis = exp(-2pi i nu b.s / c);
+    # phasing to the source position must make visibilities real 1.0
+    vs = _make_vs(nbl=4, nchan=8, nacc=1, seed=1)
+    altaz = np.asarray([[62.0, 130.0]])
+    s = to_dircos(altaz, "altaz", vs.lst[:1], vs.latitude)[0]
+    z = np.asarray([0.0, 0.0, 1.0])  # zenith phase center
+    nu = vs.freqs.reshape(1, -1, 1)
+    bdots = (vs.baselines @ (s - z)).reshape(-1, 1, 1)
+    vs.skyvis = np.exp(-2j * np.pi * nu * bdots / CNST.c)
+    vs.vis = None
+    vs.vis_noise = None
+    vs.phase_center = np.asarray([[90.0, 0.0]])  # zenith phased
+    # re-phase from zenith reference to the source itself
+    out = phase_centering(vs, altaz, "altaz")
+    np.testing.assert_allclose(out.skyvis.imag, 0.0, atol=1e-8)
+    np.testing.assert_allclose(out.skyvis.real, 1.0, rtol=1e-8)
+
+
+def test_project_baselines_preserves_length():
+    vs = _make_vs()
+    out = project_baselines(vs)
+    assert out.projected_baselines.shape == (vs.nbl, 3, vs.n_acc)
+    blen = vs.baseline_lengths
+    for t in range(vs.n_acc):
+        np.testing.assert_allclose(
+            np.sqrt((out.projected_baselines[:, :, t] ** 2).sum(axis=1)),
+            blen, rtol=1e-10)
+
+
+def test_project_baselines_zenith_w_is_zero_enu_up():
+    # a purely vertical baseline pointing at zenith: u=v=0, w=|b|
+    vs = _make_vs(nbl=1, nacc=1)
+    vs.baselines = np.asarray([[0.0, 0.0, 30.0]])
+    out = project_baselines(vs)
+    uvw = out.projected_baselines[0, :, 0]
+    np.testing.assert_allclose(uvw, [0.0, 0.0, 30.0], atol=1e-9)
+
+
+def test_conjugate_involution():
+    vs = _make_vs()
+    vs2 = conjugate(conjugate(vs, [1, 3]), [1, 3])
+    np.testing.assert_allclose(vs2.skyvis, vs.skyvis)
+    np.testing.assert_allclose(vs2.baselines, vs.baselines)
+    assert (vs2.labels == vs.labels).all()
+
+
+def test_conjugate_flips():
+    vs = _make_vs()
+    out = conjugate(vs, "all")
+    np.testing.assert_allclose(out.baselines, -vs.baselines)
+    np.testing.assert_allclose(out.skyvis, np.conj(vs.skyvis))
+
+
+@pytest.mark.parametrize("axis", [0, 1, 2])
+def test_concatenate_roundtrip(axis):
+    vs = _make_vs(nbl=6, nchan=16, nacc=3)
+    if axis == 0:
+        import dataclasses
+        a = dataclasses.replace(vs, baselines=vs.baselines[:3],
+                                labels=vs.labels[:3],
+                                skyvis=vs.skyvis[:3], vis=vs.vis[:3],
+                                vis_noise=vs.vis_noise[:3])
+        b = dataclasses.replace(vs, baselines=vs.baselines[3:],
+                                labels=vs.labels[3:],
+                                skyvis=vs.skyvis[3:], vis=vs.vis[3:],
+                                vis_noise=vs.vis_noise[3:])
+    elif axis == 1:
+        import dataclasses
+        a = dataclasses.replace(vs, freqs=vs.freqs[:8],
+                                skyvis=vs.skyvis[:, :8], vis=vs.vis[:, :8],
+                                vis_noise=vs.vis_noise[:, :8])
+        b = dataclasses.replace(vs, freqs=vs.freqs[8:],
+                                skyvis=vs.skyvis[:, 8:], vis=vs.vis[:, 8:],
+                                vis_noise=vs.vis_noise[:, 8:])
+    else:
+        import dataclasses
+        a = dataclasses.replace(
+            vs, lst=vs.lst[:2], timestamps=vs.timestamps[:2],
+            t_acc=vs.t_acc[:2], skyvis=vs.skyvis[:, :, :2],
+            vis=vs.vis[:, :, :2], vis_noise=vs.vis_noise[:, :, :2],
+            pointing_center=vs.pointing_center[:2],
+            phase_center=vs.phase_center[:2])
+        b = dataclasses.replace(
+            vs, lst=vs.lst[2:], timestamps=vs.timestamps[2:],
+            t_acc=vs.t_acc[2:], skyvis=vs.skyvis[:, :, 2:],
+            vis=vs.vis[:, :, 2:], vis_noise=vs.vis_noise[:, :, 2:],
+            pointing_center=vs.pointing_center[2:],
+            phase_center=vs.phase_center[2:])
+    merged = concatenate([a, b], axis)
+    np.testing.assert_allclose(merged.skyvis, vs.skyvis)
+    np.testing.assert_allclose(merged.vis, vs.vis)
+    assert merged.nbl == vs.nbl and merged.nchan == vs.nchan \
+        and merged.n_acc == vs.n_acc
+
+
+def test_delay_transform_tone():
+    # flat spectrum -> lag-domain peak at zero delay with amplitude
+    # ~ total bandwidth
+    vs = _make_vs(nbl=2, nchan=32, nacc=1)
+    vs.skyvis = np.ones((2, 32, 1), dtype=np.complex128)
+    vs.vis = None
+    vs.vis_noise = None
+    out = delay_transform(vs, pad=0.0)
+    assert out.lags.size == 32
+    peak = np.argmax(np.abs(out.skyvis_lag[0, :, 0]))
+    assert out.lags[peak] == 0.0
+    bw = vs.nchan * vs.freq_resolution
+    np.testing.assert_allclose(np.abs(out.skyvis_lag[0, peak, 0]), bw,
+                               rtol=1e-6)
+
+
+def test_delay_transform_padded_shape():
+    vs = _make_vs(nbl=2, nchan=16, nacc=2)
+    out = delay_transform(vs, pad=1.0)
+    assert out.skyvis_lag.shape == (2, 16, 2)
+    assert out.lag_kernel.shape == (2, 16, 2)
+
+
+def test_hdf5_roundtrip(tmp_path):
+    vs = delay_transform(project_baselines(_make_vs()))
+    path = str(tmp_path / "sim.hdf5")
+    save_hdf5(vs, path)
+    back = load_hdf5(path)
+    np.testing.assert_allclose(back.skyvis, vs.skyvis)
+    np.testing.assert_allclose(back.vis, vs.vis)
+    np.testing.assert_allclose(back.vis_noise, vs.vis_noise)
+    np.testing.assert_allclose(back.baselines, vs.baselines)
+    np.testing.assert_allclose(back.freqs, vs.freqs)
+    np.testing.assert_allclose(back.lst, vs.lst)
+    np.testing.assert_allclose(back.projected_baselines,
+                               vs.projected_baselines)
+    np.testing.assert_allclose(back.skyvis_lag, vs.skyvis_lag)
+    assert (back.labels == vs.labels).all()
+    assert back.telescope["id"] == "hera"
+    assert back.latitude == vs.latitude
+    np.testing.assert_allclose(back.layout["positions"],
+                               vs.layout["positions"])
+
+
+def test_npz_roundtrip(tmp_path):
+    vs = _make_vs()
+    path = str(tmp_path / "sim.npz")
+    save_npz(vs, path)
+    back = load_npz(path)
+    np.testing.assert_allclose(back.skyvis, vs.skyvis)
+    np.testing.assert_allclose(back.vis, vs.vis)
+    np.testing.assert_allclose(back.baselines, vs.baselines)
