@@ -143,3 +143,39 @@ def spherematch_host(lon1, lat1, lon2, lat2, matchrad_deg):
     i1, i2 = np.where(dots >= cosr)
     d = np.degrees(np.arccos(np.clip(dots[i1, i2], -1.0, 1.0)))
     return i1, i2, d
+
+
+# -- Earth-fixed (WGS84) conversions, host-side -----------------------------
+
+_WGS84_A = 6378137.0
+_WGS84_F = 1.0 / 298.257223563
+
+
+def lla2ecef(lat_deg, lon_deg, alt_m=0.0):
+    """Geodetic lat/lon/alt -> ECEF XYZ meters (WGS84). Host numpy.
+    (astroutils.geometry.lla2ecef equivalent, used by the reference's
+    UVData adapter at /root/reference/prisim/interferometry.py:9545-9550.)"""
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    alt = np.asarray(alt_m, dtype=np.float64)
+    e2 = _WGS84_F * (2.0 - _WGS84_F)
+    N = _WGS84_A / np.sqrt(1.0 - e2 * np.sin(lat) ** 2)
+    x = (N + alt) * np.cos(lat) * np.cos(lon)
+    y = (N + alt) * np.cos(lat) * np.sin(lon)
+    z = (N * (1.0 - e2) + alt) * np.sin(lat)
+    return np.stack([x, y, z], axis=-1)
+
+
+def enu2ecef(enu, lat_deg, lon_deg, alt_m=0.0):
+    """Local ENU offsets at (lat, lon, alt) -> absolute ECEF XYZ meters."""
+    enu = np.asarray(enu, dtype=np.float64)
+    lat = np.radians(np.float64(lat_deg))
+    lon = np.radians(np.float64(lon_deg))
+    e, n, u = enu[..., 0], enu[..., 1], enu[..., 2]
+    x = -np.sin(lon) * e - np.sin(lat) * np.cos(lon) * n \
+        + np.cos(lat) * np.cos(lon) * u
+    y = np.cos(lon) * e - np.sin(lat) * np.sin(lon) * n \
+        + np.cos(lat) * np.sin(lon) * u
+    z = np.cos(lat) * n + np.sin(lat) * u
+    origin = lla2ecef(lat_deg, lon_deg, alt_m)
+    return np.stack([x, y, z], axis=-1) + origin

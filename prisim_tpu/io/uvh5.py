@@ -1,0 +1,119 @@
+"""UVH5 export/import (HDF5-based UVData format, pyuvdata-compatible).
+
+The reference writes UVH5 through pyuvdata
+(/root/reference/prisim/interferometry.py:8872-8987 ``pyuvdata_write``);
+pyuvdata is not available here, so this writes the public UVH5 v1.0
+layout directly with h5py: a ``/Header`` group of metadata datasets and
+a ``/Data`` group with visdata/flags/nsamples. Conventions (conjugated
+vis, time-major blts, XX pol) follow the reference adapter — see
+uvfits.py."""
+
+from __future__ import annotations
+
+import numpy as np
+
+try:
+    import h5py
+except ImportError:                                   # pragma: no cover
+    h5py = None
+
+from .. import geometry as geom
+from .uvfits import uvdata_arrays
+
+__all__ = ["save_uvh5", "read_uvh5_arrays"]
+
+
+def save_uvh5(vs, path, datatype="noiseless"):
+    """Write a VisibilitySet as a UVH5 file."""
+    if h5py is None:
+        raise ImportError("h5py required")
+    a = uvdata_arrays(vs, datatype)
+    nblts, nchan = a["nblts"], a["nchan"]
+    if vs.layout is not None:
+        ant_names = np.asarray(vs.layout["labels"], dtype=str)
+        ant_nums = np.asarray(vs.layout["ids"], dtype=np.int64)
+        pos_enu = np.asarray(vs.layout["positions"], dtype=np.float64)
+    else:
+        ant_names = np.unique(np.asarray(vs.labels, dtype=str).ravel())
+        ant_nums = np.arange(ant_names.size, dtype=np.int64)
+        pos_enu = np.zeros((ant_names.size, 3))
+    tel_ecef = geom.lla2ecef(vs.latitude, vs.longitude, vs.altitude)
+    ant_pos = geom.enu2ecef(pos_enu, vs.latitude, vs.longitude,
+                            vs.altitude) - tel_ecef
+    nants_data = np.unique(
+        np.concatenate([a["ant_1_array"], a["ant_2_array"]])).size
+    with h5py.File(path, "w") as f:
+        h = f.create_group("Header")
+        h["version"] = np.bytes_("1.0")
+        h["latitude"] = vs.latitude
+        h["longitude"] = vs.longitude
+        h["altitude"] = vs.altitude
+        h["telescope_name"] = np.bytes_(
+            str(vs.telescope.get("id", "custom")))
+        h["instrument"] = h["telescope_name"][()]
+        h["object_name"] = np.bytes_("zenith" if not a["is_phased"]
+                                     else "phase_center")
+        h["history"] = np.bytes_("prisim_tpu")
+        h["phase_type"] = np.bytes_(
+            "phased" if a["is_phased"] else "drift")
+        if a["is_phased"]:
+            ra, dec = a["phase_center_radec_deg"]
+            h["phase_center_ra"] = np.radians(ra)
+            h["phase_center_dec"] = np.radians(dec)
+            h["phase_center_epoch"] = 2000.0
+        h["Nants_data"] = nants_data
+        h["Nants_telescope"] = int(ant_names.size)
+        h["antenna_names"] = np.char.encode(ant_names)
+        h["antenna_numbers"] = ant_nums
+        h["antenna_positions"] = ant_pos
+        h["Nbls"] = a["nbl"]
+        h["Nblts"] = nblts
+        h["Nfreqs"] = nchan
+        h["Npols"] = 1
+        h["Ntimes"] = a["nacc"]
+        h["Nspws"] = 1
+        h["spw_array"] = np.asarray([0], dtype=np.int64)
+        h["freq_array"] = a["freqs"].reshape(1, -1)
+        h["channel_width"] = float(a["freqs"][1] - a["freqs"][0]) \
+            if nchan > 1 else 1.0
+        h["polarization_array"] = np.asarray([-5], dtype=np.int64)
+        h["ant_1_array"] = a["ant_1_array"].astype(np.int64)
+        h["ant_2_array"] = a["ant_2_array"].astype(np.int64)
+        h["time_array"] = a["time_array"]
+        h["lst_array"] = a["lst_array"]
+        h["integration_time"] = np.full(nblts, a["integration_time"])
+        h["uvw_array"] = a["uvw"]
+        h["vis_units"] = np.bytes_("Jy")
+        d = f.create_group("Data")
+        d.create_dataset("visdata",
+                         data=a["data"].reshape(nblts, 1, nchan, 1)
+                         .astype(np.complex64))
+        d.create_dataset("flags",
+                         data=np.zeros((nblts, 1, nchan, 1), dtype=bool))
+        d.create_dataset("nsamples",
+                         data=np.ones((nblts, 1, nchan, 1),
+                                      dtype=np.float32))
+
+
+def read_uvh5_arrays(path):
+    """Read back the key arrays of a UVH5 file (for tests/interop)."""
+    if h5py is None:
+        raise ImportError("h5py required")
+    with h5py.File(path, "r") as f:
+        h = f["Header"]
+        out = dict(
+            visdata=f["Data/visdata"][()],
+            freq_array=h["freq_array"][()].ravel(),
+            time_array=h["time_array"][()],
+            lst_array=h["lst_array"][()],
+            uvw_array=h["uvw_array"][()],
+            ant_1_array=h["ant_1_array"][()],
+            ant_2_array=h["ant_2_array"][()],
+            antenna_positions=h["antenna_positions"][()],
+            antenna_names=np.char.decode(
+                h["antenna_names"][()].astype("S")),
+            latitude=float(h["latitude"][()]),
+            phase_type=h["phase_type"][()].decode(),
+            Nbls=int(h["Nbls"][()]), Ntimes=int(h["Ntimes"][()]),
+        )
+    return out

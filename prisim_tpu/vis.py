@@ -179,8 +179,12 @@ def project_baselines(vs, ref_location=None, ref_coords=None):
     /root/reference/prisim/interferometry.py:7976-7985. Returns a new
     VisibilitySet with projected_baselines (nbl, 3, n_acc)."""
     if ref_location is None:
-        ref_location = vs.phase_center
-        ref_coords = vs.phase_center_coords
+        if vs.phase_center is not None:
+            ref_location = vs.phase_center
+            ref_coords = vs.phase_center_coords
+        else:
+            ref_location = np.asarray([[90.0, 270.0]])   # zenith drift
+            ref_coords = "altaz"
     dc = to_dircos(ref_location, ref_coords, vs.lst, vs.latitude)
     altaz = geom.dircos2altaz(dc, xp=np)
     hadec = geom.altaz2hadec(altaz, vs.latitude, xp=np)

@@ -1,0 +1,123 @@
+"""UVFITS / UVH5 export tests (pure-numpy FITS + h5py UVH5 writers)."""
+
+import numpy as np
+import pytest
+
+from prisim_tpu.vis import VisibilitySet, project_baselines
+from prisim_tpu.io.uvfits import (save_uvfits, uvdata_arrays,
+                                  antnums_to_blnum, blnum_to_antnums)
+from prisim_tpu.io.uvh5 import save_uvh5, read_uvh5_arrays
+from prisim_tpu.io.fitsio import read_fits
+from prisim_tpu import constants as CNST
+
+
+def _vs(nbl=3, nchan=8, nacc=2):
+    rng = np.random.RandomState(5)
+    bl = rng.randn(nbl, 3) * 30
+    labels = np.asarray([["1", "0"], ["2", "0"], ["2", "1"]])[:nbl]
+    sv = (rng.randn(nbl, nchan, nacc) +
+          1j * rng.randn(nbl, nchan, nacc)).astype(np.complex128)
+    vs = VisibilitySet(
+        baselines=bl, labels=labels,
+        freqs=150e6 + 1e5 * np.arange(nchan),
+        lst=np.asarray([30.0, 30.5])[:nacc],
+        skyvis=sv, timestamps=2458100.25 + np.arange(nacc) * 1e-4,
+        t_acc=np.full(nacc, 10.0), latitude=-30.7, longitude=21.4,
+        altitude=1050.0,
+        pointing_center=np.tile([[90.0, 270.0]], (nacc, 1)),
+        pointing_coords="altaz",
+        phase_center=np.tile([[90.0, 270.0]], (nacc, 1)),
+        phase_center_coords="altaz",
+        telescope={"id": "hera", "shape": "dish", "size": 14.0},
+        layout=dict(positions=rng.randn(3, 3) * 20,
+                    labels=np.asarray(["0", "1", "2"]),
+                    ids=np.arange(3), coords="ENU"))
+    return project_baselines(vs)
+
+
+def test_blnum_roundtrip():
+    i = np.asarray([0, 5, 100, 2000])
+    j = np.asarray([1, 7, 300, 2040])
+    blnum = antnums_to_blnum(i, j)
+    i2, j2 = blnum_to_antnums(blnum)
+    np.testing.assert_array_equal(i2, i)
+    np.testing.assert_array_equal(j2, j)
+    # 256 convention
+    blnum = antnums_to_blnum(3, 4, attempt256=True)
+    assert blnum == 256 * 5 + 4
+    i2, j2 = blnum_to_antnums(np.asarray([blnum]))
+    assert (i2[0], j2[0]) == (3, 4)
+
+
+def test_uvdata_arrays_conventions():
+    vs = _vs()
+    a = uvdata_arrays(vs, "noiseless")
+    assert a["data"].shape == (6, 8)
+    # conjugated, time-major
+    np.testing.assert_allclose(a["data"][0], np.conj(vs.skyvis[0, :, 0]))
+    np.testing.assert_allclose(a["data"][3], np.conj(vs.skyvis[0, :, 1]))
+    # ant arrays: A1 is ant1, A2 is ant2
+    np.testing.assert_array_equal(a["ant_1_array"][:3], [0, 0, 1])
+    np.testing.assert_array_equal(a["ant_2_array"][:3], [1, 2, 2])
+    assert a["baseline_array"][0] == 2048 * 2 + 1 + 2 ** 16
+    # drift scan at fixed zenith pointing => phased in RA? zenith drifts
+    assert not a["is_phased"]
+
+
+def test_uvfits_file_roundtrip(tmp_path):
+    vs = _vs()
+    path = str(tmp_path / "sim.uvfits")
+    save_uvfits(vs, path)
+    hdus = read_fits(path)
+    assert len(hdus) == 2
+    gh = hdus[0]["header"]
+    assert gh["GCOUNT"] == 6 and gh["PCOUNT"] == 6
+    assert gh["CTYPE4"].startswith("FREQ")
+    assert gh["CRVAL4"] == vs.freqs[0]
+    # uvw in seconds
+    pars = hdus[0]["pars"]
+    np.testing.assert_allclose(
+        pars[:3, 0] * CNST.c, vs.projected_baselines[:, 0, 0], rtol=1e-6)
+    # JD reconstruction from two-part DATE
+    jd = gh["PZERO4"] + pars[:, 3] + pars[:, 4]
+    np.testing.assert_allclose(jd[0], vs.timestamps[0], atol=1e-6)
+    # visibilities
+    data = hdus[0]["data"]   # (nblts, ..., 3) float32
+    flat = data.reshape(6, -1, 3)
+    re, im = flat[..., 0], flat[..., 1]
+    expect = np.conj(np.transpose(vs.skyvis, (2, 0, 1))).reshape(6, 8)
+    np.testing.assert_allclose(re + 1j * im, expect, rtol=1e-6)
+    # AIPS AN table
+    an = hdus[1]
+    assert an["header"]["EXTNAME"].startswith("AIPS AN")
+    assert an["columns"]["NOSTA"].tolist() == [1, 2, 3]
+    assert an["columns"]["STABXYZ"].shape == (3, 3)
+    # antenna positions: ENU -> ECEF-rel should preserve pairwise distances
+    d_enu = np.linalg.norm(vs.layout["positions"][0] -
+                           vs.layout["positions"][1])
+    d_ecef = np.linalg.norm(an["columns"]["STABXYZ"][0] -
+                            an["columns"]["STABXYZ"][1])
+    np.testing.assert_allclose(d_ecef, d_enu, rtol=1e-9)
+
+
+def test_uvh5_roundtrip(tmp_path):
+    vs = _vs()
+    path = str(tmp_path / "sim.uvh5")
+    save_uvh5(vs, path)
+    back = read_uvh5_arrays(path)
+    assert back["visdata"].shape == (6, 1, 8, 1)
+    expect = np.conj(np.transpose(vs.skyvis, (2, 0, 1))).reshape(6, 8)
+    np.testing.assert_allclose(back["visdata"][:, 0, :, 0], expect,
+                               rtol=1e-6)
+    np.testing.assert_allclose(back["freq_array"], vs.freqs)
+    np.testing.assert_allclose(back["uvw_array"][:3],
+                               vs.projected_baselines[:, :, 0])
+    assert back["phase_type"] == "drift"
+    assert back["Nbls"] == 3 and back["Ntimes"] == 2
+    assert list(back["antenna_names"]) == ["0", "1", "2"]
+
+
+def test_uvh5_missing_datatype_raises(tmp_path):
+    vs = _vs()
+    with pytest.raises(ValueError):
+        save_uvh5(vs, str(tmp_path / "x.uvh5"), datatype="noisy")
