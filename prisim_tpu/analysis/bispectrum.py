@@ -1,0 +1,309 @@
+"""Bispectrum (closure) phase pipeline: HERA-style closure-phase delay
+power spectra.
+
+Rebuild of /root/reference/prisim/bispectrum_phase.py (4884 LoC):
+``write_PRISim_bispectrum_phase_to_npz`` (:40), ``loadnpz``/``npz2hdf5``
+(:253,:360), ``class ClosurePhase`` (:1497 — expicp :1694,
+smooth_in_tbins :1727, subtract :1978, subsample_differencing :2023) and
+``class ClosurePhaseDelaySpectrum`` (:2274 — FT :2349,
+compute_power_spectrum :2888) plus the incoherent averaging helpers
+(:806, :1235).
+
+Design: the reference's numpy masked arrays become explicit
+(value, weight) pairs; the data layout is the HERA-standard
+closure-phase cube ``cp`` of shape (nlst, ndays, ntriads, nchan) with
+float weights ``wts`` (0 = flagged). All reductions are
+weight-aware nansum/nanmean."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Optional
+
+import numpy as np
+
+from .. import constants as CNST
+from .. import windows as win
+from . import cosmology as cosmo_mod
+from .cosmology import (cosmo100, dkprll_deta, comoving_depth, freq_to_z,
+                        jy2k)
+
+__all__ = ["ClosurePhaseData", "closure_npz_from_vs", "load_closure_npz",
+           "cpds_ft", "cross_power_spectrum", "kbin_average"]
+
+
+@dataclass
+class ClosurePhaseData:
+    """Closure phases cp (nlst, ndays, ntriads, nchan) + weights + axes."""
+    cp: np.ndarray
+    wts: np.ndarray
+    freqs: np.ndarray              # (nchan,)
+    lst: np.ndarray                # (nlst,) hours
+    days: np.ndarray               # (ndays,) JD
+    triads: np.ndarray             # (ntriads, 3) labels
+
+    @property
+    def eicp(self):
+        """exp(i cp) with flagged samples zero-weighted
+        (ClosurePhase.expicp, bispectrum_phase.py:1694)."""
+        return np.exp(1j * self.cp)
+
+    def smooth_in_tbins(self, lstbinsize=None, daybinsize=None,
+                        stat="mean"):
+        """Bin along LST (hours) and/or days; weighted mean or median of
+        e^{i cp}; returns a new ClosurePhaseData on the binned grid
+        (smooth_in_tbins, bispectrum_phase.py:1727-1977)."""
+        eicp = self.eicp * self.wts
+        wts = self.wts.copy()
+        lst, days = self.lst, self.days
+        if lstbinsize is not None:
+            edges = np.arange(lst.min(), lst.max() + lstbinsize,
+                              lstbinsize)
+            which = np.clip(np.digitize(lst, edges) - 1, 0,
+                            edges.size - 2)
+            nb = edges.size - 1
+            se = np.zeros((nb,) + eicp.shape[1:], dtype=complex)
+            sw = np.zeros((nb,) + wts.shape[1:])
+            if stat == "median":
+                se_list = [[] for _ in range(nb)]
+                for i, b in enumerate(which):
+                    se_list[b].append(i)
+                for b in range(nb):
+                    if se_list[b]:
+                        sel = np.asarray(se_list[b])
+                        wsel = wts[sel]
+                        med_r = _wmedian_axis0(self.eicp[sel].real, wsel)
+                        med_i = _wmedian_axis0(self.eicp[sel].imag, wsel)
+                        se[b] = med_r + 1j * med_i
+                        sw[b] = wsel.sum(axis=0)
+                se = se * sw
+            else:
+                np.add.at(se, which, eicp)
+                np.add.at(sw, which, wts)
+            lst = 0.5 * (edges[:-1] + edges[1:])
+            eicp, wts = se, sw
+        if daybinsize is not None:
+            raise NotImplementedError(
+                "day binning: use subsample_differencing")
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean_eicp = np.where(wts > 0, eicp / np.maximum(wts, 1e-30),
+                                 0.0)
+        cp = np.angle(np.where(wts > 0, mean_eicp, 1.0))
+        return ClosurePhaseData(cp=cp, wts=wts, freqs=self.freqs, lst=lst,
+                                days=days, triads=self.triads)
+
+    def subtract(self, model_cp):
+        """Subtract a model closure phase (broadcastable to cp)
+        (ClosurePhase.subtract, bispectrum_phase.py:1978)."""
+        return replace(self, cp=self.cp - np.asarray(model_cp))
+
+    def subsample_differencing(self, ndaybins=4, seed=0):
+        """Split days into ndaybins bins; return per-bin mean eicp and the
+        pairwise half-differences used for noise estimation
+        (subsample_differencing, bispectrum_phase.py:2023-2252).
+
+        Returns dict(eicp_mean (nbins, nlst, ntriads, nchan),
+        eicp_diff (npairs, nlst, ntriads, nchan), wts_mean, pairs)."""
+        ndays = self.days.size
+        if ndaybins > ndays:
+            raise ValueError("more day bins than days")
+        rng = np.random.RandomState(seed)
+        perm = rng.permutation(ndays)
+        bins = np.array_split(perm, ndaybins)
+        eicp_w = self.eicp * self.wts
+        means, wmeans = [], []
+        for b in bins:
+            w = self.wts[:, b].sum(axis=1)
+            e = eicp_w[:, b].sum(axis=1)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                means.append(np.where(w > 0, e / np.maximum(w, 1e-30),
+                                      0.0))
+            wmeans.append(w)
+        means = np.stack(means)                      # (nbins, nlst, ntri, nchan)
+        wmeans = np.stack(wmeans)
+        pairs = [(i, j) for i in range(ndaybins)
+                 for j in range(i + 1, ndaybins)]
+        diffs = np.stack([0.5 * (means[i] - means[j]) for i, j in pairs])
+        return dict(eicp_mean=means, eicp_diff=diffs, wts_mean=wmeans,
+                    pairs=np.asarray(pairs))
+
+    # ---------------------------------------------------------------- IO
+    def save_npz(self, path):
+        """HERA-layout NPZ (loadnpz counterpart,
+        bispectrum_phase.py:253-360)."""
+        np.savez_compressed(
+            path, closures=np.transpose(self.cp, (0, 1, 2, 3)),
+            flags=(self.wts <= 0), frequency=self.freqs,
+            last=np.broadcast_to(self.lst[:, None],
+                                 (self.lst.size, self.days.size)),
+            days=self.days,
+            triads=np.asarray(self.triads, dtype="U"))
+
+    def save_hdf5(self, path):
+        """cpinfo-tree HDF5 (npz2hdf5 counterpart,
+        bispectrum_phase.py:360-470)."""
+        import h5py
+        with h5py.File(path, "w") as f:
+            raw = f.create_group("raw")
+            raw["cphase"] = self.cp
+            raw["flags"] = (self.wts <= 0)
+            raw["wts"] = self.wts
+            f["spectral_info/freqs"] = self.freqs
+            f["timing/lst"] = self.lst
+            f["timing/days"] = self.days
+            f["triads"] = np.char.encode(
+                np.asarray(self.triads, dtype=str))
+
+    @classmethod
+    def load_hdf5(cls, path):
+        import h5py
+        with h5py.File(path, "r") as f:
+            return cls(cp=f["raw/cphase"][()], wts=f["raw/wts"][()],
+                       freqs=f["spectral_info/freqs"][()],
+                       lst=f["timing/lst"][()],
+                       days=f["timing/days"][()],
+                       triads=np.char.decode(f["triads"][()].astype("S")))
+
+
+def _wmedian_axis0(vals, wts):
+    """Weighted median along axis 0 (ties to lower); wts>0 mask."""
+    masked = np.where(wts > 0, vals, np.nan)
+    return np.nanmedian(masked, axis=0)
+
+
+def closure_npz_from_vs(vs, path=None, ant_triplets=None, datatype="vis"):
+    """Extract sim closure phases into the HERA NPZ layout
+    (write_PRISim_bispectrum_phase_to_npz, bispectrum_phase.py:40-250):
+    nlst = n_acc, ndays = 1."""
+    from .closure import closure_phases_vs
+    res = closure_phases_vs(vs, ant_triplets=ant_triplets)
+    key = {"skyvis": "closure_phase_skyvis", "vis": "closure_phase_vis",
+           "noise": "closure_phase_noise"}[datatype]
+    if key not in res:
+        key = "closure_phase_skyvis"
+    # (ntri, nchan, nacc) -> (nlst=nacc, ndays=1, ntri, nchan)
+    cp = np.transpose(res[key], (2, 0, 1))[:, None, :, :]
+    cpd = ClosurePhaseData(
+        cp=cp, wts=np.ones_like(cp), freqs=np.asarray(vs.freqs),
+        lst=np.asarray(vs.lst) / 15.0,       # deg -> hours
+        days=np.asarray([vs.timestamps[0] if vs.timestamps is not None
+                         else 2451545.0]),
+        triads=np.asarray(res["triads"], dtype=str))
+    if path is not None:
+        cpd.save_npz(path)
+    return cpd
+
+
+def load_closure_npz(path):
+    """Load a HERA-layout closure NPZ (loadnpz,
+    bispectrum_phase.py:253-360)."""
+    with np.load(path) as d:
+        cp = d["closures"]
+        flags = d["flags"] if "flags" in d else np.zeros_like(cp,
+                                                              dtype=bool)
+        lst = d["last"]
+        if lst.ndim == 2:
+            lst = lst[:, 0]
+        days = d["days"] if "days" in d else np.arange(cp.shape[1],
+                                                       dtype=float)
+        triads = d["triads"] if "triads" in d else np.zeros(
+            (cp.shape[2], 3), dtype="U1")
+        return ClosurePhaseData(cp=cp, wts=(~flags).astype(np.float64),
+                                freqs=d["frequency"], lst=lst, days=days,
+                                triads=triads)
+
+
+def cpds_ft(eicp, wts, freqs, freq_center, bw_eff, shape="bhw",
+            fftpow=1.0, pad=1.0):
+    """Windowed subband delay transform of e^{i cp}
+    (ClosurePhaseDelaySpectrum.FT, bispectrum_phase.py:2349-2787).
+
+    eicp: (..., nchan) complex; returns dict(lags, freq_wts,
+    dspec (nwin, ..., nlag) in 'Jy Hz'-like units of the scaled eicp)."""
+    freqs = np.asarray(freqs, dtype=np.float64)
+    nchan = freqs.size
+    df = freqs[1] - freqs[0]
+    freq_center = np.atleast_1d(np.asarray(freq_center, dtype=np.float64))
+    bw_eff = np.broadcast_to(
+        np.atleast_1d(np.asarray(bw_eff, dtype=np.float64)),
+        freq_center.shape)
+    freq_wts = np.stack([win.subband_window(freqs, fc, bw, shape=shape,
+                                            fftpow=fftpow, xp=np)
+                         for fc, bw in zip(freq_center, bw_eff)])
+    npad = int(nchan * pad)
+    lags = win.spectral_axis(nchan + npad, delx=df, shift=True, xp=np)
+    x = (np.asarray(eicp) * np.asarray(wts))[..., None, :] \
+        * freq_wts                                   # (..., nwin, nchan)
+    xp_ = np.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, npad)])
+    dspec = np.fft.fftshift(np.fft.ifft(xp_, axis=-1), axes=-1) \
+        * ((nchan + npad) * df)
+    # move the window axis to the front: (nwin, ..., nlag)
+    dspec = np.moveaxis(dspec, -2, 0)
+    return dict(lags=lags, freq_wts=freq_wts, dspec=dspec,
+                freq_center=freq_center, bw_eff=bw_eff, pad=pad)
+
+
+def cross_power_spectrum(ft1, ft2, beam_omega_bw=None, cosmo=cosmo100,
+                         units="mk"):
+    """Cross power spectrum of two closure-phase delay spectra.
+
+    ft1/ft2: dicts from cpds_ft with matching axes (dspec shape
+    (nwin, ..., nlag)). beam_omega_bw: (nwin,) beam 3-D volume (Sr Hz);
+    if None, the 'basic' normalization 1/bw_eff is used
+    (compute_power_spectrum, bispectrum_phase.py:3350-3604).
+    Returns dict(kprll (nwin, nlag), z, P cross-PS cube, factor)."""
+    d1, d2 = ft1["dspec"], ft2["dspec"]
+    freq_center = ft1["freq_center"]
+    bw_eff = ft1["bw_eff"]
+    lags = ft1["lags"]
+    z = freq_to_z(freq_center)
+    wl = CNST.c / freq_center
+    drz = comoving_depth(bw_eff, z, cosmo)
+    rz = np.asarray([cosmo.comoving_distance(zz) for zz in z])
+    if beam_omega_bw is None:
+        jac1 = 1.0 / bw_eff
+        jac2 = drz / bw_eff
+        tempfac = np.ones_like(wl)
+    else:
+        jac1 = 1.0 / np.broadcast_to(np.atleast_1d(beam_omega_bw),
+                                     freq_center.shape)
+        jac2 = rz ** 2 * drz / bw_eff
+        tempfac = jy2k(wl) if units == "mk" else np.ones_like(wl)
+    factor = jac1 * jac2 * tempfac ** 2
+    kprll = np.stack([dkprll_deta(zz, cosmo) * lags for zz in z])
+    P = d1 * np.conj(d2) * factor.reshape(
+        (-1,) + (1,) * (d1.ndim - 1))
+    return dict(kprll=kprll, z=z, P=P, factor=factor, lags=lags,
+                freq_center=freq_center)
+
+
+def kbin_average(kprll, P, kbins=None, num_kbins=None, kbintype="log"):
+    """Incoherent k-bin averaging of a power spectrum along its last axis
+    (incoherent_kbin_averaging, bispectrum_phase.py:1235-1496).
+
+    kprll: (nwin, nlag); P: (nwin, ..., nlag). Returns dict(kbin_edges,
+    kbin_centers, P_kbin (nwin, ..., nbins))."""
+    kprll = np.asarray(kprll)
+    P = np.asarray(P)
+    nwin = kprll.shape[0]
+    if kbins is None:
+        num_kbins = num_kbins or 10
+        kmax = np.abs(kprll).max()
+        if kbintype == "log":
+            kmin = np.abs(kprll[kprll != 0]).min()
+            kbins = np.logspace(np.log10(kmin * 0.999),
+                                np.log10(kmax * 1.001), num_kbins + 1)
+        else:
+            kbins = np.linspace(0.0, kmax * 1.001, num_kbins + 1)
+    kbins = np.asarray(kbins)
+    nb = kbins.size - 1
+    out = np.full(P.shape[:-1] + (nb,), np.nan, dtype=P.dtype)
+    centers = np.sqrt(kbins[:-1] * kbins[1:]) if kbintype == "log" \
+        else 0.5 * (kbins[:-1] + kbins[1:])
+    for w in range(nwin):
+        which = np.digitize(np.abs(kprll[w]), kbins) - 1
+        for b in range(nb):
+            sel = which == b
+            if np.any(sel):
+                out[w, ..., b] = np.mean(P[w][..., sel], axis=-1)
+    return dict(kbin_edges=kbins, kbin_centers=centers, P_kbin=out)

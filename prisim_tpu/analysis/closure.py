@@ -1,0 +1,139 @@
+"""Closure phases: triad enumeration and phase extraction from vis cubes.
+
+Rebuild of ``InterferometerArray.getThreePointCombinations`` /
+``getClosurePhase`` (/root/reference/prisim/interferometry.py:6989-7654)
+as vectorized host+jax functions over a VisibilitySet.
+
+Conventions (identical to the reference): for an antenna triad
+(a1, a2, a3) the three baselines are (a2,a1), (a3,a2), (a1,a3) — each
+visibility cube is indexed at the simulated baseline matching that label
+pair, conjugating when only the reversed pair was simulated — and the
+closure phase is angle(V12 * V23 * V31)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import constants as CNST
+
+__all__ = ["unique_triads", "all_triads", "triad_baseline_indices",
+           "closure_phases", "closure_phases_vs", "delay_filter"]
+
+
+def all_triads(labels):
+    """All antenna triads (i<j<k) from a list of antenna labels."""
+    labels = np.asarray(labels, dtype=str)
+    n = labels.size
+    out = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            for k in range(j + 1, n):
+                out.append((labels[i], labels[j], labels[k]))
+    return out
+
+
+def unique_triads(labels, positions, decimals=2):
+    """Triads unique up to baseline-vector redundancy: keep one triad per
+    unordered set of three (rounded) baseline vectors
+    (getThreePointCombinations(unique=True),
+    /root/reference/prisim/interferometry.py:6989-7086)."""
+    labels = np.asarray(labels, dtype=str)
+    positions = np.asarray(positions, dtype=np.float64)
+    lut = {str(l): p for l, p in zip(labels, positions)}
+    seen = set()
+    out = []
+    for tri in all_triads(labels):
+        a1, a2, a3 = tri
+        b12 = lut[a2] - lut[a1]
+        b23 = lut[a3] - lut[a2]
+        b31 = lut[a1] - lut[a3]
+        key = frozenset(
+            tuple(np.round(np.where(np.abs(b) < 1e-10, 0.0, b), decimals))
+            for b in (b12, b23, b31))
+        if key not in seen:
+            seen.add(key)
+            out.append(tri)
+    return out
+
+
+def triad_baseline_indices(vs_labels, ant_triplets):
+    """For each triad (a1,a2,a3) find (ind12, ind23, ind31) into the
+    simulated baseline list and conjugation flags.
+
+    vs_labels: (nbl, 2) array of (A2, A1) label pairs. Returns
+    (indices (ntri, 3) int, conj (ntri, 3) bool)."""
+    labels = np.asarray(vs_labels, dtype=str)
+    lut = {(labels[i, 0], labels[i, 1]): i for i in range(labels.shape[0])}
+    idx = np.empty((len(ant_triplets), 3), dtype=np.int64)
+    conj = np.zeros((len(ant_triplets), 3), dtype=bool)
+    for t, (a1, a2, a3) in enumerate(ant_triplets):
+        for m, (p, q) in enumerate(((a2, a1), (a3, a2), (a1, a3))):
+            p, q = str(p), str(q)
+            if (p, q) in lut:
+                idx[t, m] = lut[(p, q)]
+            elif (q, p) in lut:
+                idx[t, m] = lut[(q, p)]
+                conj[t, m] = True
+            else:
+                raise ValueError(
+                    "baseline (%s, %s) not found in simulated baselines"
+                    % (p, q))
+    return idx, conj
+
+
+def closure_phases(cube, idx, conj):
+    """Closure phases (ntri, nchan, nacc) from a (nbl, nchan, nacc) cube
+    (vectorized gather form of the loop at
+    /root/reference/prisim/interferometry.py:7420-7654)."""
+    cube = np.asarray(cube)
+    v = cube[idx]                                # (ntri, 3, nchan, nacc)
+    v = np.where(conj[:, :, None, None], np.conj(v), v)
+    prod = v[:, 0] * v[:, 1] * v[:, 2]
+    return np.angle(prod), prod
+
+
+def closure_phases_vs(vs, ant_triplets=None, unique=True):
+    """Closure phases for all visibility cubes of a VisibilitySet.
+
+    Returns dict with 'triads', 'closure_phase_skyvis' /
+    '..._vis' / '..._noise' of shape (ntri, nchan, nacc), and the complex
+    triple products under 'bispectrum_*'."""
+    if ant_triplets is None:
+        if vs.layout is None:
+            raise ValueError("need a layout (or explicit ant_triplets) "
+                             "to enumerate triads")
+        if unique:
+            ant_triplets = unique_triads(vs.layout["labels"],
+                                         vs.layout["positions"])
+        else:
+            ant_triplets = all_triads(vs.layout["labels"])
+    idx, conj = triad_baseline_indices(vs.labels, ant_triplets)
+    out = {"triads": ant_triplets, "indices": idx, "conj": conj}
+    for name, cube in vs._vis_cubes():
+        key = {"skyvis": "skyvis", "vis": "vis",
+               "vis_noise": "noise"}[name]
+        cp, bsp = closure_phases(cube, idx, conj)
+        out["closure_phase_" + key] = cp
+        out["bispectrum_" + key] = bsp
+    return out
+
+
+def delay_filter(cube, df, delay_max, mode="discard", freq_wts=None):
+    """FFT-mask delay filter along the frequency axis (axis 1 of a
+    (nbl/ntri, nchan, nacc) cube): zero delays |tau| <= delay_max
+    ('discard') or |tau| >= delay_max ('retain') — the delay_filter_info
+    machinery at /root/reference/prisim/interferometry.py:7560-7587.
+    delay_max may be scalar or (n0,) per-row."""
+    cube = np.asarray(cube)
+    nchan = cube.shape[1]
+    if freq_wts is not None:
+        cube = cube * np.asarray(freq_wts).reshape(1, -1, 1)
+    delays = np.fft.fftfreq(nchan, d=df)
+    dmax = np.broadcast_to(np.asarray(delay_max, dtype=np.float64),
+                           (cube.shape[0],))
+    mask = np.abs(delays)[None, :] <= dmax[:, None]
+    if mode == "retain":
+        mask = ~mask
+    keep = (~mask).astype(np.float64)
+    spec = np.fft.fft(cube, axis=1)
+    return np.fft.ifft(spec * keep[:, :, None], axis=1)

@@ -1,0 +1,180 @@
+"""Closure phase + bispectrum phase pipeline tests.
+
+Physics anchors: (1) the closure phase of a single point source is
+identically zero on every triad (phase closes); (2) antenna-based gains
+cancel in the closure phase."""
+
+import numpy as np
+import pytest
+
+from prisim_tpu.vis import VisibilitySet
+from prisim_tpu.analysis.closure import (all_triads, unique_triads,
+                                         triad_baseline_indices,
+                                         closure_phases_vs, delay_filter)
+from prisim_tpu.analysis.bispectrum import (ClosurePhaseData,
+                                            closure_npz_from_vs,
+                                            load_closure_npz, cpds_ft,
+                                            cross_power_spectrum,
+                                            kbin_average)
+from prisim_tpu import constants as CNST
+
+
+def _point_source_vs(nant=5, nchan=16, nacc=2, seed=0):
+    """Analytic single-point-source visibilities on an all-pairs array."""
+    rng = np.random.RandomState(seed)
+    pos = rng.randn(nant, 3) * 40.0
+    pos[:, 2] = 0.0
+    labels = np.asarray([str(i) for i in range(nant)])
+    from prisim_tpu.baselines import baseline_generator
+    vecs, pairs = baseline_generator(pos, labels=labels)
+    freqs = 150e6 + 1e5 * np.arange(nchan)
+    s = np.asarray([0.3, 0.2, np.sqrt(1 - 0.09 - 0.04)])
+    tau = vecs @ s / CNST.c                       # (nbl,)
+    vis = 7.5 * np.exp(-2j * np.pi * freqs[None, :, None]
+                       * tau[:, None, None])
+    vis = np.broadcast_to(vis, (vecs.shape[0], nchan, nacc)).copy()
+    return VisibilitySet(
+        baselines=vecs, labels=pairs, freqs=freqs,
+        lst=10.0 + 0.25 * np.arange(nacc),
+        skyvis=vis, timestamps=2458000.0 + np.arange(nacc) / 86400.0,
+        t_acc=np.full(nacc, 10.0), latitude=-30.7,
+        layout=dict(positions=pos, labels=labels, ids=np.arange(nant),
+                    coords="ENU"))
+
+
+def test_triad_counts():
+    labels = [str(i) for i in range(6)]
+    tri = all_triads(labels)
+    assert len(tri) == 20  # C(6,3)
+
+
+def test_unique_triads_redundant_array():
+    # 1-D regular array: many triads share baseline-vector sets
+    pos = np.zeros((5, 3))
+    pos[:, 0] = 14.6 * np.arange(5)
+    labels = np.asarray([str(i) for i in range(5)])
+    uniq = unique_triads(labels, pos)
+    alln = all_triads(labels)
+    assert len(uniq) < len(alln)
+    # triads (0,1,2) and (1,2,3) are redundant -> only one kept
+    sets = [tuple(t) for t in uniq]
+    assert (("0", "1", "2") in sets) and (("1", "2", "3") not in sets)
+
+
+def test_point_source_closure_phase_is_zero():
+    vs = _point_source_vs()
+    out = closure_phases_vs(vs, unique=False)
+    cp = out["closure_phase_skyvis"]
+    assert cp.shape[0] == 10  # C(5,3)
+    np.testing.assert_allclose(cp, 0.0, atol=1e-8)
+
+
+def test_gains_cancel_in_closure_phase():
+    vs = _point_source_vs()
+    # corrupt with per-antenna complex gains g_a2 conj(g_a1)
+    rng = np.random.RandomState(3)
+    nant = 5
+    g = np.exp(1j * rng.uniform(-np.pi, np.pi, nant))
+    labels = np.asarray(vs.labels, dtype=str)
+    ga2 = g[labels[:, 0].astype(int)]
+    ga1 = g[labels[:, 1].astype(int)]
+    vs.skyvis = vs.skyvis * (ga2 * np.conj(ga1))[:, None, None]
+    out = closure_phases_vs(vs, unique=False)
+    np.testing.assert_allclose(out["closure_phase_skyvis"], 0.0,
+                               atol=1e-7)
+
+
+def test_conjugation_handling():
+    vs = _point_source_vs()
+    # flip half of the baselines: closure phases must still close
+    from prisim_tpu.vis import conjugate
+    vs2 = conjugate(vs, list(range(0, vs.nbl, 2)))
+    out = closure_phases_vs(vs2, unique=False)
+    np.testing.assert_allclose(out["closure_phase_skyvis"], 0.0,
+                               atol=1e-7)
+
+
+def test_delay_filter_discard_removes_low_delays():
+    nchan = 64
+    df = 1e5
+    cube = np.ones((1, nchan, 1), dtype=complex)   # zero-delay signal
+    out = delay_filter(cube, df, delay_max=2.0 / (nchan * df),
+                       mode="discard")
+    assert np.abs(out).max() < 1e-10
+    out2 = delay_filter(cube, df, delay_max=2.0 / (nchan * df),
+                        mode="retain")
+    np.testing.assert_allclose(out2, cube, atol=1e-10)
+
+
+def test_closure_npz_roundtrip(tmp_path):
+    vs = _point_source_vs()
+    path = str(tmp_path / "cp.npz")
+    cpd = closure_npz_from_vs(vs, path=path, datatype="skyvis")
+    back = load_closure_npz(path)
+    # random positions -> no redundancy -> all C(5,3)=10 triads unique
+    assert back.cp.shape == cpd.cp.shape == (2, 1, 10, 16)
+    np.testing.assert_allclose(back.cp, cpd.cp)
+    np.testing.assert_allclose(back.freqs, vs.freqs)
+
+
+def test_closure_hdf5_roundtrip(tmp_path):
+    vs = _point_source_vs()
+    cpd = closure_npz_from_vs(vs, datatype="skyvis")
+    path = str(tmp_path / "cp.hdf5")
+    cpd.save_hdf5(path)
+    back = ClosurePhaseData.load_hdf5(path)
+    np.testing.assert_allclose(back.cp, cpd.cp)
+    assert back.triads.shape == cpd.triads.shape
+
+
+def _random_cpd(nlst=6, ndays=4, ntri=3, nchan=32, seed=0):
+    rng = np.random.RandomState(seed)
+    cp = rng.uniform(-np.pi, np.pi, (nlst, ndays, ntri, nchan))
+    return ClosurePhaseData(
+        cp=cp, wts=np.ones_like(cp),
+        freqs=150e6 + 1e5 * np.arange(nchan),
+        lst=np.linspace(2.0, 2.5, nlst),
+        days=2458000.0 + np.arange(ndays),
+        triads=np.asarray([["0", "1", "2"]] * ntri))
+
+
+def test_lst_binning_reduces_axis():
+    cpd = _random_cpd()
+    out = cpd.smooth_in_tbins(lstbinsize=0.25)
+    assert out.cp.shape[0] < cpd.cp.shape[0]
+    assert out.cp.shape[1:] == cpd.cp.shape[1:]
+    # binned weights conserve total weight
+    np.testing.assert_allclose(out.wts.sum(), cpd.wts.sum())
+
+
+def test_subtract_zeroes_self():
+    cpd = _random_cpd()
+    out = cpd.subtract(cpd.cp)
+    np.testing.assert_allclose(out.cp, 0.0)
+
+
+def test_subsample_differencing_shapes():
+    cpd = _random_cpd(ndays=4)
+    out = cpd.subsample_differencing(ndaybins=4)
+    assert out["eicp_mean"].shape == (4, 6, 3, 32)
+    assert out["eicp_diff"].shape == (6, 6, 3, 32)  # C(4,2) pairs
+    # identical data in all days -> diffs are zero
+    cpd2 = _random_cpd()
+    cpd2.cp[:] = cpd2.cp[:, :1]
+    out2 = cpd2.subsample_differencing(ndaybins=2)
+    np.testing.assert_allclose(np.abs(out2["eicp_diff"]), 0.0, atol=1e-12)
+
+
+def test_cpds_ft_and_cross_ps():
+    cpd = _random_cpd()
+    ft = cpds_ft(cpd.eicp, cpd.wts, cpd.freqs, freq_center=[152e6],
+                 bw_eff=2e6, pad=1.0)
+    assert ft["dspec"].shape == (1, 6, 4, 3, 64)
+    ps = cross_power_spectrum(ft, ft)
+    assert ps["P"].shape == ft["dspec"].shape
+    # self-cross PS is real non-negative
+    assert np.all(ps["P"].real >= -1e-12)
+    np.testing.assert_allclose(ps["P"].imag, 0.0, atol=1e-10)
+    kb = kbin_average(ps["kprll"], ps["P"], num_kbins=8)
+    assert kb["P_kbin"].shape == (1, 6, 4, 3, 8)
+    assert np.isfinite(kb["kbin_centers"]).all()
