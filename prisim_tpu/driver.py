@@ -1,0 +1,406 @@
+"""Simulation driver: YAML parameters -> end-to-end run -> saved products.
+
+Rebuild of the reference's monolithic MPI driver
+(/root/reference/scripts/run_prisim.py, 2339 LoC) as a library function +
+thin CLI. The MPI rank/chunk machinery (:1731-2210) is replaced by the
+jit/scan/shard_map engine (prisim_tpu.engine, prisim_tpu.parallel); the
+per-rank file concatenate (:2224-2287) disappears — one process drives
+the whole mesh.
+
+Pipeline (mirroring run_prisim.py top-to-bottom):
+  load_parms -> layout (+ perturbations) -> baselines (+ cuts/redundancy)
+  -> frequency grid -> observation schedule (drift|track) -> sky model
+  -> beam fn -> simulate (jit drift scan) -> Tsys/noise -> gains ->
+  phasing -> optional delay transform -> save HDF5/NPZ/UVFITS/UVH5 ->
+  metadata (simparms.yaml + meta.yaml).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+from . import __version__
+from . import constants as CNST
+from . import geometry as geom
+from .baselines import build_baselines
+from .config import load_parms, dump_parms
+from .engine.noise import thermal_noise_rms, generate_noise
+from .engine.observe import (Instrument, Observation, SkySources,
+                             simulate_drift)
+from .gains import GainInfo, apply_gains
+from .layouts import preset_layout, parse_layout_file, ArrayLayout
+from .skymodel import SkyModel, random_point_source_model
+from .vis import VisibilitySet, phase_centering, project_baselines, \
+    delay_transform
+
+__all__ = ["run_simulation", "build_layout", "build_schedule",
+           "build_sky", "build_tsys", "main"]
+
+SIDEREAL_DEG_PER_SEC = 360.0 / 86164.0905
+
+
+def build_layout(parms):
+    """Array layout from parms['array'] (getBaselineInfo layout branch,
+    /root/reference/prisim/interferometry.py:1465-1851), including seeded
+    position perturbations (:1686-1694)."""
+    ap = parms["array"]
+    if ap.get("file"):
+        pp = ap.get("parser") or {}
+        layout = parse_layout_file(ap["file"],
+                                   comment=pp.get("comment") or "#",
+                                   skip_rows=pp.get("data_start") or 0)
+    else:
+        layout = preset_layout(ap["layout"], minR=ap.get("minR"),
+                               maxR=ap.get("maxR"),
+                               element_size=parms["antenna"].get("size"))
+    rms_t = ap.get("rms_tgtplane") or 0.0
+    rms_e = ap.get("rms_elevation") or 0.0
+    if rms_t > 0 or rms_e > 0:
+        rng = np.random.RandomState(ap.get("seed"))
+        pos = np.array(layout.positions, dtype=np.float64)
+        pos[:, :2] += rms_t * rng.randn(pos.shape[0], 2)
+        pos[:, 2] += rms_e * rng.randn(pos.shape[0])
+        layout = ArrayLayout(pos, layout.labels)
+    prefix = parms["telescope"].get("label_prefix") or ""
+    if prefix:
+        layout = ArrayLayout(layout.positions,
+                             np.asarray([prefix + str(l)
+                                         for l in layout.labels]))
+    return layout
+
+
+def build_frequencies(parms):
+    bp = parms["bandpass"]
+    nchan = int(bp["nchan"])
+    df = float(bp["freq_resolution"])
+    f_center = float(bp["freq"])
+    return f_center + df * (np.arange(nchan) - nchan / 2)
+
+
+def build_schedule(parms, latitude):
+    """Observation schedule (run_prisim.py:576-740): drift (fixed altaz
+    or ha/dec pointing) or track (fixed ra/dec)."""
+    op = parms["obsparm"]
+    pt = parms["pointing"]
+    n_acc = int(op["n_acc"]) if op.get("t_obs") is None else \
+        int(np.ceil(float(op["t_obs"]) / float(op["t_acc"])))
+    t_acc = float(op["t_acc"])
+    lst_init = float(pt.get("lst_init") or 0.0) * 15.0 \
+        if abs(float(pt.get("lst_init") or 0.0)) <= 24.0 \
+        else float(pt["lst_init"])
+    jd_init = pt.get("jd_init") or 2458000.5
+    lst = (lst_init + SIDEREAL_DEG_PER_SEC * t_acc *
+           (np.arange(n_acc) + 0.5)) % 360.0
+    jd = jd_init + t_acc * (np.arange(n_acc) + 0.5) / 86400.0
+    mode = op.get("obs_mode", "drift")
+    if mode == "drift":
+        di = pt.get("drift_init") or {}
+        if di.get("alt") is not None and di.get("az") is not None:
+            altaz = np.tile([[float(di["alt"]), float(di["az"])]],
+                            (n_acc, 1))
+        else:
+            ha = float(di.get("ha") or 0.0)
+            dec = float(di.get("dec") if di.get("dec") is not None
+                        else latitude)
+            hadec = np.tile([[ha, dec]], (n_acc, 1))
+            altaz = geom.hadec2altaz(hadec, latitude, xp=np)
+    elif mode == "track":
+        ti = pt.get("track_init") or {}
+        ra = float(ti.get("ra") or 0.0)
+        dec = float(ti.get("dec") if ti.get("dec") is not None
+                    else latitude)
+        ha = lst - ra
+        hadec = np.stack([ha, np.full(n_acc, dec)], axis=-1)
+        altaz = geom.hadec2altaz(hadec, latitude, xp=np)
+    else:
+        raise ValueError("obs_mode must be 'drift' or 'track'")
+    return Observation(lst_deg=lst, jd=jd, t_acc=np.full(n_acc, t_acc),
+                       pointing_altaz=altaz, mode=mode)
+
+
+def build_sky(parms, freqs):
+    """Sky model from parms['skyparm']/parms['catalog']
+    (run_prisim.py:1020-1702). Supported models: 'custom' (ascii catalog:
+    RA DEC FLUX [SPINDEX] [MAJAX MINAX PA]), 'skymod_hdf5' (native
+    SkyModel HDF5), 'random' (synthetic catalog), 'usm' (uniform diffuse
+    HEALPix), 'hpx'/'dsm' (HEALPix map from .npy/.npz via
+    healpix_diffuse_model)."""
+    sp = parms["skyparm"]
+    cat = parms["catalog"]
+    model = (sp.get("model") or "custom").lower()
+    if model == "random":
+        sm = random_point_source_model(
+            int(sp.get("nsrc") or 100),
+            flux_min=float(sp.get("flux_min") or 1.0),
+            flux_max=float(sp.get("flux_max") or 100.0),
+            spindex_mean=float(sp.get("spindex") or -0.83),
+            spindex_rms=float(sp.get("spindex_rms") or 0.0),
+            seed=int(sp.get("seed") or 0))
+    elif model == "custom":
+        path = cat.get("custom_file")
+        if not path:
+            raise ValueError("catalog.custom_file required for "
+                             "skyparm.model='custom'")
+        data = np.atleast_2d(np.genfromtxt(path, comments="#"))
+        ra, dec, flux = data[:, 0], data[:, 1], data[:, 2]
+        spindex = data[:, 3] if data.shape[1] > 3 else \
+            np.full(ra.size, float(sp.get("spindex") or -0.83))
+        src_shape = data[:, 4:7] if data.shape[1] >= 7 else None
+        ref = float(sp.get("custom_reffreq") or 0.15) * 1e9
+        sm = SkyModel(location=np.stack([ra, dec], axis=-1),
+                      spec_kind="power-law",
+                      spec_parms={"flux-scale": flux,
+                                  "freq-ref": np.full(ra.size, ref),
+                                  "power-law-index": spindex},
+                      src_shape=src_shape)
+        fmin = sp.get("flux_min")
+        if fmin is not None:
+            sm = sm.subset(np.where(flux >= float(fmin))[0])
+    elif model in ("skymod_hdf5", "hdf5"):
+        sm = SkyModel.load_hdf5(cat["skymod_file"])
+    elif model in ("usm", "hpx", "dsm", "gsm"):
+        from .skymodel import healpix_diffuse_model
+        from . import healpix as hp
+        nside = int(sp.get("nside") or 64)
+        if model == "usm":
+            temp = np.ones(hp.nside2npix(nside))
+        else:
+            path = cat.get("DSM_file_prefix") or cat.get("spectrum_file")
+            if not path:
+                raise ValueError("catalog file required for HEALPix sky")
+            temp = np.load(path)
+            if hasattr(temp, "files"):
+                temp = temp[temp.files[0]]
+        sm = healpix_diffuse_model(
+            temp, freqs_model=np.asarray([float(sp.get("custom_reffreq")
+                                                or 0.15) * 1e9]),
+            spindex=float(sp.get("spindex") or -2.55))
+    else:
+        raise ValueError("unsupported skyparm.model %r (catalog data "
+                         "files are not bundled)" % model)
+    return sm
+
+
+def build_tsys(parms, freqs, nbl, n_acc):
+    """System temperature (nbl, nchan, nacc): flat telescope.Tsys or
+    Trx + Tant_ref (f/f_ref)^spindex (the Tsysinfo model,
+    /root/reference/prisim/interferometry.py:5993-6086)."""
+    tp = parms["telescope"]
+    if tp.get("Tsys") is not None:
+        tsys = np.full((nbl, freqs.size, n_acc), float(tp["Tsys"]))
+    else:
+        tant = (float(tp.get("Tant_ref") or 0.0) *
+                (freqs / float(tp.get("Tant_freqref") or 150e6))
+                ** float(tp.get("Tant_spindex") or 0.0))
+        tsys = np.broadcast_to(
+            (float(tp.get("Trx") or 0.0) + tant)[None, :, None],
+            (nbl, freqs.size, n_acc)).copy()
+    return tsys
+
+
+def _bandpass_weights(parms, nbl, freqs, n_acc):
+    """Channel flagging -> bp; window shape -> bp_wts
+    (run_prisim.py:908-981 flags; processing.bpass_shape)."""
+    from . import windows as win
+    nchan = freqs.size
+    bp = np.ones((nbl, nchan, n_acc))
+    fl = parms.get("flags") or {}
+    n_edge = fl.get("n_edge_flag") or [0, 0]
+    if n_edge[0]:
+        bp[:, :int(n_edge[0]), :] = 0.0
+    if n_edge[1]:
+        bp[:, nchan - int(n_edge[1]):, :] = 0.0
+    flag_chan = np.asarray(fl.get("flag_chan") if fl.get("flag_chan")
+                           is not None else [-1]).ravel().astype(int)
+    flag_chan = flag_chan[(flag_chan >= 0) & (flag_chan < nchan)]
+    if fl.get("bp_flag_repeat"):
+        ccw = int(parms["processing"].get("coarse_channel_width") or 1)
+        reps = np.arange(0, nchan, ccw)
+        flag_chan = np.unique((flag_chan[None, :] +
+                               reps[:, None]).ravel())
+        flag_chan = flag_chan[flag_chan < nchan]
+    if flag_chan.size:
+        bp[:, flag_chan, :] = 0.0
+    shape = (parms["processing"].get("bpass_shape") or "rect").lower()
+    if shape == "rect":
+        wts = np.ones((nbl, nchan, n_acc))
+    else:
+        w = win.window_vals(nchan, shape=shape, xp=np)
+        wts = np.broadcast_to(w[None, :, None],
+                              (nbl, nchan, n_acc)).copy()
+    return bp, wts
+
+
+def run_simulation(parms, outdir=None, verbose=True, save=True):
+    """Run a full simulation from a parameter source (path/str/dict).
+
+    Returns (VisibilitySet, output_dir or None)."""
+    import jax
+    if not isinstance(parms, dict) or "telescope" not in parms:
+        parms = load_parms(parms)
+    t0 = time.time()
+    tp = parms["telescope"]
+    lat = float(tp["latitude"])
+    layout = build_layout(parms)
+    blp = parms.get("baseline") or {}
+    bls = build_baselines(layout,
+                          redundant=bool(parms["array"].get("redundant",
+                                                            True)),
+                          min_length=blp.get("min"),
+                          max_length=blp.get("max"),
+                          direction_deg=blp.get("direction"))
+    freqs = build_frequencies(parms)
+    obs = build_schedule(parms, lat)
+    sky = build_sky(parms, freqs)
+
+    telescope = {
+        "id": tp.get("id", "custom"),
+        "shape": parms["antenna"].get("shape", "dish"),
+        "size": parms["antenna"].get("size", 14.0),
+        "ocoords": parms["antenna"].get("ocoords", "altaz"),
+        "orientation": parms["antenna"].get("orientation", [90.0, 270.0]),
+        "groundplane": parms["antenna"].get("ground_plane"),
+    }
+    ori = np.asarray(telescope["orientation"], dtype=np.float64)
+    if telescope["ocoords"] == "altaz":
+        telescope["orientation_dircos"] = tuple(
+            geom.altaz2dircos(ori.reshape(1, 2), xp=np)[0])
+
+    inst = Instrument.build(bls.vectors, freqs, latitude=lat,
+                            longitude=float(tp.get("longitude") or 0.0),
+                            altitude=float(tp.get("altitude") or 0.0),
+                            A_eff=float(tp.get("A_eff") or 154.0),
+                            eff_Q=float(tp.get("eff_Q") or 1.0),
+                            telescope=telescope)
+    sks = SkySources.from_skymodel(sky, freqs)
+
+    from .beams.dispatch import primary_beam
+
+    def beam_fn(dircos, f):
+        return primary_beam(dircos, f, telescope)
+
+    if verbose:
+        print("[prisim_tpu] %d bl x %d chan x %d acc, %d sources"
+              % (bls.nbl, freqs.size, obs.n_acc, sks.flux.shape[0]))
+    grad = parms["processing"].get("gradient_mode")
+    out = simulate_drift(
+        inst, sks, obs, beam_fn,
+        src_block=int(parms["processing"].get("src_block") or 512),
+        gradient=bool(grad))
+    gradients = None
+    if grad:
+        vis_tbc, grad_tbc = out
+        # (T, 3, B, C) -> reference layout (3, nbl, nchan, nacc)
+        gradients = {"baseline": np.ascontiguousarray(
+            np.transpose(np.asarray(grad_tbc), (1, 2, 3, 0)))}
+    else:
+        vis_tbc = out
+    skyvis = np.ascontiguousarray(
+        np.transpose(np.asarray(vis_tbc), (1, 2, 0)))
+
+    # noise + gains
+    tsys = build_tsys(parms, freqs, bls.nbl, obs.n_acc)
+    df = float(parms["bandpass"]["freq_resolution"])
+    rms = np.asarray(thermal_noise_rms(
+        float(tp.get("A_eff") or 154.0), df, float(obs.t_acc[0]),
+        tsys, nbl=bls.nbl, nchan=freqs.size, ntimes=obs.n_acc,
+        eff_Q=float(tp.get("eff_Q") or 1.0), xp=np))
+    import jax.random as jr
+    noise = np.asarray(generate_noise(jr.PRNGKey(
+        int(parms["skyparm"].get("seed") or 0)), rms))
+    gains = 1.0
+    if parms["gains"].get("file"):
+        gi = GainInfo.read_hdf5(parms["gains"]["file"])
+        gains = gi.eval_gains(bls.labels, freqs=freqs,
+                              times=np.asarray(obs.jd) - obs.jd[0])
+    vis = apply_gains(skyvis, gains, noise)
+
+    bp, bp_wts = _bandpass_weights(parms, bls.nbl, freqs, obs.n_acc)
+    vs = VisibilitySet(
+        baselines=bls.vectors, labels=bls.labels, freqs=freqs,
+        lst=obs.lst_deg, skyvis=skyvis, vis=vis, vis_noise=noise,
+        vis_rms=rms, timestamps=obs.jd, t_acc=obs.t_acc,
+        bp=bp, bp_wts=bp_wts, Tsys=tsys,
+        A_eff=float(tp.get("A_eff") or 154.0),
+        eff_Q=float(tp.get("eff_Q") or 1.0),
+        latitude=lat, longitude=float(tp.get("longitude") or 0.0),
+        altitude=float(tp.get("altitude") or 0.0),
+        pointing_center=obs.pointing_altaz, pointing_coords="altaz",
+        phase_center=obs.pointing_altaz.copy(),
+        phase_center_coords="altaz",
+        telescope=telescope,
+        layout=dict(positions=np.asarray(layout.positions),
+                    labels=np.asarray(layout.labels, dtype=str),
+                    ids=np.arange(len(layout.labels)), coords="ENU"),
+        flux_unit="Jy", gradients=gradients)
+
+    ph = parms.get("phasing") or {}
+    if ph.get("center") is not None:
+        vs = phase_centering(vs, np.atleast_2d(
+            np.asarray(ph["center"], dtype=np.float64)),
+            ph.get("coords", "altaz"))
+    vs = project_baselines(vs)
+    if parms["processing"].get("delay_transform"):
+        vs = delay_transform(vs, pad=float(
+            parms["processing"].get("f_pad") or 1.0))
+
+    outpath = None
+    if save:
+        outpath = _save_products(vs, parms, outdir)
+    if verbose:
+        print("[prisim_tpu] done in %.2f s%s"
+              % (time.time() - t0,
+                 (" -> " + outpath) if outpath else ""))
+    return vs, outpath
+
+
+def _save_products(vs, parms, outdir=None):
+    """Output directory tree + products + metadata
+    (run_prisim.py:742-783, 2212-2335)."""
+    from .io import save_hdf5, save_npz
+    ds = parms["dirstruct"]
+    if outdir is None:
+        simid = ds.get("simid") or time.strftime("sim_%Y%m%d_%H%M%S")
+        outdir = os.path.join(ds.get("rootdir") or "./",
+                              ds.get("project") or "prisim_tpu", simid)
+    os.makedirs(os.path.join(outdir, "simdata"), exist_ok=True)
+    os.makedirs(os.path.join(outdir, "metainfo"), exist_ok=True)
+    base = os.path.join(outdir, "simdata", "simvis")
+    fmt = (parms["save_formats"].get("fmt") or "HDF5").lower()
+    if fmt == "hdf5":
+        save_hdf5(vs, base + ".hdf5")
+    if parms["save_formats"].get("npz"):
+        save_npz(vs, base + ".npz")
+    if parms["save_formats"].get("uvfits"):
+        from .io.uvfits import save_uvfits
+        save_uvfits(vs, base + ".uvfits")
+    if parms["save_formats"].get("uvh5"):
+        from .io.uvh5 import save_uvh5
+        save_uvh5(vs, base + ".uvh5")
+    dump_parms(parms, os.path.join(outdir, "metainfo", "simparms.yaml"))
+    meta = {"user": os.environ.get("USER", "unknown"),
+            "date": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            "prisim_tpu_version": __version__}
+    dump_parms(meta, os.path.join(outdir, "metainfo", "meta.yaml"))
+    return outdir
+
+
+def main(argv=None):
+    import argparse
+    p = argparse.ArgumentParser(
+        description="prisim_tpu simulation driver "
+                    "(run_prisim.py equivalent)")
+    p.add_argument("-i", "--infile", required=True,
+                   help="YAML simulation parameters")
+    p.add_argument("-o", "--outdir", default=None)
+    p.add_argument("-q", "--quiet", action="store_true")
+    args = p.parse_args(argv)
+    run_simulation(args.infile, outdir=args.outdir,
+                   verbose=not args.quiet)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,141 @@
+"""Config loader + end-to-end driver tests."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from prisim_tpu.config import (DEFAULT_PARMS, load_parms, merge_parms,
+                               dump_parms)
+from prisim_tpu.driver import (run_simulation, build_schedule, build_sky,
+                               build_tsys, build_frequencies)
+
+EXAMPLE = os.path.join(os.path.dirname(__file__), "..", "prisim_tpu",
+                       "examples", "simparms", "hera19_random.yaml")
+
+
+def test_load_partial_config_inherits_defaults():
+    parms = load_parms({"telescope": {"latitude": -26.7}})
+    assert parms["telescope"]["latitude"] == -26.7
+    assert parms["telescope"]["A_eff"] == DEFAULT_PARMS[
+        "telescope"]["A_eff"]
+    assert parms["bandpass"]["nchan"] == 256
+
+
+def test_unknown_key_rejected():
+    with pytest.raises(KeyError):
+        load_parms({"telscope": {"latitude": 0.0}})
+    with pytest.raises(KeyError):
+        load_parms({"telescope": {"lattitude": 0.0}})
+
+
+def test_template_overlay(tmp_path):
+    template = {"telescope": {"latitude": 1.0, "A_eff": 100.0},
+                "bandpass": {"nchan": 32}}
+    tpath = str(tmp_path / "template.yaml")
+    with open(tpath, "w") as f:
+        yaml.safe_dump(template, f)
+    custom = {"preload": {"template": tpath},
+              "telescope": {"latitude": 2.0}}
+    parms = load_parms(custom)
+    assert parms["telescope"]["latitude"] == 2.0
+    assert parms["telescope"]["A_eff"] == 100.0
+    assert parms["bandpass"]["nchan"] == 32
+
+
+def test_deep_nesting_rejected():
+    t = {"a": {"b": {"c": {"d": 1}}}}
+    with pytest.raises(TypeError):
+        merge_parms(t, {"a": {"b": {"c": {"d": 2}}}})
+
+
+def test_schedule_drift_lst_progression():
+    parms = load_parms({"obsparm": {"n_acc": 3, "t_acc": 600.0},
+                        "pointing": {"lst_init": 4.0}})
+    obs = build_schedule(parms, -30.7224)
+    assert obs.n_acc == 3
+    dlst = np.diff(obs.lst_deg)
+    # 600 s of sidereal rotation ~ 2.5069 deg
+    np.testing.assert_allclose(dlst, 600.0 * 360.0 / 86164.0905,
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.diff(obs.jd), 600.0 / 86400.0)
+    # zenith drift pointing at ha=0, dec=latitude
+    np.testing.assert_allclose(obs.pointing_altaz[:, 0], 90.0,
+                               atol=1e-6)
+
+
+def test_schedule_track_follows_source():
+    parms = load_parms({"obsparm": {"obs_mode": "track", "n_acc": 2,
+                                    "t_acc": 600.0},
+                        "pointing": {"lst_init": 4.0,
+                                     "track_init": {"ra": 60.0,
+                                                    "dec": -30.7224}}})
+    obs = build_schedule(parms, -30.7224)
+    # pointing altitude changes as the source moves
+    assert obs.pointing_altaz[0, 0] != obs.pointing_altaz[1, 0]
+
+
+def test_build_sky_custom_catalog(tmp_path):
+    cat = str(tmp_path / "cat.txt")
+    np.savetxt(cat, np.asarray([[10.0, -30.0, 5.0, -0.8],
+                                [20.0, -25.0, 15.0, -0.7]]))
+    parms = load_parms({"skyparm": {"model": "custom", "flux_min": 10.0},
+                        "catalog": {"custom_file": cat}})
+    sm = build_sky(parms, build_frequencies(parms))
+    assert sm.nsrc == 1  # flux_min cut removed the 5 Jy source
+    np.testing.assert_allclose(sm.location[0], [20.0, -25.0])
+
+
+def test_build_tsys_spectral():
+    parms = load_parms({"telescope": {"Trx": 50.0, "Tant_ref": 200.0,
+                                      "Tant_freqref": 150e6,
+                                      "Tant_spindex": -2.55}})
+    freqs = np.asarray([150e6, 180e6])
+    tsys = build_tsys(parms, freqs, nbl=2, n_acc=1)
+    np.testing.assert_allclose(tsys[0, 0, 0], 250.0)
+    np.testing.assert_allclose(
+        tsys[0, 1, 0], 50.0 + 200.0 * (180e6 / 150e6) ** -2.55,
+        rtol=1e-12)
+
+
+def test_end_to_end_driver(tmp_path):
+    parms = load_parms(os.path.abspath(EXAMPLE))
+    # shrink for test speed
+    parms["bandpass"]["nchan"] = 16
+    parms["obsparm"]["n_acc"] = 2
+    parms["skyparm"]["nsrc"] = 32
+    parms["dirstruct"]["rootdir"] = str(tmp_path)
+    vs, outdir = run_simulation(parms, verbose=False)
+    assert vs.skyvis.shape == (30, 16, 2)   # HERA-19: 30 unique baselines
+    assert vs.vis is not None and vs.vis_noise is not None
+    assert np.isfinite(vs.skyvis).all()
+    assert np.abs(vs.skyvis).max() > 0
+    # noise statistics ~ radiometer rms
+    ratio = np.std(vs.vis_noise.real) / (vs.vis_rms.mean() / np.sqrt(2))
+    assert 0.8 < ratio < 1.2
+    # outputs on disk
+    assert os.path.exists(os.path.join(outdir, "simdata",
+                                       "simvis.hdf5"))
+    assert os.path.exists(os.path.join(outdir, "simdata", "simvis.npz"))
+    assert os.path.exists(os.path.join(outdir, "simdata",
+                                       "simvis.uvfits"))
+    assert os.path.exists(os.path.join(outdir, "simdata",
+                                       "simvis.uvh5"))
+    assert os.path.exists(os.path.join(outdir, "metainfo",
+                                       "simparms.yaml"))
+    # HDF5 round-trips
+    from prisim_tpu.io import load_hdf5
+    back = load_hdf5(os.path.join(outdir, "simdata", "simvis.hdf5"))
+    np.testing.assert_allclose(back.skyvis, vs.skyvis)
+
+
+def test_driver_gradient_mode(tmp_path):
+    parms = load_parms({"bandpass": {"nchan": 8},
+                        "obsparm": {"n_acc": 1, "t_acc": 10.0},
+                        "array": {"layout": "HERA-7"},
+                        "skyparm": {"model": "random", "nsrc": 16},
+                        "processing": {"gradient_mode": "baseline"}})
+    vs, _ = run_simulation(parms, verbose=False, save=False)
+    assert vs.gradients is not None
+    assert vs.gradients["baseline"].shape == (3, vs.nbl, 8, 1)
