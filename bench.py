@@ -17,6 +17,9 @@ import numpy as np
 
 
 def _tpu_macs_per_sec(nbl=666, nchan=1024, nsrc=49152, repeats=3):
+    import os
+    nchan = int(os.environ.get("PRISIM_BENCH_NCHAN", nchan))
+    repeats = int(os.environ.get("PRISIM_BENCH_REPEATS", repeats))
     import jax
     import jax.numpy as jnp
     from prisim_tpu import layouts as lay
@@ -27,6 +30,8 @@ def _tpu_macs_per_sec(nbl=666, nchan=1024, nsrc=49152, repeats=3):
                                    enu_rotation_from_eq)
     from prisim_tpu.engine.observe import df_rotate3
     from prisim_tpu.engine.nudft import nudft_visibilities
+    from prisim_tpu.engine.pallas_nudft import nudft_pallas, \
+        pallas_available
     from prisim_tpu.beams import airy_beam
 
     layout = lay.preset_layout("HERA-37")
@@ -38,7 +43,7 @@ def _tpu_macs_per_sec(nbl=666, nchan=1024, nsrc=49152, repeats=3):
     rng = np.random.default_rng(0)
     # nside-64 upper-hemisphere sky as generic sources.
     from prisim_tpu import healpix as hp
-    nside = 64
+    nside = int(os.environ.get("PRISIM_BENCH_NSIDE", 64))
     theta, phi = hp.pix2ang(nside, np.arange(hp.nside2npix(nside)))
     ra = np.degrees(phi)
     dec = 90.0 - np.degrees(theta)
@@ -56,28 +61,56 @@ def _tpu_macs_per_sec(nbl=666, nchan=1024, nsrc=49152, repeats=3):
     gs = inst.grid_scalars()
     freqs_f32 = jnp.asarray(freqs, dtype=jnp.float32)
 
-    @jax.jit
-    def snapshot(mh, ml, ph, pl):
-        sh, sl = df_rotate3(mh, ml, sky.s_eq_hi, sky.s_eq_lo)
-        seh, sel = tf.df_add(sh, sl, -ph[None, :], -pl[None, :])
-        pb = airy_beam(sh, freqs_f32, 14.0)
-        amps = jnp.where((sh[:, 2] > 0.0)[:, None], pb * sky.flux, 0.0)
-        return nudft_visibilities(seh, sel, inst.bl_hi, inst.bl_lo, amps,
-                                  gs, nchan, src_block=2048)
+    def make_snapshot(kernel):
+        @jax.jit
+        def snapshot(mh, ml, ph, pl):
+            sh, sl = df_rotate3(mh, ml, sky.s_eq_hi, sky.s_eq_lo)
+            seh, sel = tf.df_add(sh, sl, -ph[None, :], -pl[None, :])
+            pb = airy_beam(sh, freqs_f32, 14.0)
+            amps = jnp.where((sh[:, 2] > 0.0)[:, None], pb * sky.flux, 0.0)
+            if kernel == "pallas":
+                return nudft_pallas(seh, sel, inst.bl_hi, inst.bl_lo,
+                                    amps, gs, nchan)
+            return nudft_visibilities(seh, sel, inst.bl_hi, inst.bl_lo,
+                                      amps, gs, nchan, src_block=2048)
+        return snapshot
 
     args = tuple(jnp.asarray(a) for a in (Mh, Ml, pch, pcl))
-    snapshot(*args).block_until_ready()  # compile + warm
-    t0 = time.perf_counter()
-    for _ in range(repeats):
-        out = snapshot(*args)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / repeats
+
+    def time_kernel(kernel):
+        snapshot = make_snapshot(kernel)
+        snapshot(*args).block_until_ready()  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            out = snapshot(*args)
+        out.block_until_ready()
+        return (time.perf_counter() - t0) / repeats
+
+    results = {}
+    candidates = ["xla"]
+    if pallas_available():
+        candidates.insert(0, "pallas")
+    for kernel in candidates:
+        try:
+            results[kernel] = time_kernel(kernel)
+        except Exception as exc:   # Mosaic rejection etc: fall back
+            results[kernel] = None
+            print('{"warning": "kernel %s failed: %s"}'
+                  % (kernel, str(exc)[:200].replace('"', "'")))
+    timed = {k: v for k, v in results.items() if v is not None}
+    best = min(timed, key=timed.get)
+    dt = timed[best]
     macs = float(nsrc) * nbl * nchan
-    return macs / dt, dt, dict(nbl=nbl, nchan=nchan, nsrc=nsrc)
+    return macs / dt, dt, dict(nbl=nbl, nchan=nchan, nsrc=nsrc,
+                               kernel=best,
+                               per_kernel_seconds=results)
 
 
 def _cpu_reference_macs_per_sec(nsrc=1024, nbl=666, nchan=128):
     """Reference-style float64 numpy inner loop, timed on a small slab."""
+    import os
+    nsrc = int(os.environ.get("PRISIM_BENCH_CPU_NSRC", nsrc))
+    nchan = int(os.environ.get("PRISIM_BENCH_CPU_NCHAN", nchan))
     from prisim_tpu import constants as CNST
     rng = np.random.default_rng(1)
     s = rng.normal(size=(nsrc, 3))

@@ -168,11 +168,14 @@ def _beam_and_flux(s_enu_hi, flux, freqs_f32, beam_fn):
 
 
 def simulate_snapshot(instrument, sky, Mh, Ml, pch, pcl, beam_fn,
-                      src_block=512, gradient=False):
+                      src_block=512, gradient=False, use_pallas=False):
     """One accumulation: returns (B, C) complex64 noiseless visibilities.
 
     Mh/Ml: (3,3) two-float ENU rotation; pch/pcl: (3,) two-float phase
     center dircos. All jit-safe; beam_fn(dircos, freqs)->(S, C).
+    use_pallas: route the point-source NUDFT through the Pallas TPU
+    kernel (engine.pallas_nudft); extended sources/gradients always use
+    the XLA path.
     """
     sh, sl = df_rotate3(Mh, Ml, sky.s_eq_hi, sky.s_eq_lo)
     seh, sel = tf.df_add(sh, sl, -pch[None, :], -pcl[None, :])
@@ -184,6 +187,11 @@ def simulate_snapshot(instrument, sky, Mh, Ml, pch, pcl, beam_fn,
                   inv_wl=freqs_f32 / CNST.c)
     elif gradient:
         kw = dict(s_sky=sh)
+    if use_pallas and not kw:
+        from .pallas_nudft import nudft_pallas
+        return nudft_pallas(seh, sel, instrument.bl_hi,
+                            instrument.bl_lo, amps,
+                            instrument.grid_scalars(), instrument.nchan)
     return nudft_visibilities(seh, sel, instrument.bl_hi, instrument.bl_lo,
                               amps, instrument.grid_scalars(),
                               instrument.nchan, src_block=src_block,
@@ -191,7 +199,7 @@ def simulate_snapshot(instrument, sky, Mh, Ml, pch, pcl, beam_fn,
 
 
 def simulate_drift(instrument, sky, observation, beam_fn, src_block=512,
-                   gradient=False):
+                   gradient=False, use_pallas=False):
     """All accumulations via lax.scan. Returns (T, B, C) complex64
     (transpose to the reference's (nbl, nchan, n_acc) at IO time)."""
     Mh, Ml = observation.rotations(instrument.latitude)
@@ -205,7 +213,8 @@ def simulate_drift(instrument, sky, observation, beam_fn, src_block=512,
     def step(_, x):
         mh, ml, ph, pl = x
         out = simulate_snapshot(instrument, sky, mh, ml, ph, pl, beam_fn,
-                                src_block=src_block, gradient=gradient)
+                                src_block=src_block, gradient=gradient,
+                                use_pallas=use_pallas)
         return None, out
 
     _, vis = jax.lax.scan(step, None, (Mh, Ml, pch, pcl))

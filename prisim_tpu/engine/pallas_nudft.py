@@ -1,0 +1,192 @@
+"""Pallas TPU kernel for the NUDFT visibility sum (the metric kernel).
+
+Same math as nudft.py (U.W phasor factorization on a uniform channel
+grid, double-float32 cycle arithmetic for <=1e-6 phase accuracy — see
+that module's docstring and /root/reference/prisim/interferometry.py:
+6323-6376 for the reference formulation), but with explicit VMEM tiling:
+
+* grid = (baseline tiles, source tiles); the (BT, C) visibility
+  accumulator tile lives in VMEM across all source steps of one baseline
+  tile (output revisiting), so HBM traffic is O(S*C + B*C) instead of
+  the XLA path's O(S*B*(Q+L)) phasor spill at large source blocks.
+* per grid step everything — the two-float k = s.b reduction, the W
+  phasor table (ST, BT, L), the per-q U phasors (ST, BT), and the
+  V += sum_s A*(U.W) accumulation — stays in VMEM; the VPU runs the MACs
+  with no HBM round trips.
+
+Scope: point sources, no gradients (the XLA path in nudft.py covers
+extended sources / dV/db; callers fall back automatically via
+`nudft_auto`)."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import twofloat as tf
+from .nudft import choose_ql, nudft_visibilities
+
+__all__ = ["nudft_pallas", "nudft_auto", "pallas_available"]
+
+_TWO_PI = float(2.0 * np.pi)  # Python literal: safe to close over in kernels
+
+
+def pallas_available():
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:                                  # pragma: no cover
+        return False
+
+
+def _kernel(seh_ref, sel_ref, blh_ref, bll_ref, amps_ref, scal_ref,
+            vr_ref, vi_ref, *, Q, L, ST, BT):
+    # NOTE on scal_ref: the four frequency-grid scalars are passed as
+    # pre-broadcast (4, ST, BT) VMEM tiles, NOT SMEM scalars. SMEM scalar
+    # reads reach the fused arithmetic as compile-time constants, and
+    # constant operands let the compiler collapse the compensated
+    # (two-float) expressions — verified to cost ~3 digits of phase
+    # accuracy. VMEM tiles keep them opaque runtime values.
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        vr_ref[:] = jnp.zeros_like(vr_ref)
+        vi_ref[:] = jnp.zeros_like(vi_ref)
+
+    g0h, g0l = scal_ref[0], scal_ref[1]
+    gdh, gdl = scal_ref[2], scal_ref[3]
+
+    # k = s_eff . bl in two-float, (ST, BT) meters. NOTE: this must stay
+    # the df_dot3 formulation verbatim — hand-rolled zero-initialized
+    # accumulation of the same products loses the compensation terms
+    # under XLA CPU codegen (verified empirically; the df_dot3 graph
+    # shape survives both CPU fusion and Mosaic).
+    kh, kl = tf.df_dot3(seh_ref[:][:, None, :], sel_ref[:][:, None, :],
+                        blh_ref[:][None, :, :], bll_ref[:][None, :, :])
+
+    # cycle counts: p0 = k*nu0/c, d = k*dnu/c, frac-reduced two-float
+    p0h, p0l = tf.df_frac(*tf.df_mul(kh, kl, g0h, g0l), xp=jnp)
+    dh, dl = tf.df_frac(*tf.df_mul(kh, kl, gdh, gdl), xp=jnp)
+
+    # W phasor table over the fast channel index r = 0..L-1: (ST, BT, L)
+    r = jax.lax.broadcasted_iota(jnp.float32, (ST, BT, L), 2)
+    wh, we = tf.two_prod(dh[:, :, None], r)
+    wfh, wfl = tf.df_frac(wh, we + dl[:, :, None] * r, xp=jnp)
+    wang = jnp.float32(_TWO_PI) * (wfh + wfl)
+    Wc = jnp.cos(wang)
+    Ws = -jnp.sin(wang)
+
+    # Static unroll over the Q coarse-channel groups: all channel slices
+    # are compile-time constants (dynamic lane-dim slicing is a common
+    # Mosaic rejection). The U-phasor cycle count is carried as a running
+    # two-float accumulator stepped by L*d per group — L is a power of 2
+    # (choose_ql), so L*dh and L*dl are exact f32 multiplies and the
+    # accumulation stays compensated with no constant-operand products
+    # for the compiler to collapse.
+    Ldh = dh * jnp.float32(L)
+    Ldl = dl * jnp.float32(L)
+    A_all = amps_ref[:]                                  # (ST, Q*L)
+    th, tl = p0h, p0l
+    for q in range(Q):
+        ang = jnp.float32(_TWO_PI) * (th + tl)
+        uc = jnp.cos(ang)
+        us = -jnp.sin(ang)
+        A = A_all[:, q * L:(q + 1) * L]                  # (ST, L)
+        Er = uc[:, :, None] * Wc - us[:, :, None] * Ws   # (ST, BT, L)
+        Ei = uc[:, :, None] * Ws + us[:, :, None] * Wc
+        vr = jnp.sum(A[:, None, :] * Er, axis=0)         # (BT, L)
+        vi = jnp.sum(A[:, None, :] * Ei, axis=0)
+        vr_ref[:, q * L:(q + 1) * L] += vr
+        vi_ref[:, q * L:(q + 1) * L] += vi
+        if q + 1 < Q:
+            th, tl = tf.df_frac(*tf.df_add(th, tl, Ldh, Ldl), xp=jnp)
+
+
+@functools.partial(jax.jit, static_argnames=("nchan", "src_tile",
+                                             "bl_tile", "interpret"))
+def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
+                 src_tile=64, bl_tile=128, interpret=False):
+    """Pallas NUDFT (point sources, no gradient): complex64 (B, C).
+
+    Arguments as nudft_visibilities; src_tile/bl_tile pick the VMEM
+    tiling (VMEM use ~ ST*BT*L*2 + (ST+2*BT)*C floats)."""
+    g0h, g0l, gdh, gdl = grid_scalars
+    S = seh.shape[0]
+    B = blh.shape[0]
+    nchan = int(nchan)
+    Q, L = choose_ql(nchan)
+    C_pad = Q * L
+
+    if amps.shape[1] < C_pad:
+        amps = jnp.pad(amps, ((0, 0), (0, C_pad - amps.shape[1])))
+
+    ST, BT = int(src_tile), int(bl_tile)
+    S_pad = -(-S // ST) * ST
+    B_pad = -(-B // BT) * BT
+
+    def padn(x, n, axis=0):
+        if x.shape[axis] >= n:
+            return jnp.asarray(x, jnp.float32)
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (0, n - x.shape[axis])
+        return jnp.pad(jnp.asarray(x, jnp.float32), pad)
+
+    seh_p = padn(seh, S_pad)
+    sel_p = padn(sel, S_pad)
+    amps_p = padn(amps, S_pad)
+    blh_p = padn(blh, B_pad)
+    bll_p = padn(bll, B_pad)
+    scal = jnp.stack([jnp.broadcast_to(jnp.float32(v), (ST, BT))
+                      for v in (g0h, g0l, gdh, gdl)])
+
+    grid = (B_pad // BT, S_pad // ST)
+    kernel = functools.partial(_kernel, Q=Q, L=L, ST=ST, BT=BT)
+    out_shape = [jax.ShapeDtypeStruct((B_pad, C_pad), jnp.float32),
+                 jax.ShapeDtypeStruct((B_pad, C_pad), jnp.float32)]
+    vr, vi = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ST, 3), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ST, 3), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, 3), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, 3), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ST, C_pad), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, ST, BT), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((BT, C_pad), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, C_pad), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=out_shape,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=10 * S_pad * B_pad * C_pad,
+            bytes_accessed=4 * (S_pad * C_pad + 2 * B_pad * C_pad),
+            transcendentals=2 * S_pad * B_pad * (Q + L)),
+    )(seh_p, sel_p, blh_p, bll_p, amps_p, scal)
+    return (vr + 1j * vi)[:B, :nchan]
+
+
+def nudft_auto(seh, sel, blh, bll, amps, grid_scalars, nchan, **kw):
+    """Use the Pallas kernel on TPU for the plain point-source case, the
+    XLA path otherwise (extended sources, gradients, non-TPU backends)."""
+    plain = not kw.get("gradient") and kw.get("src_shape_sigma") is None
+    if plain and pallas_available():
+        return nudft_pallas(seh, sel, blh, bll, amps, grid_scalars,
+                            nchan)
+    return nudft_visibilities(seh, sel, blh, bll, amps, grid_scalars,
+                              nchan, **kw)

@@ -1,0 +1,354 @@
+"""Post-simulation tooling: the reference's scripts/ CLI surface.
+
+Rebuilds (see /root/reference/scripts/):
+* ``convert``   — write_PRISim_visibilities.py / prisim_to_uvfits.py:
+  re-save a sim HDF5 to HDF5/NPZ/UVFITS/UVH5, optional re-phasing.
+* ``update-noise`` — update_PRISim_noise.py: regenerate thermal noise
+  with new Tsys/A_eff and rewrite vis = skyvis + noise.
+* ``replicate`` — replicate_sim.py + scriptUtils/replicatesim_util.py:
+  Monte-Carlo noise realizations of an existing sim -> NPZ/UVFITS.
+* ``redundant`` — make_redundant_visibilities.py: expand unique-baseline
+  vis onto the full redundant set (duplicate_measurements,
+  /root/reference/prisim/interferometry.py:6823).
+* ``ls`` / ``grep`` — prisim_ls.py / prisim_grep.py: list sims in a
+  project with parameter diffs; query sims by parameter values.
+* ``feko2hpx``  — FEKO_beam_to_healpix.py: far-field text beams ->
+  HEALPix maps (HDF5).
+
+CLI: ``python -m prisim_tpu.tools <command> ...``.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import yaml
+
+from . import healpix as hp
+from .engine.noise import thermal_noise_rms, generate_noise
+from .io import save_hdf5, load_hdf5, save_npz
+from .vis import VisibilitySet, phase_centering
+
+__all__ = ["convert", "update_noise", "replicate", "expand_redundant_file",
+           "list_sims", "grep_sims", "feko_to_healpix", "main"]
+
+
+def convert(infile, outfile, formats=("hdf5",), phase_center=None,
+            phase_center_coords="altaz", datatype="noiseless"):
+    """Load a sim HDF5 and re-save in the requested formats
+    (write_PRISim_visibilities.py:9-117)."""
+    vs = load_hdf5(infile)
+    if phase_center is not None:
+        vs = phase_centering(vs, np.atleast_2d(np.asarray(
+            phase_center, dtype=np.float64)), phase_center_coords)
+    written = []
+    for fmt in formats:
+        fmt = fmt.lower()
+        if fmt == "hdf5":
+            save_hdf5(vs, outfile + ".hdf5")
+            written.append(outfile + ".hdf5")
+        elif fmt == "npz":
+            save_npz(vs, outfile + ".npz")
+            written.append(outfile + ".npz")
+        elif fmt == "uvfits":
+            from .io.uvfits import save_uvfits
+            save_uvfits(vs, outfile + ".uvfits", datatype=datatype)
+            written.append(outfile + ".uvfits")
+        elif fmt == "uvh5":
+            from .io.uvh5 import save_uvh5
+            save_uvh5(vs, outfile + ".uvh5", datatype=datatype)
+            written.append(outfile + ".uvh5")
+        else:
+            raise ValueError("unknown format %r" % fmt)
+    return written
+
+
+def update_noise(infile, outfile=None, Tsys=None, A_eff=None, eff_Q=None,
+                 seed=0):
+    """Regenerate thermal noise on an existing sim
+    (update_PRISim_noise.py:110-131). Returns the updated VisibilitySet
+    (written back to outfile or infile)."""
+    import jax.random as jr
+    vs = load_hdf5(infile)
+    if Tsys is not None:
+        vs.Tsys = np.broadcast_to(
+            np.asarray(Tsys, dtype=np.float64),
+            (vs.nbl, vs.nchan, vs.n_acc)).copy()
+    if A_eff is not None:
+        vs.A_eff = float(A_eff)
+    if eff_Q is not None:
+        vs.eff_Q = float(eff_Q)
+    if vs.Tsys is None:
+        raise ValueError("no Tsys available to generate noise")
+    dt = float(vs.t_acc[0]) if vs.t_acc is not None else 1.0
+    rms = np.asarray(thermal_noise_rms(
+        vs.A_eff, vs.freq_resolution, dt, vs.Tsys, nbl=vs.nbl,
+        nchan=vs.nchan, ntimes=vs.n_acc, eff_Q=vs.eff_Q, xp=np))
+    noise = np.asarray(generate_noise(jr.PRNGKey(seed), rms))
+    vs.vis_rms = rms
+    vs.vis_noise = noise
+    vs.vis = vs.skyvis + noise
+    save_hdf5(vs, outfile or infile, overwrite=True)
+    return vs
+
+
+def replicate(infile, outfile_prefix, n_realize=4, seed=100,
+              fmt="npz"):
+    """Monte-Carlo noise realizations
+    (scriptUtils/replicatesim_util.py:10-123): draw n_realize seeded
+    noise cubes scaled by the stored/derived RMS; write one NPZ with all
+    realizations or one UVFITS per realization."""
+    import jax.random as jr
+    vs = load_hdf5(infile)
+    if vs.vis_rms is not None:
+        rms = np.asarray(vs.vis_rms)
+    elif vs.Tsys is not None:
+        dt = float(vs.t_acc[0]) if vs.t_acc is not None else 1.0
+        rms = np.asarray(thermal_noise_rms(
+            vs.A_eff, vs.freq_resolution, dt, vs.Tsys, nbl=vs.nbl,
+            nchan=vs.nchan, ntimes=vs.n_acc, eff_Q=vs.eff_Q, xp=np))
+    else:
+        raise ValueError("sim carries neither vis_rms nor Tsys")
+    keys = jr.split(jr.PRNGKey(seed), n_realize)
+    noises = np.stack([np.asarray(generate_noise(k, rms)) for k in keys])
+    vises = vs.skyvis[None] + noises
+    written = []
+    if fmt == "npz":
+        path = outfile_prefix + ".npz"
+        np.savez_compressed(path, skyvis=vs.skyvis, vis=vises,
+                            noise=noises, freqs=vs.freqs, lst=vs.lst,
+                            bl=vs.baselines)
+        written.append(path)
+    elif fmt == "uvfits":
+        from .io.uvfits import save_uvfits
+        import dataclasses
+        for i in range(n_realize):
+            v2 = dataclasses.replace(vs, vis=vises[i],
+                                     vis_noise=noises[i])
+            path = "%s_%d.uvfits" % (outfile_prefix, i)
+            save_uvfits(v2, path, datatype="noisy")
+            written.append(path)
+    else:
+        raise ValueError("fmt must be 'npz' or 'uvfits'")
+    return written
+
+
+def expand_redundant_file(infile, outfile):
+    """Expand a unique-baseline sim onto all redundant baselines using
+    the stored antenna layout (make_redundant_visibilities.py;
+    duplicate_measurements at interferometry.py:6823)."""
+    from .baselines import baseline_generator, uniq_baselines
+    vs = load_hdf5(infile)
+    if vs.layout is None:
+        raise ValueError("sim has no antenna layout; cannot expand")
+    vectors, label_pairs = baseline_generator(
+        np.asarray(vs.layout["positions"], dtype=np.float64),
+        labels=np.asarray(vs.layout["labels"], dtype=str))
+    uvec, ind, counts, group_of = uniq_baselines(vectors)
+    # match saved unique baselines to the recomputed unique set
+    d = np.linalg.norm(np.asarray(vs.baselines)[:, None, :]
+                       - uvec[None, :, :], axis=-1)
+    match = d.argmin(axis=1)
+    if not np.allclose(d[np.arange(match.size), match], 0.0, atol=1e-6):
+        raise ValueError("saved baselines do not match layout's unique "
+                         "baseline set")
+    inv = np.full(uvec.shape[0], -1)
+    inv[match] = np.arange(match.size)
+    expand = inv[group_of]
+    if np.any(expand < 0):
+        raise ValueError("some redundant groups missing from saved sim")
+    import dataclasses
+    kw = {}
+    for name in ("skyvis", "vis", "vis_noise", "vis_rms", "bp",
+                 "bp_wts", "Tsys"):
+        arr = getattr(vs, name)
+        if arr is not None:
+            kw[name] = np.asarray(arr)[expand]
+    out = dataclasses.replace(
+        vs, baselines=vectors, labels=label_pairs,
+        projected_baselines=None, **kw)
+    save_hdf5(out, outfile)
+    return out
+
+
+def _load_meta(simdir):
+    path = os.path.join(simdir, "metainfo", "simparms.yaml")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
+def _flatten(d, prefix=""):
+    out = {}
+    for k, v in (d or {}).items():
+        key = prefix + str(k)
+        if isinstance(v, dict):
+            out.update(_flatten(v, key + "."))
+        else:
+            out[key] = v
+    return out
+
+
+def list_sims(project_dir, diff=True):
+    """List sims under a project dir; with diff=True, report only the
+    parameters that differ across sims (prisim_ls.py)."""
+    sims = {}
+    for simdir in sorted(glob.glob(os.path.join(project_dir, "*"))):
+        meta = _load_meta(simdir)
+        if meta is not None:
+            sims[os.path.basename(simdir)] = _flatten(meta)
+    if not diff or len(sims) < 2:
+        return {"sims": sorted(sims), "diffs": {}}
+    keys = sorted(set().union(*[set(v) for v in sims.values()]))
+    diffs = {}
+    for key in keys:
+        vals = {name: sims[name].get(key) for name in sims}
+        if len({repr(v) for v in vals.values()}) > 1:
+            diffs[key] = vals
+    return {"sims": sorted(sims), "diffs": diffs}
+
+
+def grep_sims(project_dir, **param_values):
+    """Sims whose parameters match all given dotted-key values
+    (prisim_grep.py:45-66). Example: grep_sims(d, **{
+    'array.layout': 'HERA-19'})."""
+    hits = []
+    for simdir in sorted(glob.glob(os.path.join(project_dir, "*"))):
+        meta = _load_meta(simdir)
+        if meta is None:
+            continue
+        flat = _flatten(meta)
+        if all(repr(flat.get(k)) == repr(v)
+               for k, v in param_values.items()):
+            hits.append(os.path.basename(simdir))
+    return hits
+
+
+def feko_to_healpix(infile, outfile, nside=64, scheme="ring",
+                    col_theta=0, col_phi=1, col_gain_db=None,
+                    col_etheta=(2, 3), col_ephi=(4, 5)):
+    """Convert a FEKO far-field text export (theta phi Re(Etheta)
+    Im(Etheta) Re(Ephi) Im(Ephi) ... rows) to a HEALPix power map
+    (FEKO_beam_to_healpix.py:50-283), nearest-neighbour sampled onto
+    pixel centers, peak-normalized, written as HDF5."""
+    rows = []
+    with open(infile) as f:
+        for ln in f:
+            ln = ln.strip()
+            if not ln or ln.startswith(("#", "*", '"')):
+                continue
+            parts = ln.split()
+            try:
+                rows.append([float(x) for x in parts])
+            except ValueError:
+                continue
+    data = np.asarray(rows)
+    theta = np.radians(data[:, col_theta])
+    phi = np.radians(data[:, col_phi])
+    if col_gain_db is not None:
+        power = 10.0 ** (data[:, col_gain_db] / 10.0)
+    else:
+        et = data[:, col_etheta[0]] + 1j * data[:, col_etheta[1]]
+        ep = data[:, col_ephi[0]] + 1j * data[:, col_ephi[1]]
+        power = np.abs(et) ** 2 + np.abs(ep) ** 2
+    npix = hp.nside2npix(nside)
+    pix_t, pix_p = hp.pix2ang(nside, np.arange(npix))
+    # nearest sample per pixel (FEKO grids are dense regular theta/phi)
+    vt = np.stack([np.sin(pix_t) * np.cos(pix_p),
+                   np.sin(pix_t) * np.sin(pix_p),
+                   np.cos(pix_t)], axis=-1)
+    vs_ = np.stack([np.sin(theta) * np.cos(phi),
+                    np.sin(theta) * np.sin(phi),
+                    np.cos(theta)], axis=-1)
+    # chunked nearest-neighbour to bound memory
+    best = np.empty(npix, dtype=np.int64)
+    chunk = 4096
+    for lo in range(0, npix, chunk):
+        dots = vt[lo:lo + chunk] @ vs_.T
+        best[lo:lo + chunk] = dots.argmax(axis=1)
+    hmap = power[best]
+    hmap = hmap / hmap.max()
+    import h5py
+    with h5py.File(outfile, "w") as f:
+        f["beam"] = hmap
+        f["beam"].attrs["nside"] = nside
+        f["beam"].attrs["scheme"] = scheme
+        f["source"] = os.path.basename(infile)
+    return hmap
+
+
+def main(argv=None):
+    import argparse
+    import json
+    p = argparse.ArgumentParser(prog="prisim_tpu.tools")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("convert")
+    c.add_argument("infile")
+    c.add_argument("outfile")
+    c.add_argument("--formats", nargs="+", default=["hdf5"])
+    c.add_argument("--datatype", default="noiseless")
+
+    u = sub.add_parser("update-noise")
+    u.add_argument("infile")
+    u.add_argument("-o", "--outfile", default=None)
+    u.add_argument("--tsys", type=float, default=None)
+    u.add_argument("--a-eff", type=float, default=None)
+    u.add_argument("--seed", type=int, default=0)
+
+    r = sub.add_parser("replicate")
+    r.add_argument("infile")
+    r.add_argument("outprefix")
+    r.add_argument("-n", "--n-realize", type=int, default=4)
+    r.add_argument("--seed", type=int, default=100)
+    r.add_argument("--fmt", default="npz")
+
+    e = sub.add_parser("redundant")
+    e.add_argument("infile")
+    e.add_argument("outfile")
+
+    l = sub.add_parser("ls")
+    l.add_argument("project_dir")
+
+    g = sub.add_parser("grep")
+    g.add_argument("project_dir")
+    g.add_argument("params", nargs="+",
+                   help="dotted key=value pairs, e.g. array.layout=HERA-19")
+
+    f = sub.add_parser("feko2hpx")
+    f.add_argument("infile")
+    f.add_argument("outfile")
+    f.add_argument("--nside", type=int, default=64)
+    f.add_argument("--gain-db-col", type=int, default=None)
+
+    a = p.parse_args(argv)
+    if a.cmd == "convert":
+        print("\n".join(convert(a.infile, a.outfile, a.formats,
+                                datatype=a.datatype)))
+    elif a.cmd == "update-noise":
+        update_noise(a.infile, a.outfile, Tsys=a.tsys, A_eff=a.a_eff,
+                     seed=a.seed)
+        print("noise updated -> %s" % (a.outfile or a.infile))
+    elif a.cmd == "replicate":
+        print("\n".join(replicate(a.infile, a.outprefix, a.n_realize,
+                                  a.seed, a.fmt)))
+    elif a.cmd == "redundant":
+        out = expand_redundant_file(a.infile, a.outfile)
+        print("expanded to %d baselines -> %s" % (out.nbl, a.outfile))
+    elif a.cmd == "ls":
+        print(json.dumps(list_sims(a.project_dir), indent=2,
+                         default=str))
+    elif a.cmd == "grep":
+        kv = dict(s.split("=", 1) for s in a.params)
+        print("\n".join(grep_sims(a.project_dir, **kv)))
+    elif a.cmd == "feko2hpx":
+        feko_to_healpix(a.infile, a.outfile, nside=a.nside,
+                        col_gain_db=a.gain_db_col)
+        print("wrote %s" % a.outfile)
+
+
+if __name__ == "__main__":
+    main()

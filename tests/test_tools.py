@@ -1,0 +1,131 @@
+"""Tooling tests: convert, update-noise, replicate, redundant expansion,
+ls/grep, FEKO->HEALPix."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from prisim_tpu.vis import VisibilitySet
+from prisim_tpu.io import save_hdf5, load_hdf5
+from prisim_tpu import tools
+
+
+def _vs(tmp_path, redundant=True):
+    """Small 4-antenna linear-array sim (redundant baselines)."""
+    from prisim_tpu.layouts import ArrayLayout
+    from prisim_tpu.baselines import build_baselines
+    pos = np.zeros((4, 3))
+    pos[:, 0] = 14.6 * np.arange(4)
+    layout = ArrayLayout(pos, np.asarray([str(i) for i in range(4)]))
+    bls = build_baselines(layout, redundant=redundant)
+    nchan, nacc = 8, 2
+    rng = np.random.RandomState(0)
+    sv = rng.randn(bls.nbl, nchan, nacc) \
+        + 1j * rng.randn(bls.nbl, nchan, nacc)
+    vs = VisibilitySet(
+        baselines=bls.vectors, labels=bls.labels,
+        freqs=150e6 + 1e5 * np.arange(nchan),
+        lst=np.asarray([10.0, 10.5]), skyvis=sv,
+        timestamps=2458000.0 + np.arange(nacc) * 1e-3,
+        t_acc=np.full(nacc, 10.0), Tsys=np.full((bls.nbl, nchan, nacc),
+                                                180.0),
+        latitude=-30.7,
+        layout=dict(positions=pos, labels=layout.labels,
+                    ids=np.arange(4), coords="ENU"))
+    path = str(tmp_path / "sim.hdf5")
+    save_hdf5(vs, path)
+    return vs, path
+
+
+def test_convert_formats(tmp_path):
+    vs, path = _vs(tmp_path)
+    out = str(tmp_path / "conv")
+    written = tools.convert(path, out, formats=["hdf5", "npz", "uvfits",
+                                                "uvh5"])
+    assert len(written) == 4
+    for w in written:
+        assert os.path.exists(w)
+    back = load_hdf5(out + ".hdf5")
+    np.testing.assert_allclose(back.skyvis, vs.skyvis)
+
+
+def test_update_noise(tmp_path):
+    vs, path = _vs(tmp_path)
+    out = tools.update_noise(path, Tsys=400.0, seed=3)
+    assert out.vis is not None
+    np.testing.assert_allclose(out.vis - out.vis_noise, vs.skyvis,
+                               rtol=1e-6)
+    # doubled Tsys -> rms scales by ~2 vs Tsys=200 run
+    out2 = tools.update_noise(path, Tsys=200.0, seed=3)
+    np.testing.assert_allclose(out.vis_rms / out2.vis_rms, 2.0,
+                               rtol=1e-6)
+    back = load_hdf5(path)
+    assert back.vis is not None  # written in place
+
+
+def test_replicate_npz(tmp_path):
+    vs, path = _vs(tmp_path)
+    written = tools.replicate(path, str(tmp_path / "rep"), n_realize=3,
+                              fmt="npz")
+    with np.load(written[0]) as d:
+        assert d["vis"].shape == (3,) + vs.skyvis.shape
+        # distinct realizations
+        assert not np.allclose(d["noise"][0], d["noise"][1])
+        np.testing.assert_allclose(
+            d["vis"][0] - d["noise"][0], vs.skyvis, rtol=1e-6)
+
+
+def test_expand_redundant(tmp_path):
+    vs, path = _vs(tmp_path, redundant=True)
+    out_path = str(tmp_path / "full.hdf5")
+    out = tools.expand_redundant_file(path, out_path)
+    assert out.nbl == 6  # 4 antennas all-pairs
+    # redundant copies share the unique visibilities
+    lens = np.round(out.baseline_lengths, 6)
+    for L in np.unique(lens):
+        rows = np.where(lens == L)[0]
+        for r in rows[1:]:
+            np.testing.assert_allclose(out.skyvis[r],
+                                       out.skyvis[rows[0]])
+
+
+def test_ls_and_grep(tmp_path):
+    for name, layout in [("sim1", "HERA-19"), ("sim2", "HERA-37")]:
+        d = tmp_path / "proj" / name / "metainfo"
+        d.mkdir(parents=True)
+        with open(d / "simparms.yaml", "w") as f:
+            yaml.safe_dump({"array": {"layout": layout},
+                            "bandpass": {"nchan": 64}}, f)
+    res = tools.list_sims(str(tmp_path / "proj"))
+    assert res["sims"] == ["sim1", "sim2"]
+    assert "array.layout" in res["diffs"]
+    assert "bandpass.nchan" not in res["diffs"]
+    hits = tools.grep_sims(str(tmp_path / "proj"),
+                           **{"array.layout": "HERA-37"})
+    assert hits == ["sim2"]
+
+
+def test_feko_to_healpix(tmp_path):
+    # synthesize a FEKO-like theta/phi grid of a cos^2(theta) beam
+    lines = ["# header", "* comment"]
+    for th in range(0, 181, 5):
+        for ph in range(0, 360, 5):
+            e = np.cos(np.radians(th)) if th <= 90 else 0.0
+            lines.append("%g %g %g 0 0 0" % (th, ph, e))
+    infile = str(tmp_path / "feko.txt")
+    with open(infile, "w") as f:
+        f.write("\n".join(lines))
+    outfile = str(tmp_path / "beam.hdf5")
+    hmap = tools.feko_to_healpix(infile, outfile, nside=16)
+    from prisim_tpu import healpix as hp
+    assert hmap.size == hp.nside2npix(16)
+    assert hmap.max() == 1.0
+    # zenith pixel ~1, horizon ~0
+    t, _ = hp.pix2ang(16, np.arange(hmap.size))
+    assert hmap[np.argmin(t)] > 0.9
+    assert hmap[np.argmin(np.abs(t - np.pi / 2))] < 0.05
+    import h5py
+    with h5py.File(outfile) as f:
+        assert f["beam"].attrs["nside"] == 16
