@@ -95,6 +95,17 @@ def build_schedule(parms, latitude):
     lst = (lst_init + SIDEREAL_DEG_PER_SEC * t_acc *
            (np.arange(n_acc) + 0.5)) % 360.0
     jd = jd_init + t_acc * (np.arange(n_acc) + 0.5) / 86400.0
+    if pt.get("file"):
+        # pointing file: text columns (lst_deg, alt, az), one row per
+        # accumulation (run_prisim.py pointing-file branch :576-660)
+        data = np.atleast_2d(np.genfromtxt(pt["file"], comments="#"))
+        lst = data[:, 0]
+        n_acc = lst.size
+        jd = jd_init + t_acc * (np.arange(n_acc) + 0.5) / 86400.0
+        obs = Observation(lst_deg=lst, jd=jd,
+                          t_acc=np.full(n_acc, t_acc),
+                          pointing_altaz=data[:, 1:3], mode="file")
+        return _apply_snapshot_selection(obs, parms)
     mode = op.get("obs_mode", "drift")
     if mode == "drift":
         di = pt.get("drift_init") or {}
@@ -117,8 +128,37 @@ def build_schedule(parms, latitude):
         altaz = geom.hadec2altaz(hadec, latitude, xp=np)
     else:
         raise ValueError("obs_mode must be 'drift' or 'track'")
-    return Observation(lst_deg=lst, jd=jd, t_acc=np.full(n_acc, t_acc),
-                       pointing_altaz=altaz, mode=mode)
+    obs = Observation(lst_deg=lst, jd=jd, t_acc=np.full(n_acc, t_acc),
+                      pointing_altaz=altaz, mode=mode)
+    return _apply_snapshot_selection(obs, parms)
+
+
+def _apply_snapshot_selection(obs, parms):
+    """snapshot.pick / snapshot.range / snapshot.avg_drifts
+    (run_prisim.py snapshot section; defaultparms.yaml 'snapshot')."""
+    sn = parms.get("snapshot") or {}
+    idx = None
+    if sn.get("pick") is not None:
+        idx = np.atleast_1d(np.asarray(sn["pick"], dtype=int))
+    elif sn.get("range") is not None:
+        lo, hi = sn["range"]
+        idx = np.arange(int(lo), int(hi))
+    if idx is not None:
+        obs = Observation(lst_deg=obs.lst_deg[idx], jd=obs.jd[idx],
+                          t_acc=obs.t_acc[idx],
+                          pointing_altaz=obs.pointing_altaz[idx],
+                          mode=obs.mode)
+    if sn.get("avg_drifts"):
+        # collapse all drift snapshots to their mean epoch with the
+        # total accumulation time (snapshot.avg_drifts semantics)
+        obs = Observation(
+            lst_deg=np.asarray([obs.lst_deg.mean()]),
+            jd=np.asarray([obs.jd.mean()]),
+            t_acc=np.asarray([obs.t_acc.sum()]),
+            pointing_altaz=obs.pointing_altaz.mean(axis=0,
+                                                   keepdims=True),
+            mode=obs.mode)
+    return obs
 
 
 def build_sky(parms, freqs):
@@ -207,6 +247,14 @@ def _bandpass_weights(parms, nbl, freqs, n_acc):
     from . import windows as win
     nchan = freqs.size
     bp = np.ones((nbl, nchan, n_acc))
+    pfb = (parms.get("bandpass") or {}).get("pfb_method")
+    if pfb is not None:
+        # analytic PFB scalloping (stand-in for the empirical MWA
+        # table, run_prisim.py:911-925); bp_correct divides it back out
+        ccw = int(parms["processing"].get("coarse_channel_width") or 16)
+        shape1d = win.pfb_shape(nchan, ccw)
+        if not parms["processing"].get("bp_correct", True):
+            bp *= shape1d[None, :, None]
     fl = parms.get("flags") or {}
     n_edge = fl.get("n_edge_flag") or [0, 0]
     if n_edge[0]:
@@ -234,7 +282,8 @@ def _bandpass_weights(parms, nbl, freqs, n_acc):
     return bp, wts
 
 
-def run_simulation(parms, outdir=None, verbose=True, save=True):
+def run_simulation(parms, outdir=None, verbose=True, save=True,
+                   _sky_override=None):
     """Run a full simulation from a parameter source (path/str/dict).
 
     Returns (VisibilitySet, output_dir or None)."""
@@ -254,7 +303,35 @@ def run_simulation(parms, outdir=None, verbose=True, save=True):
                           direction_deg=blp.get("direction"))
     freqs = build_frequencies(parms)
     obs = build_schedule(parms, lat)
-    sky = build_sky(parms, freqs)
+    sky = _sky_override if _sky_override is not None \
+        else build_sky(parms, freqs)
+
+    n_sectors = int(parms["processing"].get("n_sky_sectors") or 1)
+    if _sky_override is not None:
+        n_sectors = 1
+    if n_sectors > 1:
+        # azimuthal sky sectors simulated as separate outputs
+        # (run_prisim.py:1859-1875). Sectors are hour-angle wedges at the
+        # scan's mean LST (static partition; the reference re-sections
+        # per snapshot via the ROI).
+        ha = (np.mean(obs.lst_deg) - sky.location[:, 0]) % 360.0
+        which = np.floor(ha / (360.0 / n_sectors)).astype(int)
+        outs = []
+        import copy as _copy
+        for k in range(n_sectors):
+            sub = sky.subset(np.where(which == k)[0])
+            if sub.nsrc == 0:
+                outs.append(None)
+                continue
+            p2 = _copy.deepcopy(parms)
+            p2["processing"]["n_sky_sectors"] = 1
+            if p2["dirstruct"].get("simid"):
+                p2["dirstruct"]["simid"] += "_sector%d" % k
+            outs.append(run_simulation(
+                p2, outdir=None if outdir is None
+                else outdir + "_sector%d" % k,
+                verbose=verbose, save=save, _sky_override=sub)[0])
+        return outs, outdir
 
     telescope = {
         "id": tp.get("id", "custom"),
@@ -286,10 +363,35 @@ def run_simulation(parms, outdir=None, verbose=True, save=True):
         print("[prisim_tpu] %d bl x %d chan x %d acc, %d sources"
               % (bls.nbl, freqs.size, obs.n_acc, sks.flux.shape[0]))
     grad = parms["processing"].get("gradient_mode")
-    out = simulate_drift(
-        inst, sks, obs, beam_fn,
-        src_block=int(parms["processing"].get("src_block") or 512),
-        gradient=bool(grad))
+    src_block = int(parms["processing"].get("src_block") or 512)
+    out = None
+    pp = parms.get("pp") or {}
+    ndev = len(jax.devices())
+    if ndev > 1 and not grad and sks.src_shape_sigma is None:
+        # multi-chip: the reference's MPI decompositions map onto one
+        # jax mesh (SURVEY.md section 2.7; run_prisim.py:1749-2210).
+        from .parallel.mesh import (make_mesh, simulate_drift_sharded,
+                                    simulate_drift_src_sharded)
+        key = (pp.get("key") or "freq").lower()
+        axes = pp.get("mesh_axes")
+        if key == "src":
+            mesh = make_mesh(axis_names=("bl", "chan", "src"),
+                             shape=tuple(axes) if axes else (1, 1, ndev))
+            out = simulate_drift_src_sharded(inst, sks, obs, beam_fn,
+                                             mesh, src_block=src_block)
+        else:
+            if axes:
+                shape = tuple(axes)
+            elif key == "freq":
+                shape = (1, ndev)
+            else:                                    # 'bl'
+                shape = (ndev, 1)
+            mesh = make_mesh(axis_names=("bl", "chan"), shape=shape)
+            out = simulate_drift_sharded(inst, sks, obs, beam_fn, mesh,
+                                         src_block=src_block)
+    if out is None:
+        out = simulate_drift(inst, sks, obs, beam_fn,
+                             src_block=src_block, gradient=bool(grad))
     gradients = None
     if grad:
         vis_tbc, grad_tbc = out

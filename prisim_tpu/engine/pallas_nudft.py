@@ -73,8 +73,10 @@ def _kernel(seh_ref, sel_ref, blh_ref, bll_ref, amps_ref, scal_ref,
     p0h, p0l = tf.df_frac(*tf.df_mul(kh, kl, g0h, g0l), xp=jnp)
     dh, dl = tf.df_frac(*tf.df_mul(kh, kl, gdh, gdl), xp=jnp)
 
-    # W phasor table over the fast channel index r = 0..L-1: (ST, BT, L)
-    r = jax.lax.broadcasted_iota(jnp.float32, (ST, BT, L), 2)
+    # W phasor table over the fast channel index r = 0..L-1: (ST, BT, L).
+    # Mosaic requires integer iota; convert after.
+    r = jax.lax.broadcasted_iota(jnp.int32, (ST, BT, L), 2) \
+        .astype(jnp.float32)
     wh, we = tf.two_prod(dh[:, :, None], r)
     wfh, wfl = tf.df_frac(wh, we + dl[:, :, None] * r, xp=jnp)
     wang = jnp.float32(_TWO_PI) * (wfh + wfl)

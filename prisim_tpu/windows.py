@@ -134,3 +134,29 @@ def downsample_fourier(arr, n_out, axis=0, xp=jnp):
                              axis=axis)
     out = xp.fft.fftshift(xp.fft.ifft(spec_ds, axis=axis), axes=axis)
     return out * (n_out / n_in)
+
+
+def pfb_shape(nchan, coarse_channel_width=16, ntaps=8, xp=np):
+    """Analytic polyphase-filter-bank bandpass shape (peak ~1).
+
+    Stand-in for the reference's empirical MWA PFB table
+    (DSP.PFB_empirical / MWA_pfb_512x8.fits, used at
+    /root/reference/scripts/run_prisim.py:911-925): each coarse channel
+    of `coarse_channel_width` fine channels carries the magnitude
+    response of an ntaps-tap sinc-Hamming prototype filter, giving the
+    characteristic scalloped bandpass with minima at coarse-channel
+    edges."""
+    W = int(coarse_channel_width)
+    # prototype filter: ntaps*W sinc taps windowed by Hamming
+    n = ntaps * W
+    t = (np.arange(n) - (n - 1) / 2.0) / W
+    proto = np.sinc(t) * np.hamming(n)
+    # response across one coarse channel: |H(f)| at W fine offsets
+    # f in [-1/2, 1/2) coarse-channel units
+    f = (np.arange(W) - W / 2.0 + 0.5) / W
+    ph = np.exp(-2j * np.pi * np.outer(f, np.arange(n) / W))
+    resp = np.abs(ph @ proto)
+    resp = resp / resp.max()
+    reps = -(-nchan // W)
+    full = np.tile(resp, reps)[:nchan]
+    return full if xp is np else xp.asarray(full, dtype=xp.float32)

@@ -1,0 +1,130 @@
+"""Aux components: antenna_power, aperture synthesis uvw, PFB shape,
+snapshot selection, pointing file, sky sectors."""
+
+import numpy as np
+import pytest
+
+from prisim_tpu.engine.power import antenna_power
+from prisim_tpu.aperture_synthesis import gen_uvw, reorder_uvw, uvw_grid
+from prisim_tpu.skymodel import SkyModel
+from prisim_tpu.windows import pfb_shape
+from prisim_tpu.config import load_parms
+from prisim_tpu.driver import build_schedule, run_simulation
+from prisim_tpu import constants as CNST
+
+
+def test_antenna_power_uniform_beam_equals_mean_flux():
+    import jax.numpy as jnp
+    sm = SkyModel(location=np.asarray([[10.0, -30.0], [200.0, -31.0]]),
+                  spec_kind="power-law",
+                  spec_parms={"flux-scale": np.asarray([4.0, 8.0]),
+                              "freq-ref": np.full(2, 150e6),
+                              "power-law-index": np.zeros(2)})
+    freqs = np.asarray([150e6, 160e6])
+    beam = lambda d, f: jnp.ones((d.shape[0], f.shape[0]), jnp.float32)
+    # at lst=10 only the first source (ra=10) is near zenith; the second
+    # (ra=200) is below the horizon at lat=-30.7
+    p = antenna_power(sm, freqs, [10.0], -30.7, beam)
+    np.testing.assert_allclose(p[0], 4.0, rtol=1e-6)
+    # lst=205: both? source1 at ha=195 -> below horizon; source2 visible
+    p2 = antenna_power(sm, freqs, [200.0], -30.7, beam)
+    np.testing.assert_allclose(p2[0], 8.0, rtol=1e-6)
+
+
+def test_gen_uvw_zenith():
+    bl = np.asarray([[100.0, 0.0, 0.0], [0.0, 50.0, 0.0]])
+    lat = -30.7
+    # phase center at zenith: hadec = (0, lat)
+    uvw = gen_uvw(bl, lat, [10.0], np.asarray([[0.0, lat]]), "hadec")
+    assert uvw.shape == (2, 3, 1)
+    # East baseline at zenith phase center: u = |b|, w = 0
+    np.testing.assert_allclose(uvw[0, :, 0], [100.0, 0.0, 0.0],
+                               atol=1e-9)
+    np.testing.assert_allclose(uvw[1, :, 0], [0.0, 50.0, 0.0],
+                               atol=1e-9)
+
+
+def test_gen_uvw_wavelengths_and_grid():
+    bl = np.asarray([[100.0, 0.0, 0.0]])
+    freqs = np.asarray([150e6, 300e6])
+    uvw_m, uvw_l = gen_uvw(bl, -30.7, [0.0],
+                           np.asarray([[0.0, -30.7]]), "hadec",
+                           freqs=freqs)
+    wl = CNST.c / freqs
+    np.testing.assert_allclose(uvw_l[0, 0, :, 0], 100.0 / wl, rtol=1e-12)
+    flat = reorder_uvw(uvw_l)
+    assert flat.shape == (3, 2)
+    grid = uvw_grid(uvw_l, spacing=0.5, pow2=True)
+    assert all(np.log2(len(grid[k])) % 1 == 0 for k in "uvw")
+
+
+def test_pfb_shape_properties():
+    s = pfb_shape(128, 16)
+    assert s.shape == (128,)
+    assert s.max() == 1.0
+    # periodic over coarse channels
+    np.testing.assert_allclose(s[:16], s[16:32], rtol=1e-12)
+    # scalloped: edges lower than centers
+    assert s[0] < s[8]
+
+
+def _base_parms(extra=None):
+    d = {"bandpass": {"nchan": 8, "freq": 155e6,
+                      "freq_resolution": 195312.5},
+         "array": {"layout": "HERA-7"},
+         "obsparm": {"n_acc": 4, "t_acc": 60.0},
+         "skyparm": {"model": "random", "nsrc": 16, "seed": 2}}
+    if extra:
+        for k, v in extra.items():
+            d.setdefault(k, {}).update(v)
+    return load_parms(d)
+
+
+def test_snapshot_pick_and_range():
+    p = _base_parms({"snapshot": {"pick": [0, 2], "all": False}})
+    obs = build_schedule(p, -30.7)
+    assert obs.n_acc == 2
+    p = _base_parms({"snapshot": {"range": [1, 4], "all": False}})
+    obs = build_schedule(p, -30.7)
+    assert obs.n_acc == 3
+
+
+def test_snapshot_avg_drifts():
+    p = _base_parms({"snapshot": {"avg_drifts": True}})
+    obs = build_schedule(p, -30.7)
+    assert obs.n_acc == 1
+    np.testing.assert_allclose(obs.t_acc[0], 240.0)
+
+
+def test_pointing_file(tmp_path):
+    pf = str(tmp_path / "pointing.txt")
+    np.savetxt(pf, np.asarray([[10.0, 90.0, 270.0],
+                               [11.0, 85.0, 90.0]]))
+    p = _base_parms({"pointing": {"file": pf}})
+    obs = build_schedule(p, -30.7)
+    assert obs.n_acc == 2
+    np.testing.assert_allclose(obs.lst_deg, [10.0, 11.0])
+    np.testing.assert_allclose(obs.pointing_altaz[1], [85.0, 90.0])
+
+
+def test_sky_sectors(tmp_path):
+    p = _base_parms({"processing": {"n_sky_sectors": 2},
+                     "skyparm": {"nsrc": 64}})
+    outs, _ = run_simulation(p, verbose=False, save=False)
+    assert isinstance(outs, list) and len(outs) == 2
+    present = [o for o in outs if o is not None]
+    assert len(present) >= 1
+    # sector sims are over the same baseline set
+    p1 = _base_parms()
+    full, _ = run_simulation(p1, verbose=False, save=False)
+    for o in present:
+        assert o.skyvis.shape == full.skyvis.shape
+
+
+def test_pfb_bandpass_in_driver():
+    p = _base_parms({"bandpass": {"pfb_method": "analytic", "nchan": 32},
+                     "processing": {"bp_correct": False,
+                                    "coarse_channel_width": 16}})
+    vs, _ = run_simulation(p, verbose=False, save=False)
+    bp1 = np.asarray(vs.bp)[0, :, 0]
+    assert bp1.max() == 1.0 and bp1.min() < 0.9

@@ -1,0 +1,40 @@
+"""Driver multi-chip dispatch: on the 8-device CPU mesh (conftest), the
+pp.key config must route through shard_map and agree with single-device
+results."""
+
+import numpy as np
+import pytest
+
+from prisim_tpu.config import load_parms
+from prisim_tpu.driver import run_simulation
+
+
+def _parms(key, mesh_axes=None):
+    return load_parms({
+        "bandpass": {"nchan": 16, "freq": 155e6,
+                     "freq_resolution": 195312.5},
+        "array": {"layout": "HERA-7"},
+        "obsparm": {"n_acc": 2, "t_acc": 60.0},
+        "skyparm": {"model": "random", "nsrc": 32, "seed": 4},
+        "pp": {"key": key, "mesh_axes": mesh_axes},
+    })
+
+
+@pytest.mark.parametrize("key,axes", [
+    ("freq", None), ("bl", None), ("src", None), ("freq", [2, 4]),
+])
+def test_driver_mesh_matches_reference_key(key, axes):
+    import jax
+    assert len(jax.devices()) == 8
+    vs, _ = run_simulation(_parms(key, axes), verbose=False, save=False)
+    # golden: force the single-device path by monkeypatching device count
+    parms = _parms(key, axes)
+    parms["pp"]["key"] = "freq"
+    import prisim_tpu.driver as D
+    import unittest.mock as mock
+    with mock.patch.object(jax, "devices",
+                           side_effect=lambda *a: [object()]):
+        vs1, _ = run_simulation(parms, verbose=False, save=False)
+    assert vs.skyvis.shape == vs1.skyvis.shape
+    scale = np.abs(vs1.skyvis).max()
+    assert np.abs(vs.skyvis - vs1.skyvis).max() / scale < 5e-6
