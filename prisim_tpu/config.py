@@ -83,7 +83,7 @@ DEFAULT_PARMS = {
                    "store_prev_sky": True, "cleanup": 3,
                    "src_block": 512},
     "pp": {"key": "freq", "eqvol": True, "method": "pool",
-           "mesh_axes": None},
+           "mesh_axes": None, "n_chunks": 1},
     "flags": {"flag_chan": -1, "bp_flag_repeat": False,
               "n_edge_flag": [0, 0],
               "flag_repeat_edge_channels": False},

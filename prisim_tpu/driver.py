@@ -500,9 +500,84 @@ def main(argv=None):
     p.add_argument("-o", "--outdir", default=None)
     p.add_argument("-q", "--quiet", action="store_true")
     args = p.parse_args(argv)
-    run_simulation(args.infile, outdir=args.outdir,
-                   verbose=not args.quiet)
+    parms = load_parms(args.infile)
+    if int((parms.get("pp") or {}).get("n_chunks") or 1) > 1:
+        run_simulation_chunked(parms, outdir=args.outdir,
+                               verbose=not args.quiet)
+    else:
+        run_simulation(parms, outdir=args.outdir,
+                       verbose=not args.quiet)
 
 
 if __name__ == "__main__":
     main()
+
+
+def run_simulation_chunked(parms, outdir=None, verbose=True):
+    """Chunked execution with checkpoint/resume.
+
+    The reference writes per-chunk ``simdata/_part_N`` files and
+    concatenates on rank 0 (run_prisim.py:1995,2224-2287), which doubles
+    as crash recovery. Here: split the accumulation axis (pp.key
+    'freq': the channel axis) into pp.n_chunks pieces, simulate each to
+    ``simdata/_part_i.hdf5`` — skipping parts that already exist
+    (RESUME) — then concatenate, save the final products, and apply
+    processing.cleanup (>=1 removes part files;
+    defaultparms.yaml:920-933 semantics)."""
+    from .io import save_hdf5, load_hdf5
+    from .vis import concatenate
+    if not isinstance(parms, dict) or "telescope" not in parms:
+        parms = load_parms(parms)
+    pp = parms.get("pp") or {}
+    n_chunks = int(pp.get("n_chunks") or 1)
+    if n_chunks <= 1:
+        return run_simulation(parms, outdir=outdir, verbose=verbose)
+    ds = parms["dirstruct"]
+    if outdir is None:
+        simid = ds.get("simid") or time.strftime("sim_%Y%m%d_%H%M%S")
+        outdir = os.path.join(ds.get("rootdir") or "./",
+                              ds.get("project") or "prisim_tpu", simid)
+    os.makedirs(os.path.join(outdir, "simdata"), exist_ok=True)
+    key = (pp.get("key") or "freq").lower()
+    axis = 1 if key == "freq" else 2
+    import copy as _copy
+    parts = []
+    for i in range(n_chunks):
+        part_path = os.path.join(outdir, "simdata",
+                                 "_part_%d.hdf5" % i)
+        if os.path.exists(part_path):
+            if verbose:
+                print("[prisim_tpu] resume: part %d exists, skipping" % i)
+            parts.append(part_path)
+            continue
+        p2 = _copy.deepcopy(parms)
+        p2["pp"]["n_chunks"] = 1
+        if axis == 1:
+            nchan = int(parms["bandpass"]["nchan"])
+            df = float(parms["bandpass"]["freq_resolution"])
+            f_center = float(parms["bandpass"]["freq"])
+            f_lo = f_center + df * (-nchan / 2)
+            edges = np.linspace(0, nchan, n_chunks + 1).astype(int)
+            nloc = int(edges[i + 1] - edges[i])
+            p2["bandpass"]["nchan"] = nloc
+            p2["bandpass"]["freq"] = f_lo + df * (edges[i] + nloc / 2)
+        else:
+            n_acc = int(parms["obsparm"]["n_acc"])
+            edges = np.linspace(0, n_acc, n_chunks + 1).astype(int)
+            p2["obsparm"]["n_acc"] = n_acc     # schedule then pick
+            p2["snapshot"]["pick"] = list(range(int(edges[i]),
+                                                int(edges[i + 1])))
+            p2["snapshot"]["all"] = False
+        vs_i, _ = run_simulation(p2, verbose=False, save=False)
+        save_hdf5(vs_i, part_path)
+        parts.append(part_path)
+        if verbose:
+            print("[prisim_tpu] chunk %d/%d -> %s"
+                  % (i + 1, n_chunks, part_path))
+    vs = concatenate([load_hdf5(p) for p in parts], axis)
+    outpath = _save_products(vs, parms, outdir)
+    cleanup = int(parms["processing"].get("cleanup") or 0)
+    if cleanup >= 1:
+        for p in parts:
+            os.remove(p)
+    return vs, outpath
