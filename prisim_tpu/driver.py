@@ -509,8 +509,6 @@ def main(argv=None):
                        verbose=not args.quiet)
 
 
-if __name__ == "__main__":
-    main()
 
 
 def run_simulation_chunked(parms, outdir=None, verbose=True):
@@ -581,3 +579,7 @@ def run_simulation_chunked(parms, outdir=None, verbose=True):
         for p in parts:
             os.remove(p)
     return vs, outpath
+
+
+if __name__ == "__main__":
+    main()
