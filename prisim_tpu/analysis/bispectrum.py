@@ -307,3 +307,111 @@ def kbin_average(kprll, P, kbins=None, num_kbins=None, kbintype="log"):
             if np.any(sel):
                 out[w, ..., b] = np.mean(P[w][..., sel], axis=-1)
     return dict(kbin_edges=kbins, kbin_centers=centers, P_kbin=out)
+
+
+def cross_power_diagonal(ft, axis_values, axis=1, offsets=(0, 1),
+                         beam_omega_bw=None, cosmo=cosmo100):
+    """Cross power spectra along covariance diagonals of one axis.
+
+    The reference's compute_power_spectrum collapse_axes machinery
+    (bispectrum_phase.py:3350-3604 with OPS.array_trace): for each
+    offset m, average d[i] * conj(d[i+m]) over all valid i along `axis`
+    of the dspec cube (nwin, nlst, ndays, ntriads, nlag). Cross-products
+    at offset m > 0 suppress noise (it decorrelates) while the signal
+    (coherent across neighboring LSTs/days) remains.
+
+    ft: dict from cpds_ft; axis: which dspec axis to trace (1=lst,
+    2=day, 3=triad); axis_values: coordinate array for that axis.
+    Returns dict(P (noffsets, nwin, ..., nlag) with the traced axis
+    removed, offsets, axis_offsets (coordinate lags), nsamples)."""
+    d = ft["dspec"]
+    n = d.shape[axis]
+    ps0 = cross_power_spectrum(ft, ft, beam_omega_bw=beam_omega_bw,
+                               cosmo=cosmo)
+    outs, nsamp, coord = [], [], []
+    for m in offsets:
+        if m >= n:
+            continue
+        sl_a = [slice(None)] * d.ndim
+        sl_b = [slice(None)] * d.ndim
+        sl_a[axis] = slice(0, n - m)
+        sl_b[axis] = slice(m, n)
+        prod = d[tuple(sl_a)] * np.conj(d[tuple(sl_b)])
+        P = prod.mean(axis=axis) * ps0["factor"].reshape(
+            (-1,) + (1,) * (d.ndim - 2))
+        outs.append(P)
+        nsamp.append(n - m)
+        av = np.asarray(axis_values)
+        coord.append(float(np.mean(av[m:] - av[:n - m])) if n - m > 0
+                     else np.nan)
+    return dict(P=np.stack(outs), offsets=np.asarray(offsets[:len(outs)]),
+                axis_offsets=np.asarray(coord),
+                nsamples=np.asarray(nsamp), kprll=ps0["kprll"],
+                z=ps0["z"], lags=ps0["lags"])
+
+
+def incoherent_average(ps_list, weights=None):
+    """Weighted incoherent (nan-aware) average of power spectra across
+    realizations (incoherent_cross_power_spectrum_average,
+    bispectrum_phase.py:806-1234). ps_list: list of arrays of one
+    shape; weights: matching list (default: nsamples=1 each)."""
+    arr = np.stack([np.asarray(p) for p in ps_list])
+    if weights is None:
+        w = np.ones(arr.shape[0])
+    else:
+        w = np.asarray(weights, dtype=np.float64)
+    wshape = (arr.shape[0],) + (1,) * (arr.ndim - 1)
+    w = w.reshape(wshape) if w.ndim == 1 else w
+    num = np.nansum(arr * w, axis=0)
+    den = np.nansum(np.broadcast_to(w, arr.shape)
+                    * ~np.isnan(arr), axis=0)
+    return num / np.where(den > 0, den, 1.0)
+
+
+def _dict_to_hdf5(group, d):
+    for k, v in d.items():
+        key = str(k)
+        if isinstance(v, dict):
+            _dict_to_hdf5(group.create_group(key), v)
+        elif v is None:
+            group.attrs[key] = "__none__"
+        elif np.isscalar(v) or isinstance(v, str):
+            group.attrs[key] = v
+        else:
+            arr = np.asarray(v)
+            if arr.dtype.kind in "UO":
+                arr = np.char.encode(arr.astype(str))
+            group[key] = arr
+
+
+def _hdf5_to_dict(group):
+    out = {}
+    for k, v in group.attrs.items():
+        out[k] = None if (isinstance(v, str) and v == "__none__") else v
+    for k in group:
+        node = group[k]
+        if hasattr(node, "keys"):
+            out[k] = _hdf5_to_dict(node)
+        else:
+            arr = node[()]
+            if getattr(arr, "dtype", None) is not None and \
+                    arr.dtype.kind == "S":
+                arr = np.char.decode(arr)
+            out[k] = arr
+    return out
+
+
+def save_xcpdps(ps, path):
+    """Save a (nested dict) cross power spectrum product to HDF5
+    (save_CPhase_cross_power_spectrum, bispectrum_phase.py:471-631)."""
+    import h5py
+    with h5py.File(path, "w") as f:
+        _dict_to_hdf5(f, ps)
+
+
+def read_xcpdps(path):
+    """Read back an HDF5 cross power spectrum product
+    (read_CPhase_cross_power_spectrum, bispectrum_phase.py:632-805)."""
+    import h5py
+    with h5py.File(path, "r") as f:
+        return _hdf5_to_dict(f)

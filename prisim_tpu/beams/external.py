@@ -64,7 +64,8 @@ class ExternalBeam:
         import h5py
         with h5py.File(path, "r") as f:
             maps = np.asarray(f["beam"])
-            freqs = np.asarray(f["freqs"])
+            freqs = (np.asarray(f["freqs"]) if "freqs" in f
+                     else np.asarray([150e6]))
         return cls(maps, freqs, **kw)
 
     def evaluate(self, altaz_deg, channels, chromatic=True,

@@ -291,6 +291,27 @@ def run_simulation(parms, outdir=None, verbose=True, save=True,
     if not isinstance(parms, dict) or "telescope" not in parms:
         parms = load_parms(parms)
     t0 = time.time()
+    monitor = None
+    if (parms.get("diagnosis") or {}).get("resource_monitor"):
+        from .diagnostics import ResourceMonitor
+        ds = parms["dirstruct"]
+        mon_path = os.path.join(ds.get("rootdir") or "./",
+                                "resource_monitor.jsonl")
+        monitor = ResourceMonitor(
+            mon_path, interval=float(
+                (parms["diagnosis"].get("refresh_interval") or 1.0)))
+        monitor.start()
+    try:
+        return _run_simulation_inner(parms, outdir, verbose, save,
+                                     _sky_override, t0)
+    finally:
+        if monitor is not None:
+            monitor.stop()
+
+
+def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
+                          t0):
+    import jax
     tp = parms["telescope"]
     lat = float(tp["latitude"])
     layout = build_layout(parms)
@@ -359,6 +380,47 @@ def run_simulation(parms, outdir=None, verbose=True, save=True,
     def beam_fn(dircos, f):
         return primary_beam(dircos, f, telescope)
 
+    bm = parms.get("beam") or {}
+    if bm.get("use_external") and bm.get("file"):
+        # external HEALPix beam: host-side log-interp per snapshot
+        # (run_prisim.py:1897-1912) feeding precomputed amps to the
+        # jit NUDFT — the beam table stays out of the traced graph.
+        from .beams.external import ExternalBeam
+        ext = (ExternalBeam.from_hdf5(bm["file"])
+               if not str(bm["file"]).endswith((".fits", ".uvbeam"))
+               else ExternalBeam.from_fits(bm["file"]))
+        vis_list = []
+        import jax.numpy as jnp
+        from . import twofloat as tf2
+        from .engine.observe import df_rotate3, simulate_snapshot
+        Mh_all, Ml_all = obs.rotations(lat)
+        pch, pcl = tf2.split_f64(obs.pc_dircos())
+        for t in range(obs.n_acc):
+            sh, _ = df_rotate3(jnp.asarray(Mh_all[t]),
+                               jnp.asarray(Ml_all[t]),
+                               sks.s_eq_hi, sks.s_eq_lo)
+            sh_np = np.asarray(sh, dtype=np.float64)
+            altaz = geom.dircos2altaz(
+                np.clip(sh_np, -1.0, 1.0), xp=np)
+            pb = ext.evaluate(altaz, freqs,
+                              chromatic=bool(bm.get("chromatic", True)),
+                              select_freq=bm.get("select_freq"))
+            pb_dev = jnp.asarray(pb, dtype=jnp.float32)
+            vis_list.append(np.asarray(simulate_snapshot(
+                inst, sks, jnp.asarray(Mh_all[t]), jnp.asarray(Ml_all[t]),
+                jnp.asarray(pch[t]), jnp.asarray(pcl[t]),
+                lambda s, f, pb_dev=pb_dev: pb_dev,
+                src_block=int(parms["processing"].get("src_block")
+                              or 512))))
+        skyvis = np.ascontiguousarray(
+            np.transpose(np.stack(vis_list), (1, 2, 0)))
+        gradients = None
+        return _finalize_simulation(parms, vs_inputs=dict(
+            bls=bls, freqs=freqs, obs=obs, layout=layout,
+            telescope=telescope, skyvis=skyvis, gradients=None,
+            lat=lat, tp=tp), outdir=outdir, verbose=verbose, save=save,
+            t0=t0)
+
     if verbose:
         print("[prisim_tpu] %d bl x %d chan x %d acc, %d sources"
               % (bls.nbl, freqs.size, obs.n_acc, sks.flux.shape[0]))
@@ -402,6 +464,25 @@ def run_simulation(parms, outdir=None, verbose=True, save=True,
         vis_tbc = out
     skyvis = np.ascontiguousarray(
         np.transpose(np.asarray(vis_tbc), (1, 2, 0)))
+    return _finalize_simulation(parms, vs_inputs=dict(
+        bls=bls, freqs=freqs, obs=obs, layout=layout,
+        telescope=telescope, skyvis=skyvis, gradients=gradients,
+        lat=lat, tp=tp), outdir=outdir, verbose=verbose, save=save,
+        t0=t0)
+
+
+def _finalize_simulation(parms, vs_inputs, outdir, verbose, save, t0):
+    """Shared tail of run_simulation: noise, gains, container, phasing,
+    projection, optional delay transform, save."""
+    bls = vs_inputs["bls"]
+    freqs = vs_inputs["freqs"]
+    obs = vs_inputs["obs"]
+    layout = vs_inputs["layout"]
+    telescope = vs_inputs["telescope"]
+    skyvis = vs_inputs["skyvis"]
+    gradients = vs_inputs["gradients"]
+    lat = vs_inputs["lat"]
+    tp = vs_inputs["tp"]
 
     # noise + gains
     tsys = build_tsys(parms, freqs, bls.nbl, obs.n_acc)

@@ -73,40 +73,45 @@ def _kernel(seh_ref, sel_ref, blh_ref, bll_ref, amps_ref, scal_ref,
     p0h, p0l = tf.df_frac(*tf.df_mul(kh, kl, g0h, g0l), xp=jnp)
     dh, dl = tf.df_frac(*tf.df_mul(kh, kl, gdh, gdl), xp=jnp)
 
-    # W phasor table over the fast channel index r = 0..L-1: (ST, BT, L).
-    # Mosaic requires integer iota; convert after.
-    r = jax.lax.broadcasted_iota(jnp.int32, (ST, BT, L), 2) \
+    # W phasor table over the fast channel index r = 0..L-1, laid out
+    # (ST, L, BT) so the 128-wide baseline tile fills the VPU lanes
+    # (L as the minor dim would use only L of 128 lanes). Mosaic
+    # requires integer iota; convert after.
+    r = jax.lax.broadcasted_iota(jnp.int32, (ST, L, BT), 1) \
         .astype(jnp.float32)
-    wh, we = tf.two_prod(dh[:, :, None], r)
-    wfh, wfl = tf.df_frac(wh, we + dl[:, :, None] * r, xp=jnp)
+    wh, we = tf.two_prod(dh[:, None, :], r)
+    wfh, wfl = tf.df_frac(wh, we + dl[:, None, :] * r, xp=jnp)
     wang = jnp.float32(_TWO_PI) * (wfh + wfl)
     Wc = jnp.cos(wang)
     Ws = -jnp.sin(wang)
 
-    # Static unroll over the Q coarse-channel groups: all channel slices
-    # are compile-time constants (dynamic lane-dim slicing is a common
-    # Mosaic rejection). The U-phasor cycle count is carried as a running
-    # two-float accumulator stepped by L*d per group — L is a power of 2
+    # fori_loop over the Q coarse-channel groups (a static unroll blows
+    # up the Mosaic MLIR and OOMs the compiler at Q=32). The output and
+    # amps refs are 3-D (B/S, Q, L) so the per-q store/load is a dynamic
+    # index on a LEADING (non-tiled) dimension, which Mosaic supports.
+    # The U-phasor cycle count is carried as a running two-float
+    # accumulator stepped by L*d per group — L is a power of 2
     # (choose_ql), so L*dh and L*dl are exact f32 multiplies and the
     # accumulation stays compensated with no constant-operand products
     # for the compiler to collapse.
     Ldh = dh * jnp.float32(L)
     Ldl = dl * jnp.float32(L)
-    A_all = amps_ref[:]                                  # (ST, Q*L)
-    th, tl = p0h, p0l
-    for q in range(Q):
+
+    def q_step(q, carry):
+        th, tl = carry
         ang = jnp.float32(_TWO_PI) * (th + tl)
-        uc = jnp.cos(ang)
+        uc = jnp.cos(ang)                                # (ST, BT)
         us = -jnp.sin(ang)
-        A = A_all[:, q * L:(q + 1) * L]                  # (ST, L)
-        Er = uc[:, :, None] * Wc - us[:, :, None] * Ws   # (ST, BT, L)
-        Ei = uc[:, :, None] * Ws + us[:, :, None] * Wc
-        vr = jnp.sum(A[:, None, :] * Er, axis=0)         # (BT, L)
-        vi = jnp.sum(A[:, None, :] * Ei, axis=0)
-        vr_ref[:, q * L:(q + 1) * L] += vr
-        vi_ref[:, q * L:(q + 1) * L] += vi
-        if q + 1 < Q:
-            th, tl = tf.df_frac(*tf.df_add(th, tl, Ldh, Ldl), xp=jnp)
+        A = amps_ref[:, q, :]                            # (ST, L)
+        Er = uc[:, None, :] * Wc - us[:, None, :] * Ws   # (ST, L, BT)
+        Ei = uc[:, None, :] * Ws + us[:, None, :] * Wc
+        vr = jnp.sum(A[:, :, None] * Er, axis=0)         # (L, BT)
+        vi = jnp.sum(A[:, :, None] * Ei, axis=0)
+        vr_ref[q] += vr
+        vi_ref[q] += vi
+        return tf.df_frac(*tf.df_add(th, tl, Ldh, Ldl), xp=jnp)
+
+    jax.lax.fori_loop(0, Q, q_step, (p0h, p0l))
 
 
 @functools.partial(jax.jit, static_argnames=("nchan", "src_tile",
@@ -148,8 +153,9 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
 
     grid = (B_pad // BT, S_pad // ST)
     kernel = functools.partial(_kernel, Q=Q, L=L, ST=ST, BT=BT)
-    out_shape = [jax.ShapeDtypeStruct((B_pad, C_pad), jnp.float32),
-                 jax.ShapeDtypeStruct((B_pad, C_pad), jnp.float32)]
+    amps_q = amps_p.reshape(S_pad, Q, L)
+    out_shape = [jax.ShapeDtypeStruct((Q, L, B_pad), jnp.float32),
+                 jax.ShapeDtypeStruct((Q, L, B_pad), jnp.float32)]
     vr, vi = pl.pallas_call(
         kernel,
         grid=grid,
@@ -162,15 +168,15 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BT, 3), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ST, C_pad), lambda i, j: (j, 0),
+            pl.BlockSpec((ST, Q, L), lambda i, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, ST, BT), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((BT, C_pad), lambda i, j: (i, 0),
+            pl.BlockSpec((Q, L, BT), lambda i, j: (0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BT, C_pad), lambda i, j: (i, 0),
+            pl.BlockSpec((Q, L, BT), lambda i, j: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=out_shape,
@@ -179,8 +185,10 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
             flops=10 * S_pad * B_pad * C_pad,
             bytes_accessed=4 * (S_pad * C_pad + 2 * B_pad * C_pad),
             transcendentals=2 * S_pad * B_pad * (Q + L)),
-    )(seh_p, sel_p, blh_p, bll_p, amps_p, scal)
-    return (vr + 1j * vi)[:B, :nchan]
+    )(seh_p, sel_p, blh_p, bll_p, amps_q, scal)
+    # (Q, L, B_pad) -> (B_pad, Q*L)
+    vis = jnp.transpose(vr + 1j * vi, (2, 0, 1)).reshape(B_pad, C_pad)
+    return vis[:B, :nchan]
 
 
 def nudft_auto(seh, sel, blh, bll, amps, grid_scalars, nchan, **kw):

@@ -128,3 +128,28 @@ def test_pfb_bandpass_in_driver():
     vs, _ = run_simulation(p, verbose=False, save=False)
     bp1 = np.asarray(vs.bp)[0, :, 0]
     assert bp1.max() == 1.0 and bp1.min() < 0.9
+
+
+def test_external_beam_driver(tmp_path):
+    import h5py
+    from prisim_tpu import healpix as hp
+    # chromatic HEALPix beam: cos^2 at 150 MHz, cos^4 at 160 MHz
+    nside = 16
+    npix = hp.nside2npix(nside)
+    t, _ = hp.pix2ang(nside, np.arange(npix))
+    cz = np.clip(np.cos(t), 0.0, None)
+    maps = np.stack([cz ** 2, cz ** 4], axis=-1)
+    bf = str(tmp_path / "beam.hdf5")
+    with h5py.File(bf, "w") as f:
+        f["beam"] = maps
+        f["freqs"] = np.asarray([150e6, 160e6])
+    p = _base_parms({"beam": {"use_external": True, "file": bf},
+                     "bandpass": {"nchan": 8, "freq": 155e6}})
+    vs, _ = run_simulation(p, verbose=False, save=False)
+    assert vs.skyvis.shape[0] == 9
+    assert np.isfinite(vs.skyvis).all()
+    assert np.abs(vs.skyvis).max() > 0
+    # external beam result differs from the analytic default beam
+    p2 = _base_parms({"bandpass": {"nchan": 8, "freq": 155e6}})
+    vs2, _ = run_simulation(p2, verbose=False, save=False)
+    assert not np.allclose(vs.skyvis, vs2.skyvis)

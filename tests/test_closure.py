@@ -178,3 +178,46 @@ def test_cpds_ft_and_cross_ps():
     kb = kbin_average(ps["kprll"], ps["P"], num_kbins=8)
     assert kb["P_kbin"].shape == (1, 6, 4, 3, 8)
     assert np.isfinite(kb["kbin_centers"]).all()
+
+
+def test_cross_power_diagonal_noise_suppression():
+    # pure-noise closure phases: offset-0 diagonal carries the noise
+    # power, offset-1 cross-products average toward zero
+    cpd = _random_cpd(nlst=24, ndays=1, ntri=2, nchan=32, seed=5)
+    from prisim_tpu.analysis.bispectrum import (cpds_ft,
+                                                cross_power_diagonal)
+    ft = cpds_ft(cpd.eicp, cpd.wts, cpd.freqs, freq_center=[152e6],
+                 bw_eff=2e6)
+    res = cross_power_diagonal(ft, cpd.lst, axis=1, offsets=(0, 1, 2))
+    assert res["P"].shape[0] == 3
+    p0 = np.abs(res["P"][0].real).mean()
+    p1 = np.abs(res["P"][1].real).mean()
+    assert p1 < 0.6 * p0
+    assert res["nsamples"].tolist() == [24, 23, 22]
+    assert res["axis_offsets"][1] == pytest.approx(
+        cpd.lst[1] - cpd.lst[0])
+
+
+def test_incoherent_average_and_xcpdps_io(tmp_path):
+    from prisim_tpu.analysis.bispectrum import (incoherent_average,
+                                                save_xcpdps, read_xcpdps)
+    rng = np.random.RandomState(0)
+    ps_list = [rng.randn(4, 8) for _ in range(5)]
+    ps_list[0][0, 0] = np.nan
+    avg = incoherent_average(ps_list, weights=[1, 2, 3, 4, 5])
+    manual = np.nansum([w * p for w, p in zip([1, 2, 3, 4, 5], ps_list)],
+                       axis=0)
+    wsum = np.sum([[w] for w in [1, 2, 3, 4, 5]])
+    assert np.isfinite(avg).all()
+    np.testing.assert_allclose(avg[1, 1], manual[1, 1] / 15.0)
+    # xcpdps round trip
+    ps = {"triads": np.asarray([["0", "1", "2"]]),
+          "lst": np.arange(3.0), "meta": {"z": 8.5, "note": "x"},
+          "P": avg}
+    path = str(tmp_path / "xcpdps.hdf5")
+    save_xcpdps(ps, path)
+    back = read_xcpdps(path)
+    np.testing.assert_allclose(back["P"], avg)
+    assert back["meta"]["z"] == 8.5
+    assert back["meta"]["note"] == "x"
+    assert list(back["triads"][0]) == ["0", "1", "2"]
