@@ -137,3 +137,38 @@ def delay_filter(cube, df, delay_max, mode="discard", freq_wts=None):
     keep = (~mask).astype(np.float64)
     spec = np.fft.fft(cube, axis=1)
     return np.fft.ifft(spec * keep[:, :, None], axis=1)
+
+
+def spectral_smooth(cube, window_size=5, mode="median", flag_chans=None,
+                    freqs=None):
+    """Spectral smoothing / flagged-channel repair of a visibility cube
+    (the specsmooth_info machinery of getClosurePhase,
+    /root/reference/prisim/interferometry.py:7485-7559 — op_type
+    'median' running median filter, 'interp' cubic interpolation across
+    flagged channels). cube: (n0, nchan, nacc) complex; axis 1 is
+    frequency."""
+    cube = np.asarray(cube)
+    if mode == "median":
+        from scipy.ndimage import median_filter
+        size = (1, int(window_size), 1)
+        return (median_filter(cube.real, size=size)
+                + 1j * median_filter(cube.imag, size=size))
+    if mode == "interp":
+        if flag_chans is None or np.size(flag_chans) == 0:
+            return cube.copy()
+        nchan = cube.shape[1]
+        x = np.arange(nchan) if freqs is None else np.asarray(freqs)
+        bad = np.zeros(nchan, dtype=bool)
+        bad[np.asarray(flag_chans, dtype=int)] = True
+        good = ~bad
+        from scipy.interpolate import interp1d
+        out = cube.copy()
+        fr = interp1d(x[good], cube[:, good, :].real, axis=1,
+                      kind="cubic", bounds_error=False,
+                      fill_value="extrapolate")
+        fi = interp1d(x[good], cube[:, good, :].imag, axis=1,
+                      kind="cubic", bounds_error=False,
+                      fill_value="extrapolate")
+        out[:, bad, :] = fr(x[bad]) + 1j * fi(x[bad])
+        return out
+    raise ValueError("mode must be 'median' or 'interp'")

@@ -201,6 +201,18 @@ def build_sky(parms, freqs):
             sm = sm.subset(np.where(flux >= float(fmin))[0])
     elif model in ("skymod_hdf5", "hdf5"):
         sm = SkyModel.load_hdf5(cat["skymod_file"])
+    elif model in ("hi_cube", "lidz", "21cmfast"):
+        # HI lightcone cube: npz with 'maps' (npix, nf) HEALPix
+        # brightness maps + 'freqs' (the reference reads Lidz/21cmFAST
+        # simulation cubes, run_prisim.py:1144-1258)
+        from .skymodel import healpix_diffuse_model
+        path = cat.get("spectrum_file") or cat.get("skymod_file")
+        if not path:
+            raise ValueError("catalog.spectrum_file required for HI cube")
+        with np.load(path) as d:
+            maps = d["maps"]
+            fmdl = d["freqs"]
+        sm = healpix_diffuse_model(maps, freqs_model=fmdl)
     elif model in ("usm", "hpx", "dsm", "gsm"):
         from .skymodel import healpix_diffuse_model
         from . import healpix as hp
@@ -327,6 +339,21 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
     sky = _sky_override if _sky_override is not None \
         else build_sky(parms, freqs)
 
+    roi = parms["skyparm"].get("roi_radius")
+    if roi is not None and _sky_override is None:
+        # restrict the catalog to sources within roi_radius degrees of
+        # the (mean-LST) pointing center (skyparm.roi_radius)
+        pc_altaz = build_schedule(parms, lat).pointing_altaz.mean(axis=0)
+        hadec = geom.altaz2hadec(pc_altaz.reshape(1, 2), lat, xp=np)
+        pc_ra = (np.mean(obs.lst_deg) - hadec[0, 0]) % 360.0
+        d = geom.sphdist(sky.location[:, 0], sky.location[:, 1],
+                         pc_ra, hadec[0, 1], xp=np)
+        sky = sky.subset(np.where(d <= float(roi))[0])
+        if sky.nsrc == 0:
+            raise ValueError(
+                "skyparm.roi_radius=%.1f deg leaves no sources in the "
+                "field of view" % float(roi))
+
     n_sectors = int(parms["processing"].get("n_sky_sectors") or 1)
     if _sky_override is not None:
         n_sectors = 1
@@ -377,8 +404,40 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
 
     from .beams.dispatch import primary_beam
 
+    pointing_info = None
+    if parms["antenna"].get("phased_array"):
+        # phased-array beamformer: element positions + per-element delay/
+        # gain errors (phasedarray section; primary_beam_generator's
+        # pointing_info path, /root/reference/prisim/primary_beams.py:
+        # 288-316)
+        pa = parms.get("phasedarray") or {}
+        if pa.get("file"):
+            from .layouts import parse_layout_file
+            elem = parse_layout_file(pa["file"], skip_rows=0)
+            telescope["element_locs"] = np.asarray(elem.positions)
+        else:
+            from .beams import mwa_tile_positions
+            telescope["element_locs"] = mwa_tile_positions()
+        pc0 = geom.altaz2dircos(obs.pointing_altaz[:1], xp=np)[0]
+        pointing_info = {
+            "pointing_center_dircos": tuple(pc0),
+            "delayerr": float(pa.get("delayerr") or 0.0),
+            "gainerr": float(pa.get("gainerr") or 0.0),
+            "nrand": int(pa.get("nrand") or 1)}
+
+    bm_cfg = parms.get("beam") or {}
+    achromatic = (bm_cfg.get("chromatic") is False)
+    sel_freq = float(bm_cfg.get("select_freq") or 150e6)
+
     def beam_fn(dircos, f):
-        return primary_beam(dircos, f, telescope)
+        if achromatic:
+            import jax.numpy as jnp
+            pb1 = primary_beam(dircos, jnp.asarray([sel_freq],
+                                                   jnp.float32),
+                               telescope, pointing_info=pointing_info)
+            return jnp.broadcast_to(pb1, (dircos.shape[0], f.shape[0]))
+        return primary_beam(dircos, f, telescope,
+                            pointing_info=pointing_info)
 
     bm = parms.get("beam") or {}
     if bm.get("use_external") and bm.get("file"):

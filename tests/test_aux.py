@@ -153,3 +153,64 @@ def test_external_beam_driver(tmp_path):
     p2 = _base_parms({"bandpass": {"nchan": 8, "freq": 155e6}})
     vs2, _ = run_simulation(p2, verbose=False, save=False)
     assert not np.allclose(vs.skyvis, vs2.skyvis)
+
+
+def test_phased_array_beam_driver():
+    p = _base_parms({"antenna": {"phased_array": True, "shape": "dipole",
+                                 "size": 0.74},
+                     "telescope": {"id": "mwa"},
+                     "phasedarray": {"delayerr": 0.0, "gainerr": 0.0,
+                                     "nrand": 1}})
+    vs, _ = run_simulation(p, verbose=False, save=False)
+    assert np.isfinite(vs.skyvis).all()
+    # beamformed tile differs from bare dipole
+    p2 = _base_parms({"antenna": {"shape": "dipole", "size": 0.74},
+                      "telescope": {"id": "mwa_dipole"}})
+    vs2, _ = run_simulation(p2, verbose=False, save=False)
+    assert not np.allclose(vs.skyvis, vs2.skyvis)
+
+
+def test_achromatic_beam():
+    p = _base_parms({"beam": {"chromatic": False, "select_freq": 155e6}})
+    vs, _ = run_simulation(p, verbose=False, save=False)
+    assert np.isfinite(vs.skyvis).all()
+
+
+def test_roi_radius_restricts_sky():
+    p_all = _base_parms({"skyparm": {"nsrc": 128}})
+    p_roi = _base_parms({"skyparm": {"nsrc": 128, "roi_radius": 60.0}})
+    vs_all, _ = run_simulation(p_all, verbose=False, save=False)
+    vs_roi, _ = run_simulation(p_roi, verbose=False, save=False)
+    # ROI sim sums fewer sources -> generally weaker visibilities
+    assert np.abs(vs_roi.skyvis).sum() < np.abs(vs_all.skyvis).sum()
+    # an ROI that empties the sky raises a clear error
+    import pytest as _pytest
+    p_bad = _base_parms({"skyparm": {"nsrc": 16, "roi_radius": 0.01}})
+    with _pytest.raises(ValueError, match="no sources"):
+        run_simulation(p_bad, verbose=False, save=False)
+
+
+def test_hi_cube_sky(tmp_path):
+    from prisim_tpu import healpix as hp
+    nside = 8
+    npix = hp.nside2npix(nside)
+    maps = np.abs(np.random.RandomState(0).randn(npix, 3))
+    path = str(tmp_path / "cube.npz")
+    np.savez(path, maps=maps, freqs=np.asarray([150e6, 155e6, 160e6]))
+    p = _base_parms({"skyparm": {"model": "hi_cube"},
+                     "catalog": {"spectrum_file": path}})
+    vs, _ = run_simulation(p, verbose=False, save=False)
+    assert np.isfinite(vs.skyvis).all()
+    assert np.abs(vs.skyvis).max() > 0
+
+
+def test_spectral_smooth():
+    from prisim_tpu.analysis.closure import spectral_smooth
+    rng = np.random.RandomState(0)
+    smooth = np.exp(1j * np.linspace(0, 1, 32))[None, :, None]
+    cube = np.broadcast_to(smooth, (2, 32, 1)).copy()
+    cube[:, 16, :] = 100.0  # an RFI spike
+    out = spectral_smooth(cube, window_size=5, mode="median")
+    assert np.abs(out[0, 16, 0]) < 2.0  # spike removed
+    out2 = spectral_smooth(cube, mode="interp", flag_chans=[16])
+    assert np.abs(out2[0, 16, 0] - smooth[0, 16, 0]) < 1e-2
