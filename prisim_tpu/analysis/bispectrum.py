@@ -368,7 +368,7 @@ def incoherent_average(ps_list, weights=None):
     return num / np.where(den > 0, den, 1.0)
 
 
-def _dict_to_hdf5(group, d):
+def _dict_to_hdf5(group, d):  # retained alias; see io.dicth5
     for k, v in d.items():
         key = str(k)
         if isinstance(v, dict):
@@ -404,14 +404,12 @@ def _hdf5_to_dict(group):
 def save_xcpdps(ps, path):
     """Save a (nested dict) cross power spectrum product to HDF5
     (save_CPhase_cross_power_spectrum, bispectrum_phase.py:471-631)."""
-    import h5py
-    with h5py.File(path, "w") as f:
-        _dict_to_hdf5(f, ps)
+    from ..io.dicth5 import save_dict_hdf5
+    save_dict_hdf5(ps, path)
 
 
 def read_xcpdps(path):
     """Read back an HDF5 cross power spectrum product
     (read_CPhase_cross_power_spectrum, bispectrum_phase.py:632-805)."""
-    import h5py
-    with h5py.File(path, "r") as f:
-        return _hdf5_to_dict(f)
+    from ..io.dicth5 import load_dict_hdf5
+    return load_dict_hdf5(path)

@@ -199,6 +199,28 @@ def build_sky(parms, freqs):
         fmin = sp.get("flux_min")
         if fmin is not None:
             sm = sm.subset(np.where(flux >= float(fmin))[0])
+    elif model in ("sumss", "nvss", "gleam", "mwacs"):
+        from . import catalogs as CATS
+        reader = {"sumss": CATS.read_sumss, "nvss": CATS.read_nvss,
+                  "gleam": CATS.read_gleam, "mwacs": CATS.read_mwacs}
+        path = cat.get(model.upper() + "_file") or cat.get("custom_file")
+        if not path:
+            raise ValueError("catalog.%s_file required for "
+                             "skyparm.model=%r" % (model.upper(), model))
+        kw = {}
+        if model in ("sumss", "nvss", "mwacs"):
+            kw = dict(spindex_mean=float(sp.get("spindex") or -0.83),
+                      spindex_rms=float(sp.get("spindex_rms") or 0.0),
+                      spindex_seed=sp.get("spindex_seed"))
+        elif model == "gleam":
+            kw = dict(select_freq=float(np.median(freqs)))
+        sm = reader[model](path, **kw)
+        if sp.get("flux_min") is not None or sp.get("flux_max") is not None:
+            sm = CATS.flux_cut(
+                sm, flux_min=sp.get("flux_min"),
+                flux_max=sp.get("flux_max"),
+                cut_freq=(float(sp["fluxcut_reffreq"])
+                          if sp.get("fluxcut_reffreq") else None))
     elif model in ("skymod_hdf5", "hdf5"):
         sm = SkyModel.load_hdf5(cat["skymod_file"])
     elif model in ("hi_cube", "lidz", "21cmfast"):
@@ -267,6 +289,17 @@ def _bandpass_weights(parms, nbl, freqs, n_acc):
         shape1d = win.pfb_shape(nchan, ccw)
         if not parms["processing"].get("bp_correct", True):
             bp *= shape1d[None, :, None]
+    abf = parms["processing"].get("ant_bpass_file")
+    if abf:
+        # antenna bandpass table: npz with 'faxis' (Hz) and complex
+        # 'band'; |band| interpolated onto the channels and peak-
+        # normalized (run_prisim.py:934-944)
+        with np.load(abf) as d:
+            faxis = np.asarray(d["faxis"], dtype=np.float64)
+            band = np.abs(np.asarray(d["band"]))
+        band = band / band.max()
+        ant_bp = np.interp(freqs, faxis, band)
+        bp *= ant_bp[None, :, None]
     fl = parms.get("flags") or {}
     n_edge = fl.get("n_edge_flag") or [0, 0]
     if n_edge[0]:

@@ -44,7 +44,7 @@ def pallas_available():
 
 
 def _kernel(seh_ref, sel_ref, blh_ref, bll_ref, amps_ref, scal_ref,
-            vr_ref, vi_ref, *, Q, L, ST, BT):
+            vr_ref, vi_ref, wc_ref, ws_ref, *, Q, L, ST, BT):
     # NOTE on scal_ref: the four frequency-grid scalars are passed as
     # pre-broadcast (4, ST, BT) VMEM tiles, NOT SMEM scalars. SMEM scalar
     # reads reach the fused arithmetic as compile-time constants, and
@@ -73,17 +73,23 @@ def _kernel(seh_ref, sel_ref, blh_ref, bll_ref, amps_ref, scal_ref,
     p0h, p0l = tf.df_frac(*tf.df_mul(kh, kl, g0h, g0l), xp=jnp)
     dh, dl = tf.df_frac(*tf.df_mul(kh, kl, gdh, gdl), xp=jnp)
 
-    # W phasor table over the fast channel index r = 0..L-1, laid out
-    # (ST, L, BT) so the 128-wide baseline tile fills the VPU lanes
-    # (L as the minor dim would use only L of 128 lanes). Mosaic
-    # requires integer iota; convert after.
-    r = jax.lax.broadcasted_iota(jnp.int32, (ST, L, BT), 1) \
-        .astype(jnp.float32)
-    wh, we = tf.two_prod(dh[:, None, :], r)
-    wfh, wfl = tf.df_frac(wh, we + dl[:, None, :] * r, xp=jnp)
-    wang = jnp.float32(_TWO_PI) * (wfh + wfl)
-    Wc = jnp.cos(wang)
-    Ws = -jnp.sin(wang)
+    # W phasor table over the fast channel index r = 0..L-1, built by a
+    # two-float phase recurrence (cycle += d per step, frac-reduced) into
+    # (L, ST, BT) VMEM scratch: per-step math stays 2-D (ST, BT), which
+    # keeps the Mosaic program small (a single 3-D two-float expression
+    # over (ST, L, BT) made the remote compiler OOM). BT=128 rides the
+    # VPU lanes.
+    def w_step(rr, carry):
+        ch, cl = carry
+        wang = jnp.float32(_TWO_PI) * (ch + cl)
+        wc_ref[rr] = jnp.cos(wang)
+        ws_ref[rr] = -jnp.sin(wang)
+        return tf.df_frac(*tf.df_add(ch, cl, dh, dl), xp=jnp)
+
+    jax.lax.fori_loop(0, L, w_step,
+                      (jnp.zeros_like(dh), jnp.zeros_like(dl)))
+    Wc = wc_ref[:]
+    Ws = ws_ref[:]
 
     # fori_loop over the Q coarse-channel groups (a static unroll blows
     # up the Mosaic MLIR and OOMs the compiler at Q=32). The output and
@@ -103,10 +109,11 @@ def _kernel(seh_ref, sel_ref, blh_ref, bll_ref, amps_ref, scal_ref,
         uc = jnp.cos(ang)                                # (ST, BT)
         us = -jnp.sin(ang)
         A = amps_ref[:, q, :]                            # (ST, L)
-        Er = uc[:, None, :] * Wc - us[:, None, :] * Ws   # (ST, L, BT)
-        Ei = uc[:, None, :] * Ws + us[:, None, :] * Wc
-        vr = jnp.sum(A[:, :, None] * Er, axis=0)         # (L, BT)
-        vi = jnp.sum(A[:, :, None] * Ei, axis=0)
+        AT = jnp.transpose(A)[:, :, None]                # (L, ST, 1)
+        Er = uc[None] * Wc - us[None] * Ws               # (L, ST, BT)
+        Ei = uc[None] * Ws + us[None] * Wc
+        vr = jnp.sum(AT * Er, axis=1)                    # (L, BT)
+        vi = jnp.sum(AT * Ei, axis=1)
         vr_ref[q] += vr
         vi_ref[q] += vi
         return tf.df_frac(*tf.df_add(th, tl, Ldh, Ldl), xp=jnp)
@@ -117,7 +124,7 @@ def _kernel(seh_ref, sel_ref, blh_ref, bll_ref, amps_ref, scal_ref,
 @functools.partial(jax.jit, static_argnames=("nchan", "src_tile",
                                              "bl_tile", "interpret"))
 def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
-                 src_tile=64, bl_tile=128, interpret=False):
+                 src_tile=32, bl_tile=128, interpret=False):
     """Pallas NUDFT (point sources, no gradient): complex64 (B, C).
 
     Arguments as nudft_visibilities; src_tile/bl_tile pick the VMEM
@@ -180,6 +187,8 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((L, ST, BT), jnp.float32),
+                        pltpu.VMEM((L, ST, BT), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=10 * S_pad * B_pad * C_pad,

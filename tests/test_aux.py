@@ -214,3 +214,33 @@ def test_spectral_smooth():
     assert np.abs(out[0, 16, 0]) < 2.0  # spike removed
     out2 = spectral_smooth(cube, mode="interp", flag_chans=[16])
     assert np.abs(out2[0, 16, 0] - smooth[0, 16, 0]) < 1e-2
+
+
+def test_ant_bpass_file(tmp_path):
+    path = str(tmp_path / "antbp.npz")
+    faxis = np.linspace(140e6, 170e6, 64)
+    band = 1.0 - 0.3 * ((faxis - 155e6) / 15e6) ** 2
+    np.savez(path, faxis=faxis, band=band.astype(complex))
+    p = _base_parms({"processing": {"ant_bpass_file": path},
+                     "bandpass": {"nchan": 16}})
+    vs, _ = run_simulation(p, verbose=False, save=False)
+    bp1 = np.asarray(vs.bp)[0, :, 0]
+    assert bp1.max() <= 1.0 and bp1.std() > 0  # curved bandpass applied
+
+
+def test_analysis_product_save(tmp_path):
+    from prisim_tpu.io.dicth5 import save_dict_hdf5, load_dict_hdf5
+    from prisim_tpu.analysis.delay import subband_delay_transform
+    from prisim_tpu.vis import VisibilitySet
+    vs = VisibilitySet(
+        baselines=np.random.RandomState(0).randn(2, 3) * 30,
+        labels=np.asarray([["1", "0"], ["2", "0"]]),
+        freqs=150e6 + 1e5 * np.arange(32), lst=np.asarray([10.0]),
+        skyvis=np.ones((2, 32, 1), dtype=complex), latitude=-30.7)
+    sb = subband_delay_transform(vs, freq_center=[152e6], bw_eff=2e6)
+    path = str(tmp_path / "ds.hdf5")
+    save_dict_hdf5(sb, path)
+    back = load_dict_hdf5(path)
+    np.testing.assert_allclose(back["skyvis_lag"], sb["skyvis_lag"])
+    np.testing.assert_allclose(back["lags"], sb["lags"])
+    assert back["shape"] == "bhw"
