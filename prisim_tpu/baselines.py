@@ -143,3 +143,37 @@ def build_baselines(layout, redundant=True, min_length=None, max_length=None,
     return BaselineSet(uvec, label_pairs[ind], group_counts=counts,
                        group_of=group_of, all_vectors=vectors,
                        all_labels=label_pairs)
+
+
+def baseline_group_keys(bset, vectors, tol=1e-6):
+    """For query baseline vectors, the index of (and label pair of) the
+    unique redundant group each belongs to, with a conjugation flag for
+    flipped vectors (getBaselineGroupKeys,
+    /root/reference/prisim/interferometry.py:2017-2099)."""
+    vectors = np.atleast_2d(np.asarray(vectors, dtype=np.float64))
+    uvec = np.asarray(bset.vectors, dtype=np.float64)
+    idx = np.full(vectors.shape[0], -1, dtype=np.int64)
+    conj = np.zeros(vectors.shape[0], dtype=bool)
+    for i, v in enumerate(vectors):
+        d = np.linalg.norm(uvec - v, axis=1)
+        j = int(d.argmin())
+        if d[j] <= tol:
+            idx[i] = j
+            continue
+        d2 = np.linalg.norm(uvec + v, axis=1)
+        j2 = int(d2.argmin())
+        if d2[j2] <= tol:
+            idx[i] = j2
+            conj[i] = True
+    return idx, conj
+
+
+def baselines_in_group(bset, group_index):
+    """All-pairs member labels and vectors of one unique-baseline group
+    (getBaselinesInGroups, /root/reference/prisim/interferometry.py:
+    2100-2168)."""
+    if bset.group_of is None:
+        return (np.asarray([bset.labels[group_index]]),
+                np.asarray([bset.vectors[group_index]]))
+    members = np.where(bset.group_of == group_index)[0]
+    return bset.all_labels[members], bset.all_vectors[members]

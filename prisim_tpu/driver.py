@@ -199,6 +199,60 @@ def build_sky(parms, freqs):
         fmin = sp.get("flux_min")
         if fmin is not None:
             sm = sm.subset(np.where(flux >= float(fmin))[0])
+    elif model == "csm":
+        # combined point-source model: SUMSS below dec -30, NVSS above
+        # (run_prisim.py:1325-1529)
+        from . import catalogs as CATS
+        parts = []
+        if cat.get("SUMSS_file"):
+            parts.append(CATS.read_sumss(
+                cat["SUMSS_file"],
+                spindex_rms=float(sp.get("spindex_rms") or 0.0),
+                spindex_seed=sp.get("spindex_seed")))
+        if cat.get("NVSS_file"):
+            parts.append(CATS.read_nvss(
+                cat["NVSS_file"], exclude_sumss_sky=bool(
+                    cat.get("SUMSS_file")),
+                spindex_rms=float(sp.get("spindex_rms") or 0.0),
+                spindex_seed=sp.get("spindex_seed")))
+        if not parts:
+            raise ValueError("csm needs catalog.SUMSS_file and/or "
+                             "catalog.NVSS_file")
+        sm = SkyModel.concat(parts)
+        if sp.get("flux_min") is not None:
+            sm = CATS.flux_cut(sm, flux_min=sp["flux_min"],
+                               flux_max=sp.get("flux_max"),
+                               cut_freq=(float(sp["fluxcut_reffreq"])
+                                         if sp.get("fluxcut_reffreq")
+                                         else None))
+    elif model in ("hi_monopole", "monopole"):
+        # global-EoR tanh monopole on a uniform HEALPix sky
+        # (run_prisim.py HI_monopole branch; global_EoR_parms)
+        from . import healpix as hp
+        from .skymodel import tanh_eor_spectrum
+        nside = int(sp.get("nside") or 32)
+        npix = hp.nside2npix(nside)
+        theta, phi = hp.pix2ang(nside, np.arange(npix))
+        gp = sp.get("global_EoR_parms") or [0.027, 150e6, 1.0]
+        spectrum = np.broadcast_to(
+            tanh_eor_spectrum(freqs, gp[0], gp[1], gp[2], 0.0),
+            (npix, freqs.size)).copy()
+        sm = SkyModel(
+            location=np.stack([np.degrees(phi),
+                               90.0 - np.degrees(theta)], axis=-1),
+            spec_kind="spectrum",
+            spectrum=spectrum * hp.nside2pixarea(nside),
+            freqs_model=np.asarray(freqs, dtype=np.float64),
+            flux_unit=sp.get("flux_unit", "Jy"), name="HI_monopole")
+    elif model == "noise":
+        # noise-only simulation: an empty sky (run_prisim.py 'noise'
+        # branch) — one zero-flux source keeps shapes static
+        sm = SkyModel(location=np.asarray([[0.0, -90.0]]),
+                      spec_kind="power-law",
+                      spec_parms={"flux-scale": np.asarray([0.0]),
+                                  "freq-ref": np.asarray([150e6]),
+                                  "power-law-index": np.asarray([0.0])},
+                      name="noise")
     elif model in ("sumss", "nvss", "gleam", "mwacs"):
         from . import catalogs as CATS
         reader = {"sumss": CATS.read_sumss, "nvss": CATS.read_nvss,

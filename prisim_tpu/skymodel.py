@@ -118,6 +118,27 @@ class SkyModel:
             return interp(freqs)
         raise ValueError(f"unknown spec_kind {self.spec_kind!r}")
 
+    @staticmethod
+    def concat(models):
+        """Concatenate power-law point-source models (the reference's
+        csm = SUMSS + NVSS merge, run_prisim.py:1325-1529)."""
+        models = [m for m in models if m.nsrc > 0]
+        if not models:
+            raise ValueError("no models to concatenate")
+        if any(m.spec_kind != "power-law" for m in models):
+            raise ValueError("concat supports power-law models only")
+        keys = ("flux-scale", "freq-ref", "power-law-index")
+        parms = {k: np.concatenate([np.asarray(m.spec_parms[k],
+                                               dtype=np.float64)
+                                    for m in models]) for k in keys}
+        shapes = None
+        if all(m.src_shape is not None for m in models):
+            shapes = np.concatenate([m.src_shape for m in models])
+        return SkyModel(
+            location=np.concatenate([m.location for m in models]),
+            spec_kind="power-law", spec_parms=parms, src_shape=shapes,
+            name="+".join(m.name for m in models))
+
     def subset(self, ind):
         return SkyModel(
             location=self.location[ind],

@@ -126,3 +126,68 @@ def test_driver_with_nvss(tmp_path):
         "catalog": {"NVSS_file": path}})
     vs, _ = run_simulation(p, verbose=False, save=False)
     assert np.isfinite(vs.skyvis).all()
+
+
+def test_csm_merge(tmp_path):
+    from prisim_tpu.skymodel import SkyModel
+    sumss = str(tmp_path / "sumss.txt")
+    _write_sumss(sumss)
+    nvss = str(tmp_path / "nvss.fits")
+    _write_nvss(nvss)
+    from prisim_tpu.config import load_parms
+    from prisim_tpu.driver import build_sky, build_frequencies
+    p = load_parms({"skyparm": {"model": "csm", "flux_min": None},
+                    "catalog": {"SUMSS_file": sumss, "NVSS_file": nvss}})
+    sm = build_sky(p, build_frequencies(p))
+    # 3 SUMSS point sources + NVSS sources with dec > -30
+    assert sm.nsrc == 3 + np.sum(np.linspace(-60, 40, 5) > -30.0)
+    assert "SUMSS" in sm.name and "NVSS" in sm.name
+
+
+def test_noise_only_model():
+    from prisim_tpu.config import load_parms
+    from prisim_tpu.driver import run_simulation
+    p = load_parms({
+        "bandpass": {"nchan": 8, "freq": 155e6,
+                     "freq_resolution": 195312.5},
+        "array": {"layout": "HERA-7"},
+        "obsparm": {"n_acc": 1, "t_acc": 10.0},
+        "skyparm": {"model": "noise"}})
+    vs, _ = run_simulation(p, verbose=False, save=False)
+    np.testing.assert_allclose(np.abs(vs.skyvis), 0.0, atol=1e-12)
+    assert np.abs(vs.vis).max() > 0  # pure noise present
+
+
+def test_hi_monopole_model():
+    from prisim_tpu.config import load_parms
+    from prisim_tpu.driver import build_sky, build_frequencies
+    p = load_parms({"skyparm": {"model": "hi_monopole", "nside": 8,
+                                "global_EoR_parms": [0.03, 150e6, 1.0]}})
+    freqs = build_frequencies(p)
+    sm = build_sky(p, freqs)
+    from prisim_tpu import healpix as hp
+    assert sm.nsrc == hp.nside2npix(8)
+    spec = sm.generate_spectrum(freqs)
+    # tanh monopole: monotonic in frequency, uniform across pixels
+    assert np.allclose(spec, spec[:1, :])
+    d = np.diff(spec[0])
+    assert np.all(d <= 0) or np.all(d >= 0)
+
+
+def test_baseline_group_keys():
+    from prisim_tpu.layouts import ArrayLayout
+    from prisim_tpu.baselines import (build_baselines,
+                                      baseline_group_keys,
+                                      baselines_in_group)
+    pos = np.zeros((4, 3))
+    pos[:, 0] = 14.6 * np.arange(4)
+    bset = build_baselines(ArrayLayout(
+        pos, np.asarray(["0", "1", "2", "3"])), redundant=True)
+    # query the shortest spacing, forward and flipped
+    idx, conj = baseline_group_keys(
+        bset, [[14.6, 0, 0], [-14.6, 0, 0], [1000.0, 0, 0]])
+    assert idx[0] == idx[1] and idx[0] >= 0
+    assert not conj[0] and conj[1]
+    assert idx[2] == -1
+    labels, vecs = baselines_in_group(bset, idx[0])
+    assert len(labels) == 3  # 3 copies of the 14.6 m spacing
