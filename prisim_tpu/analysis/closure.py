@@ -56,14 +56,27 @@ def unique_triads(labels, positions, decimals=2):
     return out
 
 
-def triad_baseline_indices(vs_labels, ant_triplets):
+def triad_baseline_indices(vs_labels, ant_triplets, baselines=None,
+                           ant_positions=None, ant_labels=None, tol=1e-4):
     """For each triad (a1,a2,a3) find (ind12, ind23, ind31) into the
     simulated baseline list and conjugation flags.
 
-    vs_labels: (nbl, 2) array of (A2, A1) label pairs. Returns
-    (indices (ntri, 3) int, conj (ntri, 3) bool)."""
+    vs_labels: (nbl, 2) array of (A2, A1) label pairs. For sims that
+    keep only unique redundant baselines, pass `baselines` (nbl, 3) and
+    the antenna `ant_positions`/`ant_labels` layout: pairs absent from
+    the label table are resolved by matching the pair's baseline VECTOR
+    (or its negation -> conjugate) against the simulated set — the
+    reference's bl_reversemap path
+    (/root/reference/prisim/interferometry.py:7420-7460).
+    Returns (indices (ntri, 3) int, conj (ntri, 3) bool)."""
     labels = np.asarray(vs_labels, dtype=str)
     lut = {(labels[i, 0], labels[i, 1]): i for i in range(labels.shape[0])}
+    pos_lut = None
+    if ant_positions is not None and ant_labels is not None:
+        pos_lut = {str(l): np.asarray(p, dtype=np.float64)
+                   for l, p in zip(np.asarray(ant_labels, dtype=str),
+                                   ant_positions)}
+        bvecs = np.asarray(baselines, dtype=np.float64)
     idx = np.empty((len(ant_triplets), 3), dtype=np.int64)
     conj = np.zeros((len(ant_triplets), 3), dtype=bool)
     for t, (a1, a2, a3) in enumerate(ant_triplets):
@@ -74,6 +87,21 @@ def triad_baseline_indices(vs_labels, ant_triplets):
             elif (q, p) in lut:
                 idx[t, m] = lut[(q, p)]
                 conj[t, m] = True
+            elif pos_lut is not None and p in pos_lut and q in pos_lut:
+                v = pos_lut[p] - pos_lut[q]
+                d = np.linalg.norm(bvecs - v, axis=1)
+                j = int(d.argmin())
+                if d[j] <= tol:
+                    idx[t, m] = j
+                else:
+                    d2 = np.linalg.norm(bvecs + v, axis=1)
+                    j2 = int(d2.argmin())
+                    if d2[j2] > tol:
+                        raise ValueError(
+                            "no simulated baseline (redundant or not) "
+                            "matches pair (%s, %s)" % (p, q))
+                    idx[t, m] = j2
+                    conj[t, m] = True
             else:
                 raise ValueError(
                     "baseline (%s, %s) not found in simulated baselines"
@@ -107,7 +135,12 @@ def closure_phases_vs(vs, ant_triplets=None, unique=True):
                                          vs.layout["positions"])
         else:
             ant_triplets = all_triads(vs.layout["labels"])
-    idx, conj = triad_baseline_indices(vs.labels, ant_triplets)
+    kw = {}
+    if vs.layout is not None:
+        kw = dict(baselines=np.asarray(vs.baselines),
+                  ant_positions=np.asarray(vs.layout["positions"]),
+                  ant_labels=np.asarray(vs.layout["labels"], dtype=str))
+    idx, conj = triad_baseline_indices(vs.labels, ant_triplets, **kw)
     out = {"triads": ant_triplets, "indices": idx, "conj": conj}
     for name, cube in vs._vis_cubes():
         key = {"skyvis": "skyvis", "vis": "vis",

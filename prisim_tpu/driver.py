@@ -234,16 +234,19 @@ def build_sky(parms, freqs):
         npix = hp.nside2npix(nside)
         theta, phi = hp.pix2ang(nside, np.arange(npix))
         gp = sp.get("global_EoR_parms") or [0.027, 150e6, 1.0]
-        spectrum = np.broadcast_to(
+        temp = np.broadcast_to(
             tanh_eor_spectrum(freqs, gp[0], gp[1], gp[2], 0.0),
-            (npix, freqs.size)).copy()
+            (npix, freqs.size)).copy()           # K (brightness temp)
+        from .skymodel import temperature_to_jy_per_pixel
+        spectrum = temperature_to_jy_per_pixel(temp, freqs, nside) \
+            if (sp.get("flux_unit", "K")).lower() == "k" \
+            else temp * hp.nside2pixarea(nside)
         sm = SkyModel(
             location=np.stack([np.degrees(phi),
                                90.0 - np.degrees(theta)], axis=-1),
-            spec_kind="spectrum",
-            spectrum=spectrum * hp.nside2pixarea(nside),
+            spec_kind="spectrum", spectrum=spectrum,
             freqs_model=np.asarray(freqs, dtype=np.float64),
-            flux_unit=sp.get("flux_unit", "Jy"), name="HI_monopole")
+            name="HI_monopole")
     elif model == "noise":
         # noise-only simulation: an empty sky (run_prisim.py 'noise'
         # branch) — one zero-flux source keeps shapes static

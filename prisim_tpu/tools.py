@@ -280,9 +280,51 @@ def feko_to_healpix(infile, outfile, nside=64, scheme="ring",
     return hmap
 
 
+def closure_npz(infile, outfile, datatype="vis", unique=True):
+    """Export closure phases of a sim to the HERA NPZ layout
+    (write_PRISim_bispectrum_phase_to_npz.py +
+    scriptUtils/write_PRISim_bispectrum_phase_to_npz_util.py)."""
+    from .analysis.bispectrum import closure_npz_from_vs
+    vs = load_hdf5(infile)
+    cpd = closure_npz_from_vs(vs, path=outfile, datatype=datatype)
+    return cpd
+
+
+def mesh_check(n_devices=8):
+    """Multi-device smoke test (the reference's
+    test_mpi4py_for_prisim.py analog): bring up an n-device mesh (CPU
+    virtual devices if no hardware) and run one sharded reduction."""
+    import os
+    os.environ.setdefault(
+        "XLA_FLAGS",
+        "--xla_force_host_platform_device_count=%d" % n_devices)
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from .parallel.mesh import make_mesh
+    devs = jax.devices()
+    mesh = make_mesh(axis_names=("bl",), shape=(len(devs),))
+    from jax import shard_map
+    out = jax.jit(shard_map(
+        lambda x: jax.lax.psum(jnp.sum(x), "bl"), mesh=mesh,
+        in_specs=P("bl"), out_specs=P()))(
+            jnp.arange(len(devs) * 4.0))
+    expect = sum(range(len(devs) * 4))
+    ok = abs(float(out) - expect) < 1e-6
+    print("mesh of %d x %s devices: psum %s (expected %g, got %g)"
+          % (len(devs), devs[0].platform, "OK" if ok else "MISMATCH",
+             expect, float(out)))
+    return ok
+
+
 def main(argv=None):
     import argparse
     import json
+    import signal
+    try:                       # die quietly when piped into head etc.
+        signal.signal(signal.SIGPIPE, signal.SIG_DFL)
+    except (AttributeError, ValueError):
+        pass
     p = argparse.ArgumentParser(prog="prisim_tpu.tools")
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -318,6 +360,14 @@ def main(argv=None):
     g.add_argument("params", nargs="+",
                    help="dotted key=value pairs, e.g. array.layout=HERA-19")
 
+    cn = sub.add_parser("closure-npz")
+    cn.add_argument("infile")
+    cn.add_argument("outfile")
+    cn.add_argument("--datatype", default="vis")
+
+    m = sub.add_parser("mesh-check")
+    m.add_argument("-n", "--n-devices", type=int, default=8)
+
     f = sub.add_parser("feko2hpx")
     f.add_argument("infile")
     f.add_argument("outfile")
@@ -344,6 +394,13 @@ def main(argv=None):
     elif a.cmd == "grep":
         kv = dict(s.split("=", 1) for s in a.params)
         print("\n".join(grep_sims(a.project_dir, **kv)))
+    elif a.cmd == "closure-npz":
+        cpd = closure_npz(a.infile, a.outfile, datatype=a.datatype)
+        print("wrote %s: %d lst x %d triads x %d chans"
+              % (a.outfile, cpd.cp.shape[0], cpd.cp.shape[2],
+                 cpd.cp.shape[3]))
+    elif a.cmd == "mesh-check":
+        raise SystemExit(0 if mesh_check(a.n_devices) else 1)
     elif a.cmd == "feko2hpx":
         feko_to_healpix(a.infile, a.outfile, nside=a.nside,
                         col_gain_db=a.gain_db_col)

@@ -221,3 +221,27 @@ def test_incoherent_average_and_xcpdps_io(tmp_path):
     assert back["meta"]["z"] == 8.5
     assert back["meta"]["note"] == "x"
     assert list(back["triads"][0]) == ["0", "1", "2"]
+
+
+def test_closure_from_redundant_sim():
+    """Closure phases from a unique-baseline (redundant) sim via the
+    vector-matching fallback must close for a point source."""
+    from prisim_tpu.layouts import ArrayLayout
+    from prisim_tpu.baselines import build_baselines
+    pos = np.zeros((4, 3))
+    pos[:, 0] = 14.6 * np.arange(4)
+    labels = np.asarray(["0", "1", "2", "3"])
+    bset = build_baselines(ArrayLayout(pos, labels), redundant=True)
+    freqs = 150e6 + 1e5 * np.arange(8)
+    s = np.asarray([0.2, 0.1, np.sqrt(1 - 0.05)])
+    tau = bset.vectors @ s / CNST.c
+    vis = 3.0 * np.exp(-2j * np.pi * freqs[None, :, None]
+                       * tau[:, None, None]) * np.ones((1, 1, 1))
+    vs = VisibilitySet(
+        baselines=bset.vectors, labels=bset.labels, freqs=freqs,
+        lst=np.asarray([10.0]), skyvis=vis, latitude=-30.7,
+        layout=dict(positions=pos, labels=labels, ids=np.arange(4),
+                    coords="ENU"))
+    out = closure_phases_vs(vs, unique=False)
+    np.testing.assert_allclose(out["closure_phase_skyvis"], 0.0,
+                               atol=1e-8)
