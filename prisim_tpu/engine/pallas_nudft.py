@@ -44,7 +44,7 @@ def pallas_available():
 
 
 def _kernel(seh_ref, sel_ref, blh_ref, bll_ref, amps_ref, scal_ref,
-            vr_ref, vi_ref, wc_ref, ws_ref, *, Q, L, ST, BT):
+            vr_ref, vi_ref, wc_ref, ws_ref, *, Q, L, ST, BT, k_mode):
     # NOTE on scal_ref: the four frequency-grid scalars are passed as
     # pre-broadcast (4, ST, BT) VMEM tiles, NOT SMEM scalars. SMEM scalar
     # reads reach the fused arithmetic as compile-time constants, and
@@ -61,13 +61,36 @@ def _kernel(seh_ref, sel_ref, blh_ref, bll_ref, amps_ref, scal_ref,
     g0h, g0l = scal_ref[0], scal_ref[1]
     gdh, gdl = scal_ref[2], scal_ref[3]
 
-    # k = s_eff . bl in two-float, (ST, BT) meters. NOTE: this must stay
-    # the df_dot3 formulation verbatim — hand-rolled zero-initialized
-    # accumulation of the same products loses the compensation terms
-    # under XLA CPU codegen (verified empirically; the df_dot3 graph
-    # shape survives both CPU fusion and Mosaic).
-    kh, kl = tf.df_dot3(seh_ref[:][:, None, :], sel_ref[:][:, None, :],
-                        blh_ref[:][None, :, :], bll_ref[:][None, :, :])
+    # k = s_eff . bl in two-float, (ST, BT) meters. Two formulations of
+    # the same compensated dot product (empirically forced):
+    # * 'vec3' — df_dot3 over (ST,1,3)x(1,BT,3). The ONLY form whose
+    #   compensation terms survive the CPU/interpret compilers (column-
+    #   broadcast per-axis forms collapse to ~f32 accuracy there), but
+    #   lane-dim-3 arrays send the Mosaic TPU compiler into a
+    #   pathological (>30 min) compile.
+    # * 'axis2d' — per-axis (ST,1)x(1,BT) broadcasts in the same
+    #   accumulation ORDER. Compiles fast under Mosaic (strict fp, no
+    #   fast-math). bench.py cross-checks pallas vs the XLA engine at
+    #   runtime before timing, so a hypothetical hardware-numerics
+    #   regression is caught, reported, and falls back.
+    if k_mode == "vec3":
+        kh, kl = tf.df_dot3(seh_ref[:][:, None, :],
+                            sel_ref[:][:, None, :],
+                            blh_ref[:][None, :, :],
+                            bll_ref[:][None, :, :])
+    else:
+        def axis_prod(ax):
+            sh = seh_ref[:, ax].reshape(ST, 1)
+            sl = sel_ref[:, ax].reshape(ST, 1)
+            bh = blh_ref[:, ax].reshape(1, BT)
+            bl = bll_ref[:, ax].reshape(1, BT)
+            ph, pe = tf.two_prod(sh, bh)
+            pe = pe + (sh * bl + sl * bh)
+            return ph, pe
+        kh, kl = axis_prod(0)
+        for ax in (1, 2):
+            qh, ql = axis_prod(ax)
+            kh, kl = tf.df_add(kh, kl, qh, ql)
 
     # cycle counts: p0 = k*nu0/c, d = k*dnu/c, frac-reduced two-float
     p0h, p0l = tf.df_frac(*tf.df_mul(kh, kl, g0h, g0l), xp=jnp)
@@ -122,9 +145,10 @@ def _kernel(seh_ref, sel_ref, blh_ref, bll_ref, amps_ref, scal_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("nchan", "src_tile",
-                                             "bl_tile", "interpret"))
+                                             "bl_tile", "interpret",
+                                             "k_mode"))
 def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
-                 src_tile=32, bl_tile=128, interpret=False):
+                 src_tile=32, bl_tile=128, interpret=False, k_mode=None):
     """Pallas NUDFT (point sources, no gradient): complex64 (B, C).
 
     Arguments as nudft_visibilities; src_tile/bl_tile pick the VMEM
@@ -158,8 +182,11 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
     scal = jnp.stack([jnp.broadcast_to(jnp.float32(v), (ST, BT))
                       for v in (g0h, g0l, gdh, gdl)])
 
+    if k_mode is None:
+        k_mode = "vec3" if interpret else "axis2d"
     grid = (B_pad // BT, S_pad // ST)
-    kernel = functools.partial(_kernel, Q=Q, L=L, ST=ST, BT=BT)
+    kernel = functools.partial(_kernel, Q=Q, L=L, ST=ST, BT=BT,
+                               k_mode=k_mode)
     amps_q = amps_p.reshape(S_pad, Q, L)
     out_shape = [jax.ShapeDtypeStruct((Q, L, B_pad), jnp.float32),
                  jax.ShapeDtypeStruct((Q, L, B_pad), jnp.float32)]

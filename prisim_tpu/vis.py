@@ -33,7 +33,7 @@ from . import windows as win
 
 __all__ = ["VisibilitySet", "phase_centering", "project_baselines",
            "conjugate", "concatenate", "delay_transform",
-           "to_dircos"]
+           "to_dircos", "apply_baseline_gradients"]
 
 
 @dataclass
@@ -332,3 +332,26 @@ def delay_transform(vs, pad=1.0, freq_wts=None):
         updates[name + "_lag"] = _dt(np.asarray(arr))
     updates["lag_kernel"] = _dt(np.ones((vs.nbl, nchan, vs.n_acc)))
     return replace(vs, **updates)
+
+
+def apply_baseline_gradients(vs, delta_b):
+    """First-order perturbed visibilities from stored baseline gradients
+    (InterferometerArray.apply_gradients,
+    /root/reference/prisim/interferometry.py:6726-6822):
+
+      V'(b + db) ~ V(b) - 2 pi i (nu / c) sum_k db_k G_k
+
+    where G_k = sum_src s_k A e^{-i phi} are the gradient "moment" sums
+    produced by gradient_mode='baseline'. delta_b: (3,) or (nbl, 3)
+    meters. Returns the perturbed skyvis cube (nbl, nchan, nacc)."""
+    if not vs.gradients or "baseline" not in vs.gradients:
+        raise ValueError("VisibilitySet carries no baseline gradients "
+                         "(run with processing.gradient_mode='baseline')")
+    grad = np.asarray(vs.gradients["baseline"])   # (3, nbl, nchan, nacc)
+    db = np.asarray(delta_b, dtype=np.float64)
+    if db.ndim == 1:
+        db = np.broadcast_to(db, (vs.nbl, 3))
+    term = np.einsum("bk,kbct->bct", db, grad)
+    nu = np.asarray(vs.freqs).reshape(1, -1, 1)
+    return np.asarray(vs.skyvis) \
+        - 2j * np.pi * (nu / CNST.c) * term
