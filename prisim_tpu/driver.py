@@ -332,6 +332,23 @@ def build_tsys(parms, freqs, nbl, n_acc):
     return tsys
 
 
+def _blgroups_dict(bls):
+    """Redundancy bookkeeping for the saved product (the reference's
+    blgroups/reversemap, interferometry.py:1640-1658): unique-exemplar
+    label pair -> member all-pairs label strings."""
+    if bls.group_of is None:
+        return None
+    out = {}
+    all_lab = np.asarray(bls.all_labels, dtype=str)
+    uniq_lab = np.asarray(bls.labels, dtype=str)
+    for u in range(bls.nbl):
+        members = np.where(bls.group_of == u)[0]
+        key = "%s_%s" % (uniq_lab[u, 0], uniq_lab[u, 1])
+        out[key] = ["%s_%s" % (all_lab[m, 0], all_lab[m, 1])
+                    for m in members]
+    return out
+
+
 def _bandpass_weights(parms, nbl, freqs, n_acc):
     """Channel flagging -> bp; window shape -> bp_wts
     (run_prisim.py:908-981 flags; processing.bpass_shape)."""
@@ -667,7 +684,8 @@ def _finalize_simulation(parms, vs_inputs, outdir, verbose, save, t0):
         layout=dict(positions=np.asarray(layout.positions),
                     labels=np.asarray(layout.labels, dtype=str),
                     ids=np.arange(len(layout.labels)), coords="ENU"),
-        flux_unit="Jy", gradients=gradients)
+        flux_unit="Jy", gradients=gradients,
+        blgroups=_blgroups_dict(bls))
 
     ph = parms.get("phasing") or {}
     if ph.get("center") is not None:
@@ -706,12 +724,41 @@ def _save_products(vs, parms, outdir=None):
         save_hdf5(vs, base + ".hdf5")
     if parms["save_formats"].get("npz"):
         save_npz(vs, base + ".npz")
+    vs_uv = vs
+    if parms.get("save_redundant") and vs.blgroups:
+        # expand unique baselines onto the full redundant set for the
+        # UVData-format exports (run_prisim.py:2289-2328 duplicates
+        # measurements before pyuvdata_write)
+        try:
+            from .baselines import baseline_generator, uniq_baselines
+            import dataclasses
+            vecs, pairs = baseline_generator(
+                np.asarray(vs.layout["positions"], dtype=np.float64),
+                labels=np.asarray(vs.layout["labels"], dtype=str))
+            uvec, ind, counts, group_of = uniq_baselines(vecs)
+            d = np.linalg.norm(np.asarray(vs.baselines)[:, None, :]
+                               - uvec[None, :, :], axis=-1)
+            match = d.argmin(axis=1)
+            inv = np.full(uvec.shape[0], -1)
+            inv[match] = np.arange(match.size)
+            expand = inv[group_of]
+            if np.all(expand >= 0):
+                kw = {n: np.asarray(getattr(vs, n))[expand]
+                      for n in ("skyvis", "vis", "vis_noise")
+                      if getattr(vs, n) is not None}
+                vs_uv = dataclasses.replace(
+                    vs, baselines=vecs, labels=pairs,
+                    projected_baselines=None, **kw)
+                vs_uv = project_baselines(vs_uv)
+        except Exception as exc:
+            print("[prisim_tpu] save_redundant expansion failed (%s); "
+                  "writing unique baselines" % exc)
     if parms["save_formats"].get("uvfits"):
         from .io.uvfits import save_uvfits
-        save_uvfits(vs, base + ".uvfits")
+        save_uvfits(vs_uv, base + ".uvfits")
     if parms["save_formats"].get("uvh5"):
         from .io.uvh5 import save_uvh5
-        save_uvh5(vs, base + ".uvh5")
+        save_uvh5(vs_uv, base + ".uvh5")
     dump_parms(parms, os.path.join(outdir, "metainfo", "simparms.yaml"))
     meta = {"user": os.environ.get("USER", "unknown"),
             "date": time.strftime("%Y-%m-%dT%H:%M:%S"),

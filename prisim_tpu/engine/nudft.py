@@ -154,10 +154,12 @@ def _source_block_vis(seh, sel, blh, bll, amps, g0h, g0l, gdh, gdl, Q, L,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("nchan", "src_block", "gradient"))
+                   static_argnames=("nchan", "src_block", "gradient",
+                                    "ql"))
 def nudft_visibilities(seh, sel, blh, bll, amps, grid_scalars, nchan,
                        chan0=0, src_shape_sigma=None, s_sky=None,
-                       inv_wl=None, src_block=512, gradient=False):
+                       inv_wl=None, src_block=512, gradient=False,
+                       ql=None):
     """Full NUDFT over all sources, scan-blocked.
 
     seh/sel : (S, 3) two-float effective dircos (s_hat - pc_hat) per source
@@ -175,7 +177,10 @@ def nudft_visibilities(seh, sel, blh, bll, amps, grid_scalars, nchan,
     S = seh.shape[0]
     B = blh.shape[0]
     nchan = int(nchan)
-    Q, L = choose_ql(nchan)
+    Q, L = ql if ql is not None else choose_ql(nchan)
+    if Q * L < nchan:
+        raise ValueError("ql=%r covers %d < nchan=%d channels"
+                         % (ql, Q * L, nchan))
     C_pad = Q * L
 
     if amps.shape[1] < C_pad:

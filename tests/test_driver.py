@@ -139,3 +139,54 @@ def test_driver_gradient_mode(tmp_path):
     vs, _ = run_simulation(parms, verbose=False, save=False)
     assert vs.gradients is not None
     assert vs.gradients["baseline"].shape == (3, vs.nbl, 8, 1)
+
+
+def test_save_redundant_expands_uv_exports(tmp_path):
+    parms = load_parms({
+        "dirstruct": {"rootdir": str(tmp_path)},
+        "bandpass": {"nchan": 8, "freq": 155e6,
+                     "freq_resolution": 195312.5},
+        "array": {"layout": "HERA-7", "redundant": True},
+        "obsparm": {"n_acc": 1, "t_acc": 10.0},
+        "skyparm": {"model": "random", "nsrc": 8},
+        "save_redundant": True,
+        "save_formats": {"uvh5": True, "npz": False}})
+    vs, outdir = run_simulation(parms, verbose=False)
+    assert vs.nbl == 9                      # unique baselines in HDF5
+    from prisim_tpu.io.uvh5 import read_uvh5_arrays
+    back = read_uvh5_arrays(os.path.join(outdir, "simdata",
+                                         "simvis.uvh5"))
+    assert back["Nbls"] == 21               # all pairs in UVH5
+    # redundant copies carry identical visibilities
+    uvw = back["uvw_array"]
+    v = back["visdata"][:, 0, :, 0]
+    d = np.linalg.norm(uvw - uvw[0], axis=1)
+    twins = np.where(d < 1e-6)[0]
+    assert twins.size >= 2
+    np.testing.assert_allclose(v[twins[0]], v[twins[1]], rtol=1e-6)
+
+
+def test_extended_sources_through_driver(tmp_path):
+    cat = str(tmp_path / "ext.txt")
+    # two extended gaussian sources (maj min pa in deg)
+    np.savetxt(cat, np.asarray([
+        [40.0, -30.0, 10.0, -0.8, 2.0, 1.5, 0.0],
+        [50.0, -28.0, 5.0, -0.7, 1.0, 1.0, 0.0]]))
+    p = load_parms({
+        "bandpass": {"nchan": 8, "freq": 150e6,
+                     "freq_resolution": 97656.25},
+        "array": {"layout": "HERA-7"},
+        "obsparm": {"n_acc": 1, "t_acc": 10.0},
+        "skyparm": {"model": "custom", "flux_min": None},
+        "catalog": {"custom_file": cat}})
+    vs, _ = run_simulation(p, verbose=False, save=False)
+    assert np.isfinite(vs.skyvis).all()
+    # point-source version of the same catalog gives larger long-baseline
+    # amplitudes (extended sources are resolved down)
+    np.savetxt(cat, np.asarray([[40.0, -30.0, 10.0, -0.8],
+                                [50.0, -28.0, 5.0, -0.7]]))
+    vs_pt, _ = run_simulation(p, verbose=False, save=False)
+    blen = vs.baseline_lengths
+    longest = blen.argmax()
+    assert (np.abs(vs.skyvis[longest]).mean()
+            < np.abs(vs_pt.skyvis[longest]).mean())
