@@ -86,29 +86,30 @@ def _tpu_macs_per_sec(nbl=666, nchan=1024, nsrc=49152, repeats=3):
         out.block_until_ready()
         return (time.perf_counter() - t0) / repeats
 
+    # XLA first: its timing is banked before any pallas attempt, so a
+    # pallas-induced backend failure (observed: a wedged tunnel compile
+    # helper poisons subsequent device ops) cannot erase the result.
     results = {}
-    candidates = ["xla"]
-    if pallas_available():
-        candidates.insert(0, "pallas")
     outputs = {}
-    for kernel in candidates:
+    outputs["xla"] = np.asarray(make_snapshot("xla")(*args))
+    results["xla"] = time_kernel("xla")
+    if pallas_available() and not os.environ.get(
+            "PRISIM_BENCH_DISABLE_PALLAS"):
         try:
-            outputs[kernel] = np.asarray(make_snapshot(kernel)(*args))
-            results[kernel] = time_kernel(kernel)
+            outputs["pallas"] = np.asarray(make_snapshot("pallas")(*args))
+            scale = np.abs(outputs["xla"]).max()
+            rel = float(np.abs(outputs["pallas"] - outputs["xla"]).max()
+                        / scale)
+            if rel > 1e-4:
+                print('{"warning": "pallas/xla mismatch rel=%.2e; '
+                      'dropping pallas"}' % rel)
+            else:
+                print('{"info": "pallas/xla agreement rel=%.2e"}' % rel)
+                results["pallas"] = time_kernel("pallas")
         except Exception as exc:   # Mosaic rejection etc: fall back
-            results[kernel] = None
-            print('{"warning": "kernel %s failed: %s"}'
-                  % (kernel, str(exc)[:200].replace('"', "'")))
-    if "pallas" in outputs and "xla" in outputs:
-        scale = np.abs(outputs["xla"]).max()
-        rel = float(np.abs(outputs["pallas"] - outputs["xla"]).max()
-                    / scale)
-        if rel > 1e-4:
-            print('{"warning": "pallas/xla mismatch rel=%.2e; '
-                  'dropping pallas"}' % rel)
             results["pallas"] = None
-        else:
-            print('{"info": "pallas/xla agreement rel=%.2e"}' % rel)
+            print('{"warning": "kernel pallas failed: %s"}'
+                  % str(exc)[:200].replace('"', "'"))
     timed = {k: v for k, v in results.items() if v is not None}
     if not timed:
         raise RuntimeError("all NUDFT kernels failed to run: %r"

@@ -80,7 +80,7 @@ def subband_lags(nchan, df, pad=1.0):
 
 
 def subband_delay_transform(vs, freq_center, bw_eff, shape="bhw",
-                            fftpow=1.0, pad=1.0):
+                            fftpow=1.0, pad=1.0, resample=False):
     """Windowed subband delay transform of all visibility cubes.
 
     freq_center / bw_eff: arrays (n_win,) in Hz. Returns a dict:
@@ -121,4 +121,23 @@ def subband_delay_transform(vs, freq_center, bw_eff, shape="bhw",
     out["lag_kernel"] = np.asarray(
         jnp.fft.fftshift(jnp.fft.ifft(jnp.asarray(wk), axis=1), axes=1)
         * ((nchan + npad) * df))
+    # correlation length of adjacent lag bins in units of lag spacing
+    # (DelaySpectrum's lag_corr_length; oversampling factor of the
+    # effective subband resolution 1/bw_eff)
+    out["lag_corr_length"] = ((nchan + npad) * df
+                              / np.maximum(bw_eff, df))
+    if resample:
+        # 'resampled' products: decimate the lag axis to ~independent
+        # delay bins (subband_delay_transform resampled variants,
+        # /root/reference/prisim/delay_spectrum.py:2252-2517)
+        factor = max(1, int(np.floor(out["lag_corr_length"].min())))
+        n_out = max(2, lags.size // factor)
+        # band-limited decimation keeps the lag span (1/df); the new
+        # grid is the spectral axis of n_out samples at spacing df
+        out["lags_resampled"] = win.spectral_axis(n_out, delx=df,
+                                                  shift=True, xp=np)
+        for name, _ in vs._vis_cubes():
+            out[name + "_lag_resampled"] = np.asarray(
+                win.downsample_fourier(
+                    jnp.asarray(out[name + "_lag"]), n_out, axis=2))
     return out

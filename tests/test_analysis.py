@@ -215,3 +215,17 @@ def test_subband_power_spectra_shapes():
     assert ps["kprll"].shape == (2, 128)
     assert ps["kperp"].shape == (2, 2)
     assert np.all(np.isfinite(ps["skyvis"]))
+
+
+def test_subband_resampled_products():
+    vs = _vs_flat(nbl=2, nchan=64, nacc=1)
+    out = subband_delay_transform(vs, freq_center=[153e6, 155e6],
+                                  bw_eff=2e6, pad=1.0, resample=True)
+    assert "lags_resampled" in out
+    n_over = out["lags"].size
+    n_res = out["lags_resampled"].size
+    assert n_res < n_over
+    assert out["skyvis_lag_resampled"].shape[2] == n_res
+    # oversampling factor consistent: total band / effective bandwidth
+    assert out["lag_corr_length"][0] == pytest.approx(
+        (64 + 64) * 1e5 / 2e6)
