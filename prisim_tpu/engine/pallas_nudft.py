@@ -131,7 +131,7 @@ def _kernel(seh_ref, sel_ref, blh_ref, bll_ref, amps_ref, scal_ref,
         ang = jnp.float32(_TWO_PI) * (th + tl)
         uc = jnp.cos(ang)                                # (ST, BT)
         us = -jnp.sin(ang)
-        A = amps_ref[:, q, :]                            # (ST, L)
+        A = amps_ref[q]                                  # (ST, L)
         AT = jnp.transpose(A)[:, :, None]                # (L, ST, 1)
         Er = uc[None] * Wc - us[None] * Ws               # (L, ST, BT)
         Ei = uc[None] * Ws + us[None] * Wc
@@ -187,7 +187,11 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
     grid = (B_pad // BT, S_pad // ST)
     kernel = functools.partial(_kernel, Q=Q, L=L, ST=ST, BT=BT,
                                k_mode=k_mode)
-    amps_q = amps_p.reshape(S_pad, Q, L)
+    # (Q, ST_total, L): the per-q read indexes the LEADING dim — traced
+    # dynamic indexing on non-leading VMEM dims trapped the device at
+    # runtime (verified on hardware: kernel ran, then all subsequent
+    # device ops returned UNIMPLEMENTED)
+    amps_q = jnp.transpose(amps_p.reshape(S_pad, Q, L), (1, 0, 2))
     out_shape = [jax.ShapeDtypeStruct((Q, L, B_pad), jnp.float32),
                  jax.ShapeDtypeStruct((Q, L, B_pad), jnp.float32)]
     vr, vi = pl.pallas_call(
@@ -202,7 +206,7 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BT, 3), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ST, Q, L), lambda i, j: (j, 0, 0),
+            pl.BlockSpec((Q, ST, L), lambda i, j: (0, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, ST, BT), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -222,9 +226,14 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
             bytes_accessed=4 * (S_pad * C_pad + 2 * B_pad * C_pad),
             transcendentals=2 * S_pad * B_pad * (Q + L)),
     )(seh_p, sel_p, blh_p, bll_p, amps_q, scal)
-    # (Q, L, B_pad) -> (B_pad, Q*L)
-    vis = jnp.transpose(vr + 1j * vi, (2, 0, 1)).reshape(B_pad, C_pad)
-    return vis[:B, :nchan]
+    # (Q, L, B_pad) -> (B_pad, Q*L). Transpose the REAL planes and only
+    # then combine to complex: transposing a complex64 array hit an
+    # UNIMPLEMENTED TPU backend error (and wedged the device) on the
+    # axon tunnel, while f32 transposes and complex construction/slicing
+    # are fine.
+    vr_t = jnp.transpose(vr, (2, 0, 1)).reshape(B_pad, C_pad)
+    vi_t = jnp.transpose(vi, (2, 0, 1)).reshape(B_pad, C_pad)
+    return (vr_t + 1j * vi_t)[:B, :nchan]
 
 
 def nudft_auto(seh, sel, blh, bll, amps, grid_scalars, nchan, **kw):

@@ -117,3 +117,62 @@ def read_uvh5_arrays(path):
             Nbls=int(h["Nbls"][()]), Ntimes=int(h["Ntimes"][()]),
         )
     return out
+
+
+def load_uvh5(path):
+    """Read a UVH5 file back into a VisibilitySet (the inverse of
+    save_uvh5; enables replicate/update-noise flows on UVData inputs as
+    the reference does via pyuvdata, replicatesim_util.py:39-59).
+
+    Assumes time-major blt ordering with a constant baseline set per
+    time (what save_uvh5 writes and pyuvdata's standard ordering)."""
+    from ..vis import VisibilitySet
+    a = read_uvh5_arrays(path)
+    import h5py
+    with h5py.File(path, "r") as f:
+        h = f["Header"]
+        lat = float(h["latitude"][()])
+        lon = float(h["longitude"][()]) if "longitude" in h else 0.0
+        alt = float(h["altitude"][()]) if "altitude" in h else 0.0
+        nants = int(h["Nants_telescope"][()])
+        ant_nums = h["antenna_numbers"][()]
+        tel = (h["telescope_name"][()].decode()
+               if "telescope_name" in h else "custom")
+        integ = h["integration_time"][()]
+    nbl, ntimes = a["Nbls"], a["Ntimes"]
+    nchan = a["freq_array"].size
+    # (nblts, 1, nchan, 1) time-major -> (nbl, nchan, ntimes), un-conjugated
+    vis = np.conj(a["visdata"][:, 0, :, 0].reshape(ntimes, nbl, nchan)
+                  .transpose(1, 2, 0))
+    ant1 = a["ant_1_array"][:nbl]
+    ant2 = a["ant_2_array"][:nbl]
+    labels = np.stack([ant2.astype(str), ant1.astype(str)], axis=-1)
+    uvw0 = a["uvw_array"][:nbl]
+    # ENU baselines are not stored in UVH5; recover from antenna
+    # positions when available, else use the first-time uvw as a proxy
+    num2idx = {int(n): i for i, n in enumerate(ant_nums)}
+    from .. import geometry as geom
+    ecef = a["antenna_positions"]
+    # antenna_positions are ECEF-relative; rotate back to ENU
+    lon_r = np.radians(lon)
+    lat_r = np.radians(lat)
+    R = np.asarray([
+        [-np.sin(lon_r), np.cos(lon_r), 0.0],
+        [-np.sin(lat_r) * np.cos(lon_r), -np.sin(lat_r) * np.sin(lon_r),
+         np.cos(lat_r)],
+        [np.cos(lat_r) * np.cos(lon_r), np.cos(lat_r) * np.sin(lon_r),
+         np.sin(lat_r)]])
+    enu = ecef @ R.T
+    bl = np.stack([enu[num2idx[int(a2)]] - enu[num2idx[int(a1)]]
+                   for a1, a2 in zip(ant1, ant2)])
+    jd = a["time_array"].reshape(ntimes, nbl)[:, 0]
+    lst = np.degrees(a["lst_array"].reshape(ntimes, nbl)[:, 0])
+    t_acc = np.broadcast_to(np.atleast_1d(integ)[:1], (ntimes,)).copy()
+    return VisibilitySet(
+        baselines=bl, labels=labels, freqs=a["freq_array"], lst=lst,
+        skyvis=vis, timestamps=jd, t_acc=t_acc, latitude=lat,
+        longitude=lon, altitude=alt,
+        telescope={"id": tel},
+        layout=dict(positions=enu,
+                    labels=a["antenna_names"].astype(str),
+                    ids=ant_nums, coords="ENU"))

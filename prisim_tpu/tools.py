@@ -31,6 +31,16 @@ from .engine.noise import thermal_noise_rms, generate_noise
 from .io import save_hdf5, load_hdf5, save_npz
 from .vis import VisibilitySet, phase_centering
 
+
+def _load_any(path):
+    """Load a sim from native HDF5 or UVH5 (the reference's replicate
+    accepts both its HDF5 and pyuvdata-readable UVFITS,
+    replicatesim_util.py:39-59)."""
+    if str(path).endswith((".uvh5", ".uvhdf5")):
+        from .io.uvh5 import load_uvh5
+        return load_uvh5(path)
+    return load_hdf5(path)
+
 __all__ = ["convert", "update_noise", "replicate", "expand_redundant_file",
            "list_sims", "grep_sims", "feko_to_healpix", "main"]
 
@@ -39,7 +49,7 @@ def convert(infile, outfile, formats=("hdf5",), phase_center=None,
             phase_center_coords="altaz", datatype="noiseless"):
     """Load a sim HDF5 and re-save in the requested formats
     (write_PRISim_visibilities.py:9-117)."""
-    vs = load_hdf5(infile)
+    vs = _load_any(infile)
     if phase_center is not None:
         vs = phase_centering(vs, np.atleast_2d(np.asarray(
             phase_center, dtype=np.float64)), phase_center_coords)
@@ -71,7 +81,7 @@ def update_noise(infile, outfile=None, Tsys=None, A_eff=None, eff_Q=None,
     (update_PRISim_noise.py:110-131). Returns the updated VisibilitySet
     (written back to outfile or infile)."""
     import jax.random as jr
-    vs = load_hdf5(infile)
+    vs = _load_any(infile)
     if Tsys is not None:
         vs.Tsys = np.broadcast_to(
             np.asarray(Tsys, dtype=np.float64),
@@ -101,7 +111,7 @@ def replicate(infile, outfile_prefix, n_realize=4, seed=100,
     noise cubes scaled by the stored/derived RMS; write one NPZ with all
     realizations or one UVFITS per realization."""
     import jax.random as jr
-    vs = load_hdf5(infile)
+    vs = _load_any(infile)
     if vs.vis_rms is not None:
         rms = np.asarray(vs.vis_rms)
     elif vs.Tsys is not None:

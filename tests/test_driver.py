@@ -190,3 +190,43 @@ def test_extended_sources_through_driver(tmp_path):
     longest = blen.argmax()
     assert (np.abs(vs.skyvis[longest]).mean()
             < np.abs(vs_pt.skyvis[longest]).mean())
+
+
+def test_multi_source_analytic_golden(tmp_path):
+    """Driver output for a 3-source catalog matches the analytic
+    visibility sum with a delta (uniform) beam to ~1e-6."""
+    from prisim_tpu import constants as CNST
+    from prisim_tpu import geometry as geom
+    cat = str(tmp_path / "three.txt")
+    srcs = np.asarray([[40.0, -30.0, 10.0, 0.0],
+                       [55.0, -25.0, 4.0, 0.0],
+                       [30.0, -45.0, 7.0, 0.0]])
+    np.savetxt(cat, srcs)
+    p = load_parms({
+        "telescope": {"id": "custom", "latitude": -30.7224},
+        "antenna": {"shape": "delta"},
+        "bandpass": {"nchan": 16, "freq": 150e6,
+                     "freq_resolution": 97656.25},
+        "array": {"layout": "HERA-7"},
+        "obsparm": {"n_acc": 1, "t_acc": 10.0},
+        "pointing": {"lst_init": 40.0 / 15.0},
+        "skyparm": {"model": "custom", "flux_min": None},
+        "phasing": {"center": [90.0, 270.0], "coords": "altaz"},
+        "catalog": {"custom_file": cat}})
+    vs, _ = run_simulation(p, verbose=False, save=False)
+    # analytic: V = sum_src S exp(-2pi i nu b.(s - z)/c) above horizon
+    lst = float(vs.lst[0])
+    lat = -30.7224
+    hadec = np.stack([lst - srcs[:, 0], srcs[:, 1]], axis=-1)
+    altaz = geom.hadec2altaz(hadec, lat, xp=np)
+    sdc = geom.altaz2dircos(altaz, xp=np)
+    up = altaz[:, 0] > 0
+    z = np.asarray([0.0, 0.0, 1.0])
+    nu = np.asarray(vs.freqs)
+    V = np.zeros((vs.nbl, vs.nchan), dtype=complex)
+    for k in np.where(up)[0]:
+        tau = np.asarray(vs.baselines) @ (sdc[k] - z) / CNST.c
+        V += srcs[k, 2] * np.exp(-2j * np.pi * nu[None, :]
+                                 * tau[:, None])
+    got = vs.skyvis[:, :, 0]
+    assert np.abs(got - V).max() / np.abs(V).max() < 3e-6

@@ -121,3 +121,23 @@ def test_uvh5_missing_datatype_raises(tmp_path):
     vs = _vs()
     with pytest.raises(ValueError):
         save_uvh5(vs, str(tmp_path / "x.uvh5"), datatype="noisy")
+
+
+def test_uvh5_to_visibilityset_roundtrip(tmp_path):
+    from prisim_tpu.io.uvh5 import load_uvh5
+    vs = _vs()
+    # make baselines consistent with the layout: b = pos(A2) - pos(A1)
+    pos = vs.layout["positions"]
+    lut = {l: i for i, l in enumerate(vs.layout["labels"])}
+    vs.baselines = np.stack([pos[lut[a2]] - pos[lut[a1]]
+                             for a2, a1 in vs.labels])
+    path = str(tmp_path / "rt.uvh5")
+    save_uvh5(vs, path)
+    back = load_uvh5(path)
+    assert back.nbl == vs.nbl and back.n_acc == vs.n_acc
+    np.testing.assert_allclose(back.skyvis, vs.skyvis, rtol=1e-6)
+    np.testing.assert_allclose(back.freqs, vs.freqs)
+    np.testing.assert_allclose(back.lst, vs.lst, atol=1e-9)
+    # ENU baselines recovered from ECEF antenna positions
+    np.testing.assert_allclose(back.baselines, vs.baselines, atol=1e-6)
+    assert back.latitude == vs.latitude
