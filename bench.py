@@ -62,6 +62,8 @@ def _tpu_macs_per_sec(nbl=666, nchan=1024, nsrc=49152, repeats=3):
     freqs_f32 = jnp.asarray(freqs, dtype=jnp.float32)
 
     def make_snapshot(kernel):
+        # return (re, im) f32 pair: complex64 device->host transfers are
+        # UNIMPLEMENTED on the axon TPU tunnel and wedge the backend
         @jax.jit
         def snapshot(mh, ml, ph, pl):
             sh, sl = df_rotate3(mh, ml, sky.s_eq_hi, sky.s_eq_lo)
@@ -69,21 +71,23 @@ def _tpu_macs_per_sec(nbl=666, nchan=1024, nsrc=49152, repeats=3):
             pb = airy_beam(sh, freqs_f32, 14.0)
             amps = jnp.where((sh[:, 2] > 0.0)[:, None], pb * sky.flux, 0.0)
             if kernel == "pallas":
-                return nudft_pallas(seh, sel, inst.bl_hi, inst.bl_lo,
-                                    amps, gs, nchan)
-            return nudft_visibilities(seh, sel, inst.bl_hi, inst.bl_lo,
-                                      amps, gs, nchan, src_block=2048)
+                v = nudft_pallas(seh, sel, inst.bl_hi, inst.bl_lo,
+                                 amps, gs, nchan)
+            else:
+                v = nudft_visibilities(seh, sel, inst.bl_hi, inst.bl_lo,
+                                       amps, gs, nchan, src_block=2048)
+            return jnp.real(v), jnp.imag(v)
         return snapshot
 
     args = tuple(jnp.asarray(a) for a in (Mh, Ml, pch, pcl))
 
     def time_kernel(kernel):
         snapshot = make_snapshot(kernel)
-        snapshot(*args).block_until_ready()  # compile + warm
+        jax.block_until_ready(snapshot(*args))  # compile + warm
         t0 = time.perf_counter()
         for _ in range(repeats):
             out = snapshot(*args)
-        out.block_until_ready()
+        jax.block_until_ready(out)
         return (time.perf_counter() - t0) / repeats
 
     # XLA first: its timing is banked before any pallas attempt, so a
@@ -91,12 +95,14 @@ def _tpu_macs_per_sec(nbl=666, nchan=1024, nsrc=49152, repeats=3):
     # helper poisons subsequent device ops) cannot erase the result.
     results = {}
     outputs = {}
-    outputs["xla"] = np.asarray(make_snapshot("xla")(*args))
+    xr, xi = make_snapshot("xla")(*args)
+    outputs["xla"] = np.asarray(xr) + 1j * np.asarray(xi)
     results["xla"] = time_kernel("xla")
     if pallas_available() and not os.environ.get(
             "PRISIM_BENCH_DISABLE_PALLAS"):
         try:
-            outputs["pallas"] = np.asarray(make_snapshot("pallas")(*args))
+            pr, pi = make_snapshot("pallas")(*args)
+            outputs["pallas"] = np.asarray(pr) + 1j * np.asarray(pi)
             scale = np.abs(outputs["xla"]).max()
             rel = float(np.abs(outputs["pallas"] - outputs["xla"]).max()
                         / scale)

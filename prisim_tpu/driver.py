@@ -33,6 +33,7 @@ from .engine.observe import (Instrument, Observation, SkySources,
 from .gains import GainInfo, apply_gains
 from .layouts import preset_layout, parse_layout_file, ArrayLayout
 from .skymodel import SkyModel, random_point_source_model
+from .utils import get_complex
 from .vis import VisibilitySet, phase_centering, project_baselines, \
     delay_transform
 
@@ -572,7 +573,7 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
                               chromatic=bool(bm.get("chromatic", True)),
                               select_freq=bm.get("select_freq"))
             pb_dev = jnp.asarray(pb, dtype=jnp.float32)
-            vis_list.append(np.asarray(simulate_snapshot(
+            vis_list.append(get_complex(simulate_snapshot(
                 inst, sks, jnp.asarray(Mh_all[t]), jnp.asarray(Ml_all[t]),
                 jnp.asarray(pch[t]), jnp.asarray(pcl[t]),
                 lambda s, f, pb_dev=pb_dev: pb_dev,
@@ -625,11 +626,11 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
         vis_tbc, grad_tbc = out
         # (T, 3, B, C) -> reference layout (3, nbl, nchan, nacc)
         gradients = {"baseline": np.ascontiguousarray(
-            np.transpose(np.asarray(grad_tbc), (1, 2, 3, 0)))}
+            np.transpose(get_complex(grad_tbc), (1, 2, 3, 0)))}
     else:
         vis_tbc = out
     skyvis = np.ascontiguousarray(
-        np.transpose(np.asarray(vis_tbc), (1, 2, 0)))
+        np.transpose(get_complex(vis_tbc), (1, 2, 0)))
     return _finalize_simulation(parms, vs_inputs=dict(
         bls=bls, freqs=freqs, obs=obs, layout=layout,
         telescope=telescope, skyvis=skyvis, gradients=gradients,
