@@ -148,11 +148,12 @@ def _kernel(seh_ref, sel_ref, blh_ref, bll_ref, amps_ref, scal_ref,
                                              "bl_tile", "interpret",
                                              "k_mode"))
 def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
-                 src_tile=32, bl_tile=128, interpret=False, k_mode=None):
+                 src_tile=64, bl_tile=256, interpret=False, k_mode=None):
     """Pallas NUDFT (point sources, no gradient): complex64 (B, C).
 
     Arguments as nudft_visibilities; src_tile/bl_tile pick the VMEM
-    tiling (VMEM use ~ ST*BT*L*2 + (ST+2*BT)*C floats)."""
+    tiling. Defaults (64, 256) measured fastest on v5e at the full
+    bench size (183 GMAC/s vs 119 at (32,128); see BASELINE.md)."""
     g0h, g0l, gdh, gdl = grid_scalars
     S = seh.shape[0]
     B = blh.shape[0]

@@ -242,3 +242,81 @@ def _write_aipsan_table(fh, vs):
         F.card("NUMORB", 0), F.card("NOPCAL", 0), F.card("POLTYPE", ""),
     ]
     F.write_bintable(fh, "AIPS AN", columns, extra)
+
+
+def load_uvfits(path):
+    """Read a UVFITS file (as written by save_uvfits) back into a
+    VisibilitySet — random groups + AIPS AN table, the inverse of the
+    reference's pyuvdata read path (replicatesim_util.py:39-59).
+
+    Assumes time-major blt ordering with a constant baseline set."""
+    from ..vis import VisibilitySet
+    from .fitsio import read_fits
+    hdus = read_fits(path)
+    gh = next(h for h in hdus if "pars" in h)
+    an = next((h for h in hdus if "columns" in h
+               and str(h["header"].get("EXTNAME", "")).startswith(
+                   "AIPS AN")), None)
+    hdr = gh["header"]
+    pars = gh["pars"]
+    nblts = hdr["GCOUNT"]
+    nchan = hdr["NAXIS4"]
+    f0 = float(hdr["CRVAL4"])
+    df = float(hdr["CDELT4"])
+    freqs = f0 + df * np.arange(nchan)
+    data = gh["data"].reshape(nblts, -1, 3)[:, :nchan, :]
+    vis_tm = (data[..., 0] + 1j * data[..., 1])
+    blnum = pars[:, 5].astype(np.int64)
+    jd = hdr["PZERO4"] + pars[:, 3] + pars[:, 4]
+    i1, i2 = blnum_to_antnums(blnum)
+    nbl = np.unique(blnum[np.isclose(jd, jd[0])]).size
+    ntimes = nblts // nbl
+    vis = np.conj(vis_tm.reshape(ntimes, nbl, nchan).transpose(1, 2, 0))
+    ant1 = i1[:nbl]
+    ant2 = i2[:nbl]
+    labels = np.stack([ant2.astype(str), ant1.astype(str)], axis=-1)
+    uvw = pars[:nbl, 0:3] * CNST.c                    # s -> m
+    layout = None
+    lat = 0.0
+    if an is not None:
+        cols = an["columns"]
+        # ECEF-relative station positions; latitude from ARRAYZ/ARRAYX
+        ax = float(an["header"].get("ARRAYX", 0.0))
+        ay = float(an["header"].get("ARRAYY", 0.0))
+        az = float(an["header"].get("ARRAYZ", 0.0))
+        lat = np.degrees(np.arctan2(
+            az, np.hypot(ax, ay) * (1.0 - 1.0 / 298.257223563) ** 2)) \
+            if (ax or ay or az) else 0.0
+        lon = np.degrees(np.arctan2(ay, ax)) if (ax or ay) else 0.0
+        names = np.char.decode(cols["ANNAME"].astype("S"))
+        names = np.char.strip(names)
+        nums = np.asarray(cols["NOSTA"], dtype=int) - 1
+        lon_r, lat_r = np.radians(lon), np.radians(lat)
+        R = np.asarray([
+            [-np.sin(lon_r), np.cos(lon_r), 0.0],
+            [-np.sin(lat_r) * np.cos(lon_r),
+             -np.sin(lat_r) * np.sin(lon_r), np.cos(lat_r)],
+            [np.cos(lat_r) * np.cos(lon_r),
+             np.cos(lat_r) * np.sin(lon_r), np.sin(lat_r)]])
+        enu = np.asarray(cols["STABXYZ"]) @ R.T
+        layout = dict(positions=enu, labels=names, ids=nums,
+                      coords="ENU")
+    # baselines from layout when available, else first-time uvw proxy
+    if layout is not None:
+        lut = {int(n): i for i, n in enumerate(layout["ids"])}
+        bl = np.stack([layout["positions"][lut[int(a2)]]
+                       - layout["positions"][lut[int(a1)]]
+                       for a1, a2 in zip(ant1, ant2)])
+    else:
+        bl = uvw
+    jd_t = jd.reshape(ntimes, nbl)[:, 0]
+    # LST unknown in UVFITS; approximate from GMST of JD + longitude
+    from ..ephemeris import lst_deg as _lst
+    lst = _lst(jd_t, lon if an is not None else 0.0)
+    return VisibilitySet(
+        baselines=bl, labels=labels, freqs=freqs, lst=np.atleast_1d(lst),
+        skyvis=vis, timestamps=jd_t,
+        t_acc=np.full(ntimes, float(hdr.get("INTTIM", 1.0))),
+        latitude=lat, longitude=lon if an is not None else 0.0,
+        telescope={"id": str(hdr.get("TELESCOP", "custom")).strip()},
+        layout=layout)

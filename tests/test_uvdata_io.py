@@ -141,3 +141,24 @@ def test_uvh5_to_visibilityset_roundtrip(tmp_path):
     # ENU baselines recovered from ECEF antenna positions
     np.testing.assert_allclose(back.baselines, vs.baselines, atol=1e-6)
     assert back.latitude == vs.latitude
+
+
+def test_uvfits_to_visibilityset_roundtrip(tmp_path):
+    from prisim_tpu.io.uvfits import load_uvfits
+    vs = _vs()
+    pos = vs.layout["positions"]
+    lut = {l: i for i, l in enumerate(vs.layout["labels"])}
+    vs.baselines = np.stack([pos[lut[a2]] - pos[lut[a1]]
+                             for a2, a1 in vs.labels])
+    from prisim_tpu.vis import project_baselines
+    vs = project_baselines(vs)
+    path = str(tmp_path / "rt.uvfits")
+    save_uvfits(vs, path)
+    back = load_uvfits(path)
+    assert back.nbl == vs.nbl and back.n_acc == vs.n_acc
+    # f32 storage in UVFITS
+    np.testing.assert_allclose(back.skyvis, vs.skyvis, atol=2e-6)
+    np.testing.assert_allclose(back.freqs, vs.freqs)
+    np.testing.assert_allclose(back.baselines, vs.baselines, atol=1e-4)
+    np.testing.assert_allclose(back.latitude, vs.latitude, atol=0.2)
+    assert back.telescope["id"] == "hera"
