@@ -17,14 +17,12 @@ weight-aware nansum/nanmean."""
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
-from typing import Optional
+from dataclasses import dataclass, replace
 
 import numpy as np
 
 from .. import constants as CNST
 from .. import windows as win
-from . import cosmology as cosmo_mod
 from .cosmology import (cosmo100, dkprll_deta, comoving_depth, freq_to_z,
                         jy2k)
 

@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from .. import constants as CNST
 
 __all__ = ["unique_triads", "all_triads", "triad_baseline_indices",
            "closure_phases", "closure_phases_vs", "delay_filter"]

@@ -23,7 +23,6 @@ from __future__ import annotations
 import numpy as np
 
 from .. import constants as CNST
-from .. import geometry as geom
 from .. import windows as win
 
 __all__ = ["delay_envelope", "horizon_delay_limits",

@@ -17,8 +17,7 @@ from __future__ import annotations
 import numpy as np
 
 from .. import constants as CNST
-from . import cosmology as cosmo_mod
-from .cosmology import (cosmo100, dkprll_deta, k_parallel, k_perp,
+from .cosmology import (cosmo100, k_parallel, k_perp,
                         comoving_depth, jy2k, freq_to_z)
 
 __all__ = ["beam3Dvol", "delay_power_spectrum", "subband_power_spectra"]

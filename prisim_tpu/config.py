@@ -12,7 +12,6 @@ from __future__ import annotations
 import copy
 import os
 
-import numpy as np
 import yaml
 
 __all__ = ["DEFAULT_PARMS", "load_parms", "merge_parms", "dump_parms"]

@@ -23,7 +23,6 @@ import time
 import numpy as np
 
 from . import __version__
-from . import constants as CNST
 from . import geometry as geom
 from .baselines import build_baselines
 from .config import load_parms, dump_parms

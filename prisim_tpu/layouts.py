@@ -8,7 +8,7 @@ TPU-first rebuild of the reference's layout machinery
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -29,7 +29,7 @@ import yaml
 from . import healpix as hp
 from .engine.noise import thermal_noise_rms, generate_noise
 from .io import save_hdf5, load_hdf5, save_npz
-from .vis import VisibilitySet, phase_centering
+from .vis import phase_centering
 
 
 def _load_any(path):
