@@ -92,7 +92,7 @@ DEFAULT_PARMS = {
                      "phase_center": None},
     "plots": False,
     "diagnosis": {"resource_monitor": False, "refresh_interval": None,
-                  "wait_after_run": False},
+                  "wait_after_run": False, "jax_profile": None},
 }
 
 

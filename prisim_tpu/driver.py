@@ -410,6 +410,15 @@ def run_simulation(parms, outdir=None, verbose=True, save=True,
     if not isinstance(parms, dict) or "telescope" not in parms:
         parms = load_parms(parms)
     t0 = time.time()
+    profile_dir = (parms.get("diagnosis") or {}).get("jax_profile")
+    profiler = None
+    if profile_dir:
+        # device-level tracing (the TPU-native upgrade of the reference's
+        # psutil monitor; view with tensorboard or xprof)
+        import jax.profiler as _jprof
+        os.makedirs(profile_dir, exist_ok=True)
+        profiler = _jprof.trace(profile_dir)
+        profiler.__enter__()
     monitor = None
     if (parms.get("diagnosis") or {}).get("resource_monitor"):
         from .diagnostics import ResourceMonitor
@@ -426,6 +435,8 @@ def run_simulation(parms, outdir=None, verbose=True, save=True,
     finally:
         if monitor is not None:
             monitor.stop()
+        if profiler is not None:
+            profiler.__exit__(None, None, None)
 
 
 def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,

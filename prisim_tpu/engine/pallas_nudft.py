@@ -60,6 +60,7 @@ def _kernel(seh_ref, sel_ref, blh_ref, bll_ref, amps_ref, scal_ref,
 
     g0h, g0l = scal_ref[0], scal_ref[1]
     gdh, gdl = scal_ref[2], scal_ref[3]
+    ch0 = scal_ref[4]          # channel-axis offset (mesh chan shards)
 
     # k = s_eff . bl in two-float, (ST, BT) meters. Two formulations of
     # the same compensated dot product (empirically forced):
@@ -92,9 +93,13 @@ def _kernel(seh_ref, sel_ref, blh_ref, bll_ref, amps_ref, scal_ref,
             qh, ql = axis_prod(ax)
             kh, kl = tf.df_add(kh, kl, qh, ql)
 
-    # cycle counts: p0 = k*nu0/c, d = k*dnu/c, frac-reduced two-float
+    # cycle counts: p0 = k*nu0/c + chan0*d, d = k*dnu/c (two-float,
+    # frac-reduced). chan0 is an exact small integer in f32.
     p0h, p0l = tf.df_frac(*tf.df_mul(kh, kl, g0h, g0l), xp=jnp)
     dh, dl = tf.df_frac(*tf.df_mul(kh, kl, gdh, gdl), xp=jnp)
+    oh, oe = tf.two_prod(dh, ch0)
+    p0h, p0l = tf.df_frac(*tf.df_add(p0h, p0l, oh, oe + dl * ch0),
+                          xp=jnp)
 
     # W phasor table over the fast channel index r = 0..L-1, built by a
     # two-float phase recurrence (cycle += d per step, frac-reduced) into
@@ -148,7 +153,8 @@ def _kernel(seh_ref, sel_ref, blh_ref, bll_ref, amps_ref, scal_ref,
                                              "bl_tile", "interpret",
                                              "k_mode"))
 def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
-                 src_tile=64, bl_tile=256, interpret=False, k_mode=None):
+                 chan0=0, src_tile=64, bl_tile=256, interpret=False,
+                 k_mode=None):
     """Pallas NUDFT (point sources, no gradient): complex64 (B, C).
 
     Arguments as nudft_visibilities; src_tile/bl_tile pick the VMEM
@@ -181,7 +187,8 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
     blh_p = padn(blh, B_pad)
     bll_p = padn(bll, B_pad)
     scal = jnp.stack([jnp.broadcast_to(jnp.float32(v), (ST, BT))
-                      for v in (g0h, g0l, gdh, gdl)])
+                      for v in (g0h, g0l, gdh, gdl,
+                                jnp.asarray(chan0, jnp.float32))])
 
     if k_mode is None:
         k_mode = "vec3" if interpret else "axis2d"
@@ -209,7 +216,7 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Q, ST, L), lambda i, j: (0, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, ST, BT), lambda i, j: (0, 0, 0),
+            pl.BlockSpec((5, ST, BT), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[

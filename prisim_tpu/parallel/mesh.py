@@ -66,7 +66,7 @@ def pad_to_multiple(arr, multiple, axis=0, value=0.0):
 
 def _drift_core(blh, bll, freqs_f32, flux, seqh, seql, Mh, Ml, pch, pcl,
                 grid_scalars, beam_fn, nchan_local, src_block, has_chan,
-                has_src):
+                has_src, use_pallas=False, interpret=False):
     """Per-shard drift scan: each device handles its local (bl, chan, src)
     block across all snapshots; lax.scan over time stays on-device."""
     chan0 = (jax.lax.axis_index("chan") * nchan_local) if has_chan else 0
@@ -77,9 +77,15 @@ def _drift_core(blh, bll, freqs_f32, flux, seqh, seql, Mh, Ml, pch, pcl,
         seh, sel = tf.df_add(sh, sl, -ph[None, :], -pl[None, :])
         pb = beam_fn(sh, freqs_f32)
         amps = jnp.where((sh[:, 2] > 0.0)[:, None], pb * flux, 0.0)
-        vis = nudft_visibilities(seh, sel, blh, bll, amps, grid_scalars,
-                                 nchan_local, chan0=chan0,
-                                 src_block=src_block)
+        if use_pallas:
+            from ..engine.pallas_nudft import nudft_pallas
+            vis = nudft_pallas(seh, sel, blh, bll, amps, grid_scalars,
+                               nchan_local, chan0=chan0,
+                               interpret=interpret)
+        else:
+            vis = nudft_visibilities(seh, sel, blh, bll, amps,
+                                     grid_scalars, nchan_local,
+                                     chan0=chan0, src_block=src_block)
         if has_src:
             vis = jax.lax.psum(vis, "src")
         return None, vis
@@ -89,7 +95,7 @@ def _drift_core(blh, bll, freqs_f32, flux, seqh, seql, Mh, Ml, pch, pcl,
 
 
 def _sharded_drift(mesh, instrument, sky, observation, beam_fn, src_block,
-                   src_axis):
+                   src_axis, use_pallas=False, interpret=False):
     axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
     n_bl = axis_sizes.get("bl", 1)
     n_ch = axis_sizes.get("chan", 1)
@@ -134,7 +140,8 @@ def _sharded_drift(mesh, instrument, sky, observation, beam_fn, src_block,
 
     fn = functools.partial(_drift_core, grid_scalars=gs, beam_fn=beam_fn,
                            nchan_local=nchan_local, src_block=src_block,
-                           has_chan=has_chan, has_src=has_src)
+                           has_chan=has_chan, has_src=has_src,
+                           use_pallas=use_pallas, interpret=interpret)
     mapped = jax.jit(shard_map(fn, mesh=mesh, in_specs=in_specs,
                                out_specs=out_specs, check_vma=False))
     vis = mapped(jnp.asarray(blh), jnp.asarray(bll),
@@ -147,11 +154,15 @@ def _sharded_drift(mesh, instrument, sky, observation, beam_fn, src_block,
 
 
 def simulate_drift_sharded(instrument, sky, observation, beam_fn, mesh,
-                           src_block=512):
+                           src_block=512, use_pallas=False,
+                           interpret=False):
     """Drift scan sharded over ('bl', 'chan'). Returns (T, B, C) complex64
-    with padded rows/cols stripped (result still device-sharded)."""
+    with padded rows/cols stripped (result still device-sharded).
+    use_pallas routes each shard's NUDFT through the Pallas TPU kernel
+    (interpret=True for CPU-mesh testing)."""
     return _sharded_drift(mesh, instrument, sky, observation, beam_fn,
-                          src_block, src_axis=False)
+                          src_block, src_axis=False,
+                          use_pallas=use_pallas, interpret=interpret)
 
 
 def simulate_drift_src_sharded(instrument, sky, observation, beam_fn, mesh,

@@ -64,3 +64,19 @@ def test_pyuvsim_roundtrip(tmp_path):
     from prisim_tpu.driver import build_layout
     lay = build_layout(back)
     assert len(lay.labels) == 7
+
+
+def test_jax_profile_hook(tmp_path):
+    from prisim_tpu.driver import run_simulation
+    prof = str(tmp_path / "trace")
+    p = load_parms({
+        "bandpass": {"nchan": 8, "freq": 155e6,
+                     "freq_resolution": 195312.5},
+        "array": {"layout": "HERA-7"},
+        "obsparm": {"n_acc": 1, "t_acc": 10.0},
+        "skyparm": {"model": "random", "nsrc": 8},
+        "diagnosis": {"jax_profile": prof}})
+    run_simulation(p, verbose=False, save=False)
+    import glob
+    assert glob.glob(prof + "/**/*", recursive=True), \
+        "profiler wrote no trace files"

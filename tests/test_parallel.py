@@ -69,3 +69,35 @@ def test_three_axis_mesh():
                                                 mesh, src_block=64))
     scale = np.abs(ref).max()
     assert np.max(np.abs(got - ref)) / scale < 1e-5
+
+
+def test_sharded_pallas_matches_xla_path():
+    """Pallas kernel inside shard_map over a ('bl','chan') CPU mesh
+    (interpret mode) must match the sharded XLA engine, exercising the
+    chan0 channel-offset path of the kernel."""
+    import jax
+    import numpy as np
+    from prisim_tpu import layouts as lay
+    from prisim_tpu import baselines as bls
+    from prisim_tpu import skymodel as sm
+    from prisim_tpu.engine import Instrument, Observation, SkySources
+    from prisim_tpu.parallel.mesh import make_mesh, simulate_drift_sharded
+    layout = lay.preset_layout("HERA-7")
+    bset = bls.build_baselines(layout, redundant=False)
+    freqs = 150e6 + 97656.25 * np.arange(32)
+    inst = Instrument.build(bset.vectors, freqs, latitude=-30.72)
+    sky = SkySources.from_skymodel(
+        sm.random_point_source_model(24, seed=8), freqs)
+    lst = np.asarray([15.0, 15.5])
+    obs = Observation(lst_deg=lst, jd=2458000.5 + lst / 360.0,
+                      t_acc=np.full(2, 30.0),
+                      pointing_altaz=np.tile([90.0, 270.0], (2, 1)))
+    import jax.numpy as jnp
+    beam = lambda s, f: jnp.ones((s.shape[0], f.shape[0]), jnp.float32)
+    mesh = make_mesh(axis_names=("bl", "chan"), shape=(2, 4))
+    ref = np.asarray(simulate_drift_sharded(inst, sky, obs, beam, mesh))
+    got = np.asarray(simulate_drift_sharded(inst, sky, obs, beam, mesh,
+                                            use_pallas=True,
+                                            interpret=True))
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() / scale < 5e-6
