@@ -629,8 +629,17 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
             out = simulate_drift_sharded(inst, sks, obs, beam_fn, mesh,
                                          src_block=src_block)
     if out is None:
+        up = parms["processing"].get("use_pallas", "auto")
+        if up == "auto":
+            from .engine.pallas_nudft import pallas_available
+            use_pallas = (pallas_available() and not grad
+                          and sks.src_shape_sigma is None)
+        else:
+            use_pallas = bool(up) and not grad \
+                and sks.src_shape_sigma is None
         out = simulate_drift(inst, sks, obs, beam_fn,
-                             src_block=src_block, gradient=bool(grad))
+                             src_block=src_block, gradient=bool(grad),
+                             use_pallas=use_pallas)
     gradients = None
     if grad:
         vis_tbc, grad_tbc = out
@@ -669,7 +678,7 @@ def _finalize_simulation(parms, vs_inputs, outdir, verbose, save, t0):
         tsys, nbl=bls.nbl, nchan=freqs.size, ntimes=obs.n_acc,
         eff_Q=float(tp.get("eff_Q") or 1.0), xp=np))
     import jax.random as jr
-    noise = np.asarray(generate_noise(jr.PRNGKey(
+    noise = get_complex(generate_noise(jr.PRNGKey(
         int(parms["skyparm"].get("seed") or 0)), rms))
     gains = 1.0
     if parms["gains"].get("file"):

@@ -14,6 +14,8 @@ noise for identical (key, shape), independent of device count/layout.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -46,15 +48,22 @@ def generate_noise(key, noise_rms, shape=None):
     """Complex gaussian noise with the given per-sample RMS.
 
     key: jax PRNG key; noise_rms broadcastable to `shape`
-    (default: noise_rms.shape). Returns complex64.
-    """
+    (default: noise_rms.shape). Returns complex64. The complex
+    construction runs inside jit (eager complex ops are UNIMPLEMENTED
+    on the axon TPU tunnel)."""
     if shape is None:
         shape = noise_rms.shape
-    kr, ki = jax.random.split(key)
-    scale = noise_rms / np.sqrt(2.0)
-    re = scale * jax.random.normal(kr, shape, dtype=jnp.float32)
-    im = scale * jax.random.normal(ki, shape, dtype=jnp.float32)
-    return re + 1j * im
+    shape = tuple(int(n) for n in shape)
+
+    @functools.partial(jax.jit, static_argnames=("shp",))
+    def _gen(key, rms, shp):
+        kr, ki = jax.random.split(key)
+        scale = rms / np.sqrt(2.0)
+        re = scale * jax.random.normal(kr, shp, dtype=jnp.float32)
+        im = scale * jax.random.normal(ki, shp, dtype=jnp.float32)
+        return re + 1j * im
+
+    return _gen(key, jnp.asarray(noise_rms), shape)
 
 
 def tsys_model(Trx, Tant_T0, Tant_f0, Tant_spindex, freqs, Tnet=None,

@@ -29,6 +29,7 @@ import yaml
 from . import healpix as hp
 from .engine.noise import thermal_noise_rms, generate_noise
 from .io import save_hdf5, load_hdf5, save_npz
+from .utils import get_complex
 from .vis import phase_centering
 
 
@@ -96,7 +97,7 @@ def update_noise(infile, outfile=None, Tsys=None, A_eff=None, eff_Q=None,
     rms = np.asarray(thermal_noise_rms(
         vs.A_eff, vs.freq_resolution, dt, vs.Tsys, nbl=vs.nbl,
         nchan=vs.nchan, ntimes=vs.n_acc, eff_Q=vs.eff_Q, xp=np))
-    noise = np.asarray(generate_noise(jr.PRNGKey(seed), rms))
+    noise = get_complex(generate_noise(jr.PRNGKey(seed), rms))
     vs.vis_rms = rms
     vs.vis_noise = noise
     vs.vis = vs.skyvis + noise
@@ -122,7 +123,8 @@ def replicate(infile, outfile_prefix, n_realize=4, seed=100,
     else:
         raise ValueError("sim carries neither vis_rms nor Tsys")
     keys = jr.split(jr.PRNGKey(seed), n_realize)
-    noises = np.stack([np.asarray(generate_noise(k, rms)) for k in keys])
+    noises = np.stack([get_complex(generate_noise(k, rms))
+                       for k in keys])
     vises = vs.skyvis[None] + noises
     written = []
     if fmt == "npz":
