@@ -292,6 +292,47 @@ def feko_to_healpix(infile, outfile, nside=64, scheme="ring",
     return hmap
 
 
+def delay_ps(infile, outfile, pad=1.0, nside_beam=32, clean=False,
+             gain=0.1, maxiter=200, threshold=5e-3):
+    """Delay-transform a sim, optionally delay-CLEAN it, and write the
+    cosmological delay power spectrum products (the DelaySpectrum ->
+    DelayPowerSpectrum pipeline, /root/reference/prisim/delay_spectrum.py
+    :493/:3260) to HDF5."""
+    import numpy as np
+    from .vis import delay_transform
+    from .analysis.power_spectrum import beam3Dvol, delay_power_spectrum
+    from .analysis.clean import delay_clean_vs
+    from .beams.dispatch import primary_beam
+    from . import healpix as hp_
+    from .io.dicth5 import save_dict_hdf5
+    import jax.numpy as jnp
+    vs = _load_any(infile)
+    vst = delay_transform(vs, pad=pad)
+    # beam volume from the stored telescope description on a HEALPix grid
+    npix = hp_.nside2npix(nside_beam)
+    theta, phi = hp_.pix2ang(nside_beam, np.arange(npix))
+    up = theta <= np.pi / 2
+    dc = np.stack([np.sin(theta) * np.cos(phi),
+                   np.sin(theta) * np.sin(phi),
+                   np.cos(theta)], axis=-1)
+    tel = dict(vs.telescope or {"id": "hera"})
+    pb = np.zeros((npix, vs.nchan))
+    pb[up] = np.asarray(primary_beam(
+        jnp.asarray(dc[up], jnp.float32),
+        jnp.asarray(vs.freqs, jnp.float32), tel))
+    omega_bw = beam3Dvol(pb, np.asarray(vs.freqs), hemisphere=True)
+    dps = delay_power_spectrum(vst, omega_bw=omega_bw)
+    if clean:
+        cl = delay_clean_vs(vs, pad=pad, gain=gain, maxiter=maxiter,
+                            threshold=threshold)
+        for k in ("cc_skyvis_lag", "res_skyvis_lag"):
+            if k in cl:
+                dps[k.replace("_lag", "_ps")] =                     np.abs(cl[k]) ** 2 * dps["factor"]
+    dps["omega_bw"] = omega_bw
+    save_dict_hdf5(dps, outfile)
+    return dps
+
+
 def closure_npz(infile, outfile, datatype="vis", unique=True):
     """Export closure phases of a sim to the HERA NPZ layout
     (write_PRISim_bispectrum_phase_to_npz.py +
@@ -372,6 +413,13 @@ def main(argv=None):
     g.add_argument("params", nargs="+",
                    help="dotted key=value pairs, e.g. array.layout=HERA-19")
 
+    dp = sub.add_parser("delay-ps")
+    dp.add_argument("infile")
+    dp.add_argument("outfile")
+    dp.add_argument("--pad", type=float, default=1.0)
+    dp.add_argument("--nside-beam", type=int, default=32)
+    dp.add_argument("--clean", action="store_true")
+
     cn = sub.add_parser("closure-npz")
     cn.add_argument("infile")
     cn.add_argument("outfile")
@@ -406,6 +454,11 @@ def main(argv=None):
     elif a.cmd == "grep":
         kv = dict(s.split("=", 1) for s in a.params)
         print("\n".join(grep_sims(a.project_dir, **kv)))
+    elif a.cmd == "delay-ps":
+        dps = delay_ps(a.infile, a.outfile, pad=a.pad,
+                       nside_beam=a.nside_beam, clean=a.clean)
+        print("wrote %s (z=%.3f, %d lags)"
+              % (a.outfile, dps["z"], len(dps["kprll"])))
     elif a.cmd == "closure-npz":
         cpd = closure_npz(a.infile, a.outfile, datatype=a.datatype)
         print("wrote %s: %d lst x %d triads x %d chans"

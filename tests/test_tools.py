@@ -129,3 +129,21 @@ def test_feko_to_healpix(tmp_path):
     import h5py
     with h5py.File(outfile) as f:
         assert f["beam"].attrs["nside"] == 16
+
+
+def test_delay_ps(tmp_path):
+    vs, path = _vs(tmp_path)
+    out = str(tmp_path / "dps.hdf5")
+    dps = tools.delay_ps(path, out, nside_beam=8, clean=True,
+                         maxiter=20)
+    assert os.path.exists(out)
+    # physical sanity: z from mid-band, P(k) cube shapes, finite values
+    f0 = vs.freqs[vs.nchan // 2]
+    assert abs(dps["z"] - (1420405751.77 / f0 - 1)) < 1e-3
+    assert dps["skyvis"].shape == (vs.nbl, vs.nchan, 2)
+    assert dps["kprll"].shape == (vs.nchan,)
+    assert np.isfinite(dps["skyvis"]).all() and (dps["skyvis"] >= 0).all()
+    assert dps["cc_skyvis_ps"].shape == dps["skyvis"].shape
+    from prisim_tpu.io.dicth5 import load_dict_hdf5
+    back = load_dict_hdf5(out)
+    np.testing.assert_allclose(back["skyvis"], dps["skyvis"], rtol=1e-6)
