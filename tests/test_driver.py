@@ -230,3 +230,13 @@ def test_multi_source_analytic_golden(tmp_path):
                                  * tau[:, None])
     got = vs.skyvis[:, :, 0]
     assert np.abs(got - V).max() / np.abs(V).max() < 3e-6
+
+
+def test_full_pipeline_example(tmp_path):
+    """The examples/full_pipeline.py walkthrough runs end-to-end (its
+    internal UVFITS round-trip assertion is the check)."""
+    from prisim_tpu.examples.full_pipeline import main
+    out = main(str(tmp_path), verbose=False)
+    assert out["dps"]["skyvis"].shape[0] == out["vs"].nbl
+    import numpy as np
+    assert np.isfinite(np.asarray(out["closure"])).all()
