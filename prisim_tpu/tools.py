@@ -343,6 +343,67 @@ def closure_npz(infile, outfile, datatype="vis", unique=True):
     return cpd
 
 
+def xcpdps(infile, outfile, freq_center=None, bw_eff=None, pad=1.0,
+           shape="bhw", fftpow=1.0, lstbinsize=None, ndaybins=2,
+           num_kbins=None, kbintype="log", seed=0):
+    """Closure-phase delay cross power spectrum from a HERA-layout NPZ:
+    the reference's ClosurePhase -> smooth_in_tbins ->
+    subsample_differencing -> ClosurePhaseDelaySpectrum.FT ->
+    compute_power_spectrum -> save chain
+    (/root/reference/prisim/bispectrum_phase.py:1497/1727/2023/2349/
+    2888/471) as one command. With a single observed day (e.g. a sim
+    NPZ from `tools closure-npz`) the cross spectrum degenerates to the
+    auto spectrum of the day mean."""
+    import numpy as np
+    from .analysis.bispectrum import (load_closure_npz, cpds_ft,
+                                      cross_power_spectrum, kbin_average,
+                                      save_xcpdps)
+    cpd = load_closure_npz(infile)
+    if lstbinsize:
+        cpd = cpd.smooth_in_tbins(lstbinsize=lstbinsize)
+    freqs = np.asarray(cpd.freqs, dtype=np.float64)
+    df = freqs[1] - freqs[0] if freqs.size > 1 else 1.0
+    bw = freqs.size * df
+    if freq_center is None:
+        freq_center = [float(freqs[freqs.size // 2])]
+    if bw_eff is None:
+        bw_eff = [0.5 * bw] * len(np.atleast_1d(freq_center))
+    freq_center = np.atleast_1d(np.asarray(freq_center, np.float64))
+    bw_eff = np.broadcast_to(
+        np.atleast_1d(np.asarray(bw_eff, np.float64)), freq_center.shape)
+    if cpd.days.size >= 2 and 2 <= ndaybins <= cpd.days.size:
+        sub = cpd.subsample_differencing(ndaybins=ndaybins, seed=seed)
+        e1, e2 = sub["eicp_mean"][0], sub["eicp_mean"][1]
+        w1 = (sub["wts_mean"][0] > 0).astype(float)
+        w2 = (sub["wts_mean"][1] > 0).astype(float)
+        mode = "cross"
+    else:
+        wsum = cpd.wts.sum(axis=1)
+        esum = (cpd.eicp * cpd.wts).sum(axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            e1 = e2 = np.where(wsum > 0, esum / np.maximum(wsum, 1e-30),
+                               0.0)
+        w1 = w2 = (wsum > 0).astype(float)
+        mode = "auto"
+    ft1 = cpds_ft(e1, w1, freqs, freq_center, bw_eff, shape=shape,
+                  fftpow=fftpow, pad=pad)
+    ft2 = (ft1 if e2 is e1 else
+           cpds_ft(e2, w2, freqs, freq_center, bw_eff, shape=shape,
+                   fftpow=fftpow, pad=pad))
+    ps = cross_power_spectrum(ft1, ft2)
+    ps["mode"] = mode
+    ps["triads"] = np.asarray(cpd.triads, dtype="U")
+    ps["lst"] = cpd.lst
+    if num_kbins:
+        kb = kbin_average(ps["kprll"], np.abs(ps["P"]),
+                          num_kbins=num_kbins, kbintype=kbintype)
+        ps.update({"kbin_edges": kb["kbin_edges"],
+                   "kbin_centers": kb["kbin_centers"],
+                   "P_kbin": kb["P_kbin"]})
+    save_xcpdps(ps, outfile)
+    return ps
+
+
 def mesh_check(n_devices=8):
     """Multi-device smoke test (the reference's
     test_mpi4py_for_prisim.py analog): bring up an n-device mesh (CPU
@@ -425,6 +486,16 @@ def main(argv=None):
     cn.add_argument("outfile")
     cn.add_argument("--datatype", default="vis")
 
+    xp = sub.add_parser("xcpdps")
+    xp.add_argument("infile")
+    xp.add_argument("outfile")
+    xp.add_argument("--freq-center", type=float, nargs="+")
+    xp.add_argument("--bw-eff", type=float, nargs="+")
+    xp.add_argument("--pad", type=float, default=1.0)
+    xp.add_argument("--lstbin", type=float)
+    xp.add_argument("--ndaybins", type=int, default=2)
+    xp.add_argument("--num-kbins", type=int)
+
     m = sub.add_parser("mesh-check")
     m.add_argument("-n", "--n-devices", type=int, default=8)
 
@@ -464,6 +535,13 @@ def main(argv=None):
         print("wrote %s: %d lst x %d triads x %d chans"
               % (a.outfile, cpd.cp.shape[0], cpd.cp.shape[2],
                  cpd.cp.shape[3]))
+    elif a.cmd == "xcpdps":
+        ps = xcpdps(a.infile, a.outfile, freq_center=a.freq_center,
+                    bw_eff=a.bw_eff, pad=a.pad, lstbinsize=a.lstbin,
+                    ndaybins=a.ndaybins, num_kbins=a.num_kbins)
+        print("wrote %s (%s spectrum, %d subbands, P shape %s)"
+              % (a.outfile, ps["mode"], len(np.atleast_1d(ps["z"])),
+                 ps["P"].shape))
     elif a.cmd == "mesh-check":
         raise SystemExit(0 if mesh_check(a.n_devices) else 1)
     elif a.cmd == "feko2hpx":

@@ -147,3 +147,38 @@ def test_delay_ps(tmp_path):
     from prisim_tpu.io.dicth5 import load_dict_hdf5
     back = load_dict_hdf5(out)
     np.testing.assert_allclose(back["skyvis"], dps["skyvis"], rtol=1e-6)
+
+
+def test_xcpdps(tmp_path):
+    from prisim_tpu.analysis.bispectrum import (ClosurePhaseData,
+                                                read_xcpdps)
+    rng = np.random.RandomState(1)
+    nlst, ndays, ntri, nchan = 6, 4, 5, 32
+    cpd = ClosurePhaseData(
+        cp=rng.uniform(-0.4, 0.4, (nlst, ndays, ntri, nchan)),
+        wts=np.ones((nlst, ndays, ntri, nchan)),
+        freqs=150e6 + 1e5 * np.arange(nchan),
+        lst=np.linspace(1.0, 2.0, nlst),
+        days=2458000.0 + np.arange(ndays),
+        triads=np.array([["%d" % i, "%d" % (i + 1), "%d" % (i + 2)]
+                         for i in range(ntri)]))
+    npz = str(tmp_path / "cp.npz")
+    cpd.save_npz(npz)
+    out = str(tmp_path / "xc.hdf5")
+    ps = tools.xcpdps(npz, out, ndaybins=2, num_kbins=5)
+    assert ps["mode"] == "cross"
+    assert ps["P"].shape == (1, nlst, ntri, 2 * nchan)
+    assert np.isfinite(ps["P"]).all()
+    assert ps["P_kbin"].shape == (1, nlst, ntri, 5)
+    back = read_xcpdps(out)
+    np.testing.assert_allclose(np.asarray(back["P"]), ps["P"], rtol=1e-6)
+    # single day -> auto spectrum fallback
+    cpd1 = ClosurePhaseData(cp=cpd.cp[:, :1], wts=cpd.wts[:, :1],
+                            freqs=cpd.freqs, lst=cpd.lst,
+                            days=cpd.days[:1], triads=cpd.triads)
+    npz1 = str(tmp_path / "cp1.npz")
+    cpd1.save_npz(npz1)
+    ps1 = tools.xcpdps(npz1, str(tmp_path / "xc1.hdf5"))
+    assert ps1["mode"] == "auto"
+    # auto spectrum of e^{i cp} is real and positive at lag 0 dominance
+    assert np.isfinite(ps1["P"]).all()
