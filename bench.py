@@ -18,10 +18,20 @@ import numpy as np
 
 def _tpu_macs_per_sec(nbl=666, nchan=1024, nsrc=49152, repeats=3):
     import os
-    nchan = int(os.environ.get("PRISIM_BENCH_NCHAN", nchan))
-    repeats = int(os.environ.get("PRISIM_BENCH_REPEATS", repeats))
     import jax
     import jax.numpy as jnp
+    platform = jax.devices()[0].platform
+    if platform != "tpu":
+        # TPU init failed (or none attached) and jax fell back to CPU:
+        # the full-size problem would grind for ~an hour on one host
+        # core. Shrink to a bounded smoke size unless explicitly
+        # overridden, and say so in the output.
+        print('{"warning": "no TPU backend (platform=%s); '
+              'running reduced-size bench"}' % platform)
+        os.environ.setdefault("PRISIM_BENCH_NCHAN", "128")
+        os.environ.setdefault("PRISIM_BENCH_NSIDE", "16")
+    nchan = int(os.environ.get("PRISIM_BENCH_NCHAN", nchan))
+    repeats = int(os.environ.get("PRISIM_BENCH_REPEATS", repeats))
     from prisim_tpu import layouts as lay
     from prisim_tpu import baselines as bls
     from prisim_tpu import skymodel as sm
@@ -124,7 +134,7 @@ def _tpu_macs_per_sec(nbl=666, nchan=1024, nsrc=49152, repeats=3):
     dt = timed[best]
     macs = float(nsrc) * nbl * nchan
     return macs / dt, dt, dict(nbl=nbl, nchan=nchan, nsrc=nsrc,
-                               kernel=best,
+                               kernel=best, platform=platform,
                                per_kernel_seconds=results)
 
 

@@ -293,11 +293,14 @@ def feko_to_healpix(infile, outfile, nside=64, scheme="ring",
 
 
 def delay_ps(infile, outfile, pad=1.0, nside_beam=32, clean=False,
-             gain=0.1, maxiter=200, threshold=5e-3):
+             gain=0.1, maxiter=200, threshold=5e-3,
+             subband_centers=None, subband_bw=None, shape="bhw"):
     """Delay-transform a sim, optionally delay-CLEAN it, and write the
     cosmological delay power spectrum products (the DelaySpectrum ->
     DelayPowerSpectrum pipeline, /root/reference/prisim/delay_spectrum.py
-    :493/:3260) to HDF5."""
+    :493/:3260) to HDF5. With subband_centers/subband_bw (Hz) the
+    windowed subband transform and per-subband power spectra
+    (:1842/:4003) are written under 'subband/'."""
     import numpy as np
     from .vis import delay_transform
     from .analysis.power_spectrum import beam3Dvol, delay_power_spectrum
@@ -329,6 +332,17 @@ def delay_ps(infile, outfile, pad=1.0, nside_beam=32, clean=False,
             if k in cl:
                 dps[k.replace("_lag", "_ps")] =                     np.abs(cl[k]) ** 2 * dps["factor"]
     dps["omega_bw"] = omega_bw
+    if subband_centers is not None:
+        from .analysis.delay import subband_delay_transform
+        from .analysis.power_spectrum import subband_power_spectra
+        if subband_bw is None:
+            subband_bw = [0.25 * vs.freq_resolution * vs.nchan]
+        sbds = subband_delay_transform(vs, subband_centers, subband_bw,
+                                       shape=shape, pad=pad)
+        sbps = subband_power_spectra(vs, sbds, pb,
+                                     pixarea_sr=hp_.nside2pixarea(
+                                         nside_beam))
+        dps["subband"] = sbps
     save_dict_hdf5(dps, outfile)
     return dps
 
@@ -480,6 +494,8 @@ def main(argv=None):
     dp.add_argument("--pad", type=float, default=1.0)
     dp.add_argument("--nside-beam", type=int, default=32)
     dp.add_argument("--clean", action="store_true")
+    dp.add_argument("--subband-centers", type=float, nargs="+")
+    dp.add_argument("--subband-bw", type=float, nargs="+")
 
     cn = sub.add_parser("closure-npz")
     cn.add_argument("infile")
@@ -527,7 +543,9 @@ def main(argv=None):
         print("\n".join(grep_sims(a.project_dir, **kv)))
     elif a.cmd == "delay-ps":
         dps = delay_ps(a.infile, a.outfile, pad=a.pad,
-                       nside_beam=a.nside_beam, clean=a.clean)
+                       nside_beam=a.nside_beam, clean=a.clean,
+                       subband_centers=a.subband_centers,
+                       subband_bw=a.subband_bw)
         print("wrote %s (z=%.3f, %d lags)"
               % (a.outfile, dps["z"], len(dps["kprll"])))
     elif a.cmd == "closure-npz":

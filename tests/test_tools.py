@@ -147,6 +147,16 @@ def test_delay_ps(tmp_path):
     from prisim_tpu.io.dicth5 import load_dict_hdf5
     back = load_dict_hdf5(out)
     np.testing.assert_allclose(back["skyvis"], dps["skyvis"], rtol=1e-6)
+    # subband mode
+    f = vs.freqs
+    dps2 = tools.delay_ps(path, str(tmp_path / "dps2.hdf5"),
+                          nside_beam=8,
+                          subband_centers=[f[2], f[5]],
+                          subband_bw=[3 * vs.freq_resolution])
+    sb = dps2["subband"]
+    assert sb["skyvis"].shape[:2] == (vs.nbl, 2)
+    assert np.isfinite(sb["skyvis"]).all()
+    assert sb["z"][0] > sb["z"][1]  # lower freq -> higher z
 
 
 def test_xcpdps(tmp_path):
