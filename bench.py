@@ -36,7 +36,7 @@ def _tpu_macs_per_sec(nbl=666, nchan=1024, nsrc=49152, repeats=3):
     from prisim_tpu import baselines as bls
     from prisim_tpu import skymodel as sm
     from prisim_tpu import twofloat as tf
-    from prisim_tpu.engine import (Instrument, Observation, SkySources,
+    from prisim_tpu.engine import (Instrument, SkySources,
                                    enu_rotation_from_eq)
     from prisim_tpu.engine.observe import df_rotate3
     from prisim_tpu.engine.nudft import nudft_visibilities

@@ -244,3 +244,18 @@ def test_analysis_product_save(tmp_path):
     np.testing.assert_allclose(back["skyvis_lag"], sb["skyvis_lag"])
     np.testing.assert_allclose(back["lags"], sb["lags"])
     assert back["shape"] == "bhw"
+
+
+def test_get_complex_roundtrip():
+    """utils.get_complex: safe complex transfer (real/imag inside jit)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from prisim_tpu.utils import get_complex
+    z = jnp.asarray(np.arange(6, dtype=np.complex64).reshape(2, 3)
+                    * (1 + 2j))
+    out = get_complex(z)
+    assert isinstance(out, np.ndarray) and out.dtype == np.complex64
+    np.testing.assert_allclose(out, np.asarray(z))
+    # non-complex input passes through unchanged
+    x = jnp.ones((2, 2), jnp.float32)
+    np.testing.assert_allclose(get_complex(x), 1.0)
