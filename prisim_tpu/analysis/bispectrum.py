@@ -27,7 +27,9 @@ from .cosmology import (cosmo100, dkprll_deta, comoving_depth, freq_to_z,
                         jy2k)
 
 __all__ = ["ClosurePhaseData", "closure_npz_from_vs", "load_closure_npz",
-           "cpds_ft", "cross_power_spectrum", "kbin_average"]
+           "cpds_ft", "cross_power_spectrum", "kbin_average",
+           "power_spectrum_uncertainty", "rescale_power_spectrum",
+           "average_rescaled_power_spectrum"]
 
 
 @dataclass
@@ -397,6 +399,102 @@ def _hdf5_to_dict(group):
                 arr = np.char.decode(arr)
             out[k] = arr
     return out
+
+
+def power_spectrum_uncertainty(cpd, freq_center, bw_eff, shape="bhw",
+                               fftpow=1.0, pad=1.0, ndaybins=4, seed=0,
+                               cosmo=cosmo100):
+    """Uncertainty of the closure-phase power spectrum from
+    subsample differencing: delay-transform the day-pair half-differences
+    of e^{i cp} and form their auto power spectra, incoherently averaged
+    over pairs (ClosurePhaseDelaySpectrum.compute_power_spectrum_
+    uncertainty, /root/reference/prisim/bispectrum_phase.py:3605-4360,
+    fed by the errinfo tree built in subsample_differencing :2023).
+
+    Returns dict(kprll, z, P_err (nwin, nlst, ntriads, nlag), npairs).
+    The sign convention of the half differences cancels sky signal, so
+    |FT(diff)|^2 estimates the noise floor of the cross spectrum."""
+    sub = cpd.subsample_differencing(ndaybins=ndaybins, seed=seed)
+    diffs = sub["eicp_diff"]                 # (npairs, nlst, ntri, nchan)
+    wts = np.ones(diffs.shape)
+    ps_list = []
+    ftref = None
+    for i in range(diffs.shape[0]):
+        ft = cpds_ft(diffs[i], wts[i], cpd.freqs, freq_center, bw_eff,
+                     shape=shape, fftpow=fftpow, pad=pad)
+        ftref = ft
+        ps = cross_power_spectrum(ft, ft, cosmo=cosmo)
+        ps_list.append(np.abs(ps["P"]))
+    avg = incoherent_average(ps_list)        # array, pair-averaged
+    out = cross_power_spectrum(ftref, ftref, cosmo=cosmo)
+    return dict(kprll=out["kprll"], z=out["z"], lags=out["lags"],
+                freq_center=out["freq_center"],
+                P_err=avg, npairs=diffs.shape[0])
+
+
+def rescale_power_spectrum(ps, freq_wts, vis_triad, vis_lst_hours,
+                           units="Jy"):
+    """Rescale a dimensionless closure-phase power spectrum to physical
+    visibility units (rescale_power_spectrum,
+    /root/reference/prisim/bispectrum_phase.py:4361-4494).
+
+    ps: dict from cross_power_spectrum with P (nwin, nlst, ..., nlag)
+    and 'lst' (hours); freq_wts: (nwin, nchan) subband windows (from
+    cpds_ft); vis_triad: (nvis_lst, 3, nchan) complex visibilities of
+    the triad's three baselines; vis_lst_hours: (nvis_lst,).
+
+    Each closure LST maps to the nearest visibility LST (circular);
+    the scale is the harmonic combination
+    1 / sum_bl |Vbar_bl|^-2 of the window-weighted mean visibility
+    amplitudes, giving P in <units>^2 (Mpc/h)^3. Adds 'P_absscale' and
+    'absscale_units' to a copy of ps."""
+    ps = dict(ps)
+    freq_wts = np.atleast_2d(np.asarray(freq_wts, dtype=np.float64))
+    vis = np.asarray(vis_triad)
+    vlst = np.asarray(vis_lst_hours, dtype=np.float64) * 15.0  # deg
+    clst = np.asarray(ps["lst"], dtype=np.float64) * 15.0
+    dmat = clst.reshape(-1, 1) - vlst.reshape(1, -1)
+    dmat = (dmat + 180.0) % 360.0 - 180.0
+    nearest = np.argmin(np.abs(dmat), axis=1)            # (nlst,)
+    vsel = vis[nearest]                                  # (nlst, 3, nchan)
+    wsum = freq_wts.sum(axis=-1)                         # (nwin,)
+    vbar = np.einsum("wc,lbc->wlb", freq_wts, vsel) /         np.maximum(wsum, 1e-30)[:, None, None]           # (nwin, nlst, 3)
+    with np.errstate(divide="ignore"):
+        mult = 1.0 / np.sum(1.0 / np.maximum(np.abs(vbar), 1e-30) ** 2,
+                            axis=-1)                     # (nwin, nlst)
+    P = np.asarray(ps["P"])
+    mult_b = mult.reshape(mult.shape + (1,) * (P.ndim - 2))
+    ps["P_absscale"] = P * mult_b
+    ps["absscale_units"] = "%s^2 (Mpc/h)^3" % units
+    ps["absscale_mult"] = mult
+    return ps
+
+
+def average_rescaled_power_spectrum(P, kprll, avgax, kprll_llim=None):
+    """Average a rescaled power spectrum over the given axes, with
+    inverse-variance weights estimated from the |k_parallel| >=
+    kprll_llim region (average_rescaled_power_spectrum,
+    /root/reference/prisim/bispectrum_phase.py:4495-4637).
+
+    P: (nwin, ..., nlag); kprll: (nwin, nlag); avgax: int or tuple of
+    axes in [1, P.ndim-2] (the window and lag axes are preserved)."""
+    P = np.asarray(P)
+    avgax = tuple(np.atleast_1d(avgax))
+    if any(a <= 0 or a >= P.ndim - 1 for a in avgax):
+        raise ValueError("avgax must lie strictly between the window "
+                         "and lag axes")
+    if kprll_llim is None:
+        wts = np.ones((1,) * P.ndim)
+    else:
+        mask = np.abs(np.asarray(kprll)) >= abs(kprll_llim)  # (nwin, nlag)
+        mask_b = mask[(slice(None),) + (None,) * (P.ndim - 2)]
+        sel = np.where(mask_b, P, np.nan)
+        var = np.nanvar(sel.real, axis=-1, keepdims=True)             + np.nanvar(sel.imag, axis=-1, keepdims=True)
+        with np.errstate(divide="ignore"):
+            wts = 1.0 / np.maximum(var, 1e-300)
+    num = np.sum(wts * P, axis=avgax, keepdims=True)
+    den = np.sum(wts * np.ones_like(P.real), axis=avgax, keepdims=True)
+    return num / np.maximum(den, 1e-300)
 
 
 def save_xcpdps(ps, path):

@@ -359,7 +359,8 @@ def closure_npz(infile, outfile, datatype="vis", unique=True):
 
 def xcpdps(infile, outfile, freq_center=None, bw_eff=None, pad=1.0,
            shape="bhw", fftpow=1.0, lstbinsize=None, ndaybins=2,
-           num_kbins=None, kbintype="log", seed=0):
+           num_kbins=None, kbintype="log", seed=0, errinfo=False,
+           rescale_vis=None, rescale_triad=None):
     """Closure-phase delay cross power spectrum from a HERA-layout NPZ:
     the reference's ClosurePhase -> smooth_in_tbins ->
     subsample_differencing -> ClosurePhaseDelaySpectrum.FT ->
@@ -414,6 +415,34 @@ def xcpdps(infile, outfile, freq_center=None, bw_eff=None, pad=1.0,
         ps.update({"kbin_edges": kb["kbin_edges"],
                    "kbin_centers": kb["kbin_centers"],
                    "P_kbin": kb["P_kbin"]})
+    if errinfo and cpd.days.size >= 2:
+        from .analysis.bispectrum import power_spectrum_uncertainty
+        nb = min(max(ndaybins, 2), cpd.days.size)
+        err = power_spectrum_uncertainty(cpd, freq_center, bw_eff,
+                                         shape=shape, fftpow=fftpow,
+                                         pad=pad, ndaybins=nb, seed=seed)
+        ps["errinfo"] = err
+    if rescale_vis is not None:
+        from .analysis.bispectrum import rescale_power_spectrum
+        from .analysis.closure import triad_baseline_indices
+        sim = _load_any(rescale_vis)
+        if rescale_triad is None:
+            rescale_triad = list(np.asarray(cpd.triads, dtype=str)[0])
+        kwargs = {}
+        if sim.layout is not None:
+            kwargs = dict(baselines=np.asarray(sim.baselines),
+                          ant_positions=np.asarray(
+                              sim.layout["positions"]),
+                          ant_labels=np.asarray(sim.layout["labels"],
+                                                dtype=str))
+        idx, cj = triad_baseline_indices(np.asarray(sim.labels, str),
+                                         [rescale_triad], **kwargs)
+        cube = np.asarray(sim.vis if sim.vis is not None else sim.skyvis)
+        v3 = cube[idx[0]]                        # (3, nchan, nacc)
+        v3 = np.where(cj[0][:, None, None], np.conj(v3), v3)
+        vis_triad = np.transpose(v3, (2, 0, 1))  # (nacc, 3, nchan)
+        ps = rescale_power_spectrum(ps, ft1["freq_wts"], vis_triad,
+                                    np.asarray(sim.lst).ravel() / 15.0)
     save_xcpdps(ps, outfile)
     return ps
 
@@ -511,6 +540,9 @@ def main(argv=None):
     xp.add_argument("--lstbin", type=float)
     xp.add_argument("--ndaybins", type=int, default=2)
     xp.add_argument("--num-kbins", type=int)
+    xp.add_argument("--errinfo", action="store_true")
+    xp.add_argument("--rescale-vis")
+    xp.add_argument("--rescale-triad", nargs=3)
 
     m = sub.add_parser("mesh-check")
     m.add_argument("-n", "--n-devices", type=int, default=8)
@@ -556,7 +588,9 @@ def main(argv=None):
     elif a.cmd == "xcpdps":
         ps = xcpdps(a.infile, a.outfile, freq_center=a.freq_center,
                     bw_eff=a.bw_eff, pad=a.pad, lstbinsize=a.lstbin,
-                    ndaybins=a.ndaybins, num_kbins=a.num_kbins)
+                    ndaybins=a.ndaybins, num_kbins=a.num_kbins,
+                    errinfo=a.errinfo, rescale_vis=a.rescale_vis,
+                    rescale_triad=a.rescale_triad)
         print("wrote %s (%s spectrum, %d subbands, P shape %s)"
               % (a.outfile, ps["mode"], len(np.atleast_1d(ps["z"])),
                  ps["P"].shape))

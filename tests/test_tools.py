@@ -192,3 +192,42 @@ def test_xcpdps(tmp_path):
     assert ps1["mode"] == "auto"
     # auto spectrum of e^{i cp} is real and positive at lag 0 dominance
     assert np.isfinite(ps1["P"]).all()
+
+
+def test_xcpdps_errinfo_and_rescale(tmp_path):
+    from prisim_tpu.analysis.bispectrum import (
+        ClosurePhaseData, power_spectrum_uncertainty,
+        rescale_power_spectrum, average_rescaled_power_spectrum)
+    rng = np.random.RandomState(2)
+    nlst, ndays, ntri, nchan = 3, 4, 2, 16
+    base = rng.uniform(-0.3, 0.3, (nlst, 1, ntri, nchan))
+    # identical days -> subsample differences vanish -> P_err == 0
+    cpd = ClosurePhaseData(
+        cp=np.broadcast_to(base, (nlst, ndays, ntri, nchan)).copy(),
+        wts=np.ones((nlst, ndays, ntri, nchan)),
+        freqs=150e6 + 1e5 * np.arange(nchan),
+        lst=np.linspace(1.0, 2.0, nlst),
+        days=2458000.0 + np.arange(ndays),
+        triads=np.array([["0", "1", "2"], ["1", "2", "3"]]))
+    err = power_spectrum_uncertainty(
+        cpd, [cpd.freqs[nchan // 2]], [4e5], ndaybins=2)
+    np.testing.assert_allclose(err["P_err"], 0.0, atol=1e-20)
+    # noisy days -> nonzero uncertainty
+    cpd2 = cpd
+    cpd2.cp = cpd.cp + rng.normal(0, 0.1, cpd.cp.shape)
+    err2 = power_spectrum_uncertainty(
+        cpd2, [cpd.freqs[nchan // 2]], [4e5], ndaybins=2)
+    assert np.abs(err2["P_err"]).max() > 0
+    # rescaling: constant |V|=2 on all 3 baselines -> mult = 4/3
+    ps = dict(P=np.ones((1, nlst, ntri, 8)), lst=cpd.lst,
+              kprll=np.linspace(-1, 1, 8)[None])
+    fw = np.ones((1, nchan))
+    vt = np.full((nlst, 3, nchan), 2.0 + 0.0j)
+    out = rescale_power_spectrum(ps, fw, vt, cpd.lst)
+    np.testing.assert_allclose(out["absscale_mult"], 4.0 / 3.0)
+    np.testing.assert_allclose(out["P_absscale"], 4.0 / 3.0)
+    # averaging with inverse-variance weights preserves a constant
+    avg = average_rescaled_power_spectrum(out["P_absscale"], ps["kprll"],
+                                          avgax=(1, 2), kprll_llim=0.2)
+    assert avg.shape == (1, 1, 1, 8)
+    np.testing.assert_allclose(avg, 4.0 / 3.0)
