@@ -871,6 +871,12 @@ def run_simulation_chunked(parms, outdir=None, verbose=True):
                   % (i + 1, n_chunks, part_path))
     vs = concatenate([load_hdf5(p) for p in parts], axis)
     outpath = _save_products(vs, parms, outdir)
+    # record the decomposition (run_prisim.py:1793-1801 chunkinfo.yaml)
+    os.makedirs(os.path.join(outpath, "metainfo"), exist_ok=True)
+    dump_parms({"key": key, "n_chunks": n_chunks,
+                "chunk_edges": [int(e) for e in edges],
+                "parts": [os.path.basename(p) for p in parts]},
+               os.path.join(outpath, "metainfo", "chunkinfo.yaml"))
     cleanup = int(parms["processing"].get("cleanup") or 0)
     if cleanup >= 1:
         for p in parts:
