@@ -836,6 +836,12 @@ def run_simulation_chunked(parms, outdir=None, verbose=True):
     key = (pp.get("key") or "freq").lower()
     axis = 1 if key == "freq" else 2
     import copy as _copy
+    if axis == 1:
+        edges = np.linspace(0, int(parms["bandpass"]["nchan"]),
+                            n_chunks + 1).astype(int)
+    else:
+        edges = np.linspace(0, int(parms["obsparm"]["n_acc"]),
+                            n_chunks + 1).astype(int)
     parts = []
     for i in range(n_chunks):
         part_path = os.path.join(outdir, "simdata",
@@ -852,13 +858,11 @@ def run_simulation_chunked(parms, outdir=None, verbose=True):
             df = float(parms["bandpass"]["freq_resolution"])
             f_center = float(parms["bandpass"]["freq"])
             f_lo = f_center + df * (-nchan / 2)
-            edges = np.linspace(0, nchan, n_chunks + 1).astype(int)
             nloc = int(edges[i + 1] - edges[i])
             p2["bandpass"]["nchan"] = nloc
             p2["bandpass"]["freq"] = f_lo + df * (edges[i] + nloc / 2)
         else:
             n_acc = int(parms["obsparm"]["n_acc"])
-            edges = np.linspace(0, n_acc, n_chunks + 1).astype(int)
             p2["obsparm"]["n_acc"] = n_acc     # schedule then pick
             p2["snapshot"]["pick"] = list(range(int(edges[i]),
                                                 int(edges[i + 1])))
