@@ -191,3 +191,42 @@ def test_baseline_group_keys():
     assert idx[2] == -1
     labels, vecs = baselines_in_group(bset, idx[0])
     assert len(labels) == 3  # 3 copies of the 14.6 m spacing
+
+
+def test_hi_cube_lightcone(tmp_path):
+    """hi_cube/21cmfast lightcone dispatch: HEALPix maps x model freqs,
+    interpolated onto the simulation grid and simulated end-to-end."""
+    from prisim_tpu.config import load_parms
+    from prisim_tpu.driver import run_simulation, build_sky, \
+        build_frequencies
+    from prisim_tpu import healpix as hp
+    nside = 8
+    npix = hp.nside2npix(nside)
+    fmdl = np.linspace(140e6, 170e6, 5)
+    rng = np.random.RandomState(0)
+    # per-pixel random lightcone with a linear frequency ramp
+    maps = (1.0 + 0.5 * rng.rand(npix, 1)) \
+        * np.linspace(1.0, 2.0, 5)[None, :]
+    path = str(tmp_path / "lightcone.npz")
+    np.savez(path, maps=maps, freqs=fmdl)
+    p = load_parms({
+        "bandpass": {"nchan": 8, "freq": 155e6,
+                     "freq_resolution": 195312.5},
+        "array": {"layout": "HERA-7"},
+        "obsparm": {"n_acc": 1, "t_acc": 10.0},
+        "skyparm": {"model": "hi_cube"},
+        "catalog": {"spectrum_file": path}})
+    freqs = build_frequencies(p)
+    sm = build_sky(p, freqs)
+    assert sm.nsrc == npix
+    # interpolated spectrum preserves the linear ramp shape per pixel,
+    # times the Rayleigh-Jeans K -> Jy conversion (S ~ T f^2)
+    spec = sm.generate_spectrum(freqs)
+    ratio = spec / spec[:, :1]
+    expect = np.interp(freqs, fmdl, np.linspace(1.0, 2.0, 5)) \
+        * (freqs / freqs[0]) ** 2
+    np.testing.assert_allclose(ratio, (expect / expect[0])[None, :],
+                               rtol=1e-3)
+    vs, _ = run_simulation(p, verbose=False, save=False)
+    assert np.isfinite(np.asarray(vs.skyvis)).all()
+    assert np.abs(np.asarray(vs.skyvis)).max() > 0
