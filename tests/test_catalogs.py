@@ -225,8 +225,8 @@ def test_hi_cube_lightcone(tmp_path):
     ratio = spec / spec[:, :1]
     expect = np.interp(freqs, fmdl, np.linspace(1.0, 2.0, 5)) \
         * (freqs / freqs[0]) ** 2
-    np.testing.assert_allclose(ratio, (expect / expect[0])[None, :],
-                               rtol=1e-3)
+    np.testing.assert_allclose(ratio, np.broadcast_to(
+        (expect / expect[0])[None, :], ratio.shape), rtol=1e-3)
     vs, _ = run_simulation(p, verbose=False, save=False)
     assert np.isfinite(np.asarray(vs.skyvis)).all()
     assert np.abs(np.asarray(vs.skyvis)).max() > 0
