@@ -764,7 +764,8 @@ def _save_products(vs, parms, outdir=None):
             expand = inv[group_of]
             if np.all(expand >= 0):
                 kw = {n: np.asarray(getattr(vs, n))[expand]
-                      for n in ("skyvis", "vis", "vis_noise")
+                      for n in ("skyvis", "vis", "vis_noise", "vis_rms",
+                                "bp", "bp_wts", "Tsys")
                       if getattr(vs, n) is not None}
                 vs_uv = dataclasses.replace(
                     vs, baselines=vecs, labels=pairs,

@@ -151,7 +151,17 @@ def save_uvfits(vs, path, datatype="noiseless"):
     data = np.zeros((nblts, 1, 1, nchan, 1, 3), dtype=np.float32)
     data[..., 0] = a["data"].real.reshape(nblts, 1, 1, nchan, 1)
     data[..., 1] = a["data"].imag.reshape(nblts, 1, 1, nchan, 1)
-    data[..., 2] = 1.0                      # weights
+    # UVFITS weight convention: >0 good, <=0 flagged. Flags are channels
+    # where bandpass x weights vanish (driver flag block; the reference
+    # exports its flag_array via pyuvdata, interferometry.py:9528)
+    if vs.bp is not None or vs.bp_wts is not None:
+        bp, wts = vs.default_bp()
+        good = (np.asarray(bp) * np.asarray(wts)) != 0
+        data[..., 2] = np.where(
+            np.transpose(good, (2, 0, 1)).reshape(nblts, 1, 1, nchan, 1),
+            np.float32(1.0), np.float32(-1.0))
+    else:
+        data[..., 2] = 1.0
 
     object_name = vs.telescope.get("id", "custom")
     cards = [

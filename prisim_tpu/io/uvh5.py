@@ -88,8 +88,14 @@ def save_uvh5(vs, path, datatype="noiseless"):
         d.create_dataset("visdata",
                          data=a["data"].reshape(nblts, 1, nchan, 1)
                          .astype(np.complex64))
-        d.create_dataset("flags",
-                         data=np.zeros((nblts, 1, nchan, 1), dtype=bool))
+        if vs.bp is not None or vs.bp_wts is not None:
+            bp, wts = vs.default_bp()
+            bad = (np.asarray(bp) * np.asarray(wts)) == 0
+            flags = np.transpose(bad, (2, 0, 1)).reshape(
+                nblts, 1, nchan, 1)
+        else:
+            flags = np.zeros((nblts, 1, nchan, 1), dtype=bool)
+        d.create_dataset("flags", data=flags)
         d.create_dataset("nsamples",
                          data=np.ones((nblts, 1, nchan, 1),
                                       dtype=np.float32))

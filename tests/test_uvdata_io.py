@@ -162,3 +162,29 @@ def test_uvfits_to_visibilityset_roundtrip(tmp_path):
     np.testing.assert_allclose(back.baselines, vs.baselines, atol=1e-4)
     np.testing.assert_allclose(back.latitude, vs.latitude, atol=0.2)
     assert back.telescope["id"] == "hera"
+
+
+def test_flags_propagate_to_uv_exports(tmp_path):
+    """Edge-channel flags (bp=0) become negative UVFITS weights and
+    UVH5 flag booleans."""
+    import h5py
+    from prisim_tpu.config import load_parms
+    from prisim_tpu.driver import run_simulation
+    from prisim_tpu.io.fitsio import read_fits
+    p = load_parms({
+        "bandpass": {"nchan": 8, "freq": 155e6, "freq_resolution": 1e5},
+        "array": {"layout": "HERA-7"},
+        "obsparm": {"n_acc": 2, "t_acc": 10.0},
+        "skyparm": {"model": "random", "nsrc": 8, "seed": 0},
+        "flags": {"bp_flag_repeat": False, "n_edge_flag": [2, 1]},
+        "dirstruct": {"rootdir": str(tmp_path), "project": "p"},
+        "save_formats": {"fmt": "HDF5", "uvfits": True, "uvh5": True}})
+    vs, outdir = run_simulation(p, verbose=False)
+    base = outdir + "/simdata/simvis"
+    expect_flag = np.array([1, 1, 0, 0, 0, 0, 0, 1], bool)
+    with h5py.File(base + ".uvh5") as f:
+        fl = f["Data/flags"][()]
+    assert (fl[0, 0, :, 0] == expect_flag).all()
+    gh = next(h for h in read_fits(base + ".uvfits") if "pars" in h)
+    w = gh["data"].reshape(gh["header"]["GCOUNT"], -1, 3)[0, :, 2]
+    assert ((w < 0) == expect_flag).all()
