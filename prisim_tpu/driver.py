@@ -780,12 +780,69 @@ def _save_products(vs, parms, outdir=None):
     if parms["save_formats"].get("uvh5"):
         from .io.uvh5 import save_uvh5
         save_uvh5(vs_uv, base + ".uvh5")
+    if parms.get("plots"):
+        try:
+            _save_plots(vs, outdir)
+        except Exception as exc:     # diagnostics must never kill a run
+            print("[prisim_tpu] plots failed: %s" % exc)
     dump_parms(parms, os.path.join(outdir, "metainfo", "simparms.yaml"))
     meta = {"user": os.environ.get("USER", "unknown"),
             "date": time.strftime("%Y-%m-%dT%H:%M:%S"),
             "prisim_tpu_version": __version__}
     dump_parms(meta, os.path.join(outdir, "metainfo", "meta.yaml"))
     return outdir
+
+
+def _save_plots(vs, outdir):
+    """Diagnostic figures under <outdir>/figures/ (the 'plots' config
+    flag, /root/reference/prisim/examples/simparms/defaultparms.yaml:
+    1033-1036 — documented but unimplemented in the reference driver):
+    amplitude waterfalls for the shortest/median/longest baseline,
+    amplitude vs baseline length, and a delay-spectrum waterfall when
+    lags are present."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    figdir = os.path.join(outdir, "figures")
+    os.makedirs(figdir, exist_ok=True)
+    cube = np.asarray(vs.vis if vs.vis is not None else vs.skyvis)
+    lens = vs.baseline_lengths
+    order = np.argsort(lens)
+    picks = [order[0], order[order.size // 2], order[-1]]
+    fig, axes = plt.subplots(1, len(picks), figsize=(4 * len(picks), 3),
+                             squeeze=False)
+    for ax, b in zip(axes[0], picks):
+        im = ax.imshow(np.abs(cube[b]).T, aspect="auto", origin="lower",
+                       extent=[vs.freqs[0] / 1e6, vs.freqs[-1] / 1e6,
+                               0, cube.shape[2]])
+        ax.set_title("|V| bl %.1f m" % lens[b])
+        ax.set_xlabel("freq [MHz]")
+        ax.set_ylabel("accumulation")
+        fig.colorbar(im, ax=ax)
+    fig.tight_layout()
+    fig.savefig(os.path.join(figdir, "vis_waterfall.png"), dpi=100)
+    plt.close(fig)
+    fig, ax = plt.subplots(figsize=(5, 3.5))
+    ax.semilogy(lens, np.abs(cube).mean(axis=(1, 2)), ".")
+    ax.set_xlabel("baseline length [m]")
+    ax.set_ylabel("mean |V| [Jy]")
+    fig.tight_layout()
+    fig.savefig(os.path.join(figdir, "amp_vs_baseline.png"), dpi=100)
+    plt.close(fig)
+    if vs.lags is not None and vs.skyvis_lag is not None:
+        lag = np.asarray(vs.skyvis_lag)
+        fig, ax = plt.subplots(figsize=(5, 3.5))
+        im = ax.imshow(np.log10(np.abs(lag[:, :, 0]) + 1e-12),
+                       aspect="auto", origin="lower",
+                       extent=[vs.lags[0] * 1e6, vs.lags[-1] * 1e6,
+                               0, lag.shape[0]])
+        ax.set_xlabel("delay [us]")
+        ax.set_ylabel("baseline index")
+        fig.colorbar(im, ax=ax, label="log10 |V(tau)|")
+        fig.tight_layout()
+        fig.savefig(os.path.join(figdir, "delay_waterfall.png"), dpi=100)
+        plt.close(fig)
+    return figdir
 
 
 def main(argv=None):

@@ -240,3 +240,24 @@ def test_full_pipeline_example(tmp_path):
     assert out["dps"]["skyvis"].shape[0] == out["vs"].nbl
     import numpy as np
     assert np.isfinite(np.asarray(out["closure"])).all()
+
+
+def test_plots_flag(tmp_path):
+    """plots: true writes diagnostic figures under <outdir>/figures/."""
+    import os
+    from prisim_tpu.config import load_parms
+    from prisim_tpu.driver import run_simulation
+    p = load_parms({
+        "dirstruct": {"rootdir": str(tmp_path), "project": "p"},
+        "bandpass": {"nchan": 8, "freq": 155e6, "freq_resolution": 1e5},
+        "array": {"layout": "HERA-7"},
+        "obsparm": {"n_acc": 1, "t_acc": 10.0},
+        "skyparm": {"model": "random", "nsrc": 8, "seed": 0},
+        "plots": True,
+        "processing": {"delay_transform": True}})
+    vs, outdir = run_simulation(p, verbose=False)
+    figs = sorted(os.listdir(os.path.join(outdir, "figures")))
+    assert figs == ["amp_vs_baseline.png", "delay_waterfall.png",
+                    "vis_waterfall.png"]
+    for f in figs:
+        assert os.path.getsize(os.path.join(outdir, "figures", f)) > 5000
