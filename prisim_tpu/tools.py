@@ -447,6 +447,17 @@ def xcpdps(infile, outfile, freq_center=None, bw_eff=None, pad=1.0,
     return ps
 
 
+def plot_sim(infile, outdir):
+    """Regenerate the driver's diagnostic figures from a saved sim
+    (driver._save_plots on an arbitrary file)."""
+    import os
+    from .driver import _save_plots
+    vs = _load_any(infile)
+    os.makedirs(outdir, exist_ok=True)
+    # _save_plots writes under <outdir>/figures
+    return _save_plots(vs, outdir)
+
+
 def mesh_check(n_devices=8):
     """Multi-device smoke test (the reference's
     test_mpi4py_for_prisim.py analog): bring up an n-device mesh (CPU
@@ -544,6 +555,10 @@ def main(argv=None):
     xp.add_argument("--rescale-vis")
     xp.add_argument("--rescale-triad", nargs=3)
 
+    pl = sub.add_parser("plot")
+    pl.add_argument("infile")
+    pl.add_argument("outdir")
+
     m = sub.add_parser("mesh-check")
     m.add_argument("-n", "--n-devices", type=int, default=8)
 
@@ -594,6 +609,9 @@ def main(argv=None):
         print("wrote %s (%s spectrum, %d subbands, P shape %s)"
               % (a.outfile, ps["mode"], len(np.atleast_1d(ps["z"])),
                  ps["P"].shape))
+    elif a.cmd == "plot":
+        figdir = plot_sim(a.infile, a.outdir)
+        print("wrote figures to %s" % figdir)
     elif a.cmd == "mesh-check":
         raise SystemExit(0 if mesh_check(a.n_devices) else 1)
     elif a.cmd == "feko2hpx":
