@@ -95,7 +95,8 @@ def dipole_beam(dircos, freqs, length, orientation_dircos=(1.0, 0.0, 0.0),
     (cf. primary_beams.py:1208-1237):
       E = (cos(kh cos a) - cos(kh)) / sin a, normalized by (1 - cos kh),
     where a is the angle between source and dipole axis."""
-    d = jnp.asarray(orientation_dircos, dtype=dircos.dtype).reshape(3)
+    d = jnp.asarray(np.asarray(orientation_dircos,
+                               dtype=np.float32)).reshape(3)
     d = d / jnp.linalg.norm(d)
     cosa = jnp.clip(dircos @ d, -1.0, 1.0)
     sina = jnp.sqrt(jnp.clip(1.0 - cosa ** 2, 1e-12, 1.0))
