@@ -43,7 +43,8 @@ def _load_any(path):
     return load_hdf5(path)
 
 __all__ = ["convert", "update_noise", "replicate", "expand_redundant_file",
-           "list_sims", "grep_sims", "feko_to_healpix", "main"]
+           "list_sims", "grep_sims", "feko_to_healpix", "delay_ps",
+           "closure_npz", "xcpdps", "plot_sim", "main"]
 
 
 def convert(infile, outfile, formats=("hdf5",), phase_center=None,
