@@ -261,3 +261,42 @@ def test_plots_flag(tmp_path):
                     "vis_waterfall.png"]
     for f in figs:
         assert os.path.getsize(os.path.join(outdir, "figures", f)) > 5000
+
+
+def test_driver_gains_file(tmp_path):
+    """gains.file: antenna gain table applied as g(A2) conj(g(A1));
+    two driver runs (with/without gains) differ exactly by that factor
+    on the noiseless cube."""
+    from prisim_tpu.config import load_parms
+    from prisim_tpu.driver import run_simulation
+    from prisim_tpu.gains import GainInfo, GainTable
+    base = {
+        "dirstruct": {"rootdir": str(tmp_path), "project": "p"},
+        "bandpass": {"nchan": 4, "freq": 155e6, "freq_resolution": 1e5},
+        "array": {"layout": "HERA-7"},
+        "obsparm": {"n_acc": 1, "t_acc": 10.0},
+        "skyparm": {"model": "random", "nsrc": 8, "seed": 0}}
+    p0 = load_parms(dict(base))
+    vs0, _ = run_simulation(p0, verbose=False, save=False)
+    labels = np.unique(np.asarray(vs0.labels, dtype=str))
+    rng = np.random.RandomState(5)
+    g = (1.0 + 0.1 * rng.randn(labels.size)) * \
+        np.exp(1j * 0.2 * rng.randn(labels.size))
+    gi = GainInfo(antenna_based=GainTable(
+        gains=g[:, None, None], label=labels))
+    gpath = str(tmp_path / "gains.hdf5")
+    gi.write_hdf5(gpath)
+    p1 = load_parms({**base, "gains": {"file": gpath}})
+    vs1, _ = run_simulation(p1, verbose=False, save=False)
+    lut = {l: i for i, l in enumerate(labels)}
+    pairs = np.asarray(vs0.labels, dtype=str)
+    expect = np.asarray([g[lut[a2]] * np.conj(g[lut[a1]])
+                         for a2, a1 in pairs])
+    # vis = gains * skyvis + noise; skyvis itself is gain-free
+    np.testing.assert_allclose(np.asarray(vs1.skyvis),
+                               np.asarray(vs0.skyvis), rtol=1e-6)
+    ratio = (np.asarray(vs1.vis) - np.asarray(vs1.vis_noise)) / \
+        np.asarray(vs0.skyvis)
+    np.testing.assert_allclose(
+        ratio, np.broadcast_to(expect[:, None, None], ratio.shape),
+        rtol=1e-5)
