@@ -245,3 +245,21 @@ def test_closure_from_redundant_sim():
     out = closure_phases_vs(vs, unique=False)
     np.testing.assert_allclose(out["closure_phase_skyvis"], 0.0,
                                atol=1e-8)
+
+
+def test_lst_binning_median_stat():
+    """median statistic: robust to a single outlier sample in a bin."""
+    cpd = _random_cpd()
+    # poison one LST sample with a huge phase; median binning of e^{icp}
+    # across the bin should stay bounded while the mean shifts
+    cpd_bad = cpd
+    cpd_bad.cp = cpd.cp.copy()
+    cpd_bad.cp[0] += np.pi * 0.9
+    med = cpd_bad.smooth_in_tbins(lstbinsize=10.0, stat="median")
+    mean = cpd_bad.smooth_in_tbins(lstbinsize=10.0, stat="mean")
+    assert med.cp.shape[0] == 1 and mean.cp.shape[0] == 1
+    ref = cpd.smooth_in_tbins(lstbinsize=10.0, stat="median")
+    # median closer to the uncorrupted estimate than the mean
+    dmed = np.abs(np.angle(np.exp(1j * (med.cp - ref.cp)))).mean()
+    dmean = np.abs(np.angle(np.exp(1j * (mean.cp - ref.cp)))).mean()
+    assert dmed <= dmean
