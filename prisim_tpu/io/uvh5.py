@@ -150,6 +150,14 @@ def load_uvh5(path):
     # (nblts, 1, nchan, 1) time-major -> (nbl, nchan, ntimes), un-conjugated
     vis = np.conj(a["visdata"][:, 0, :, 0].reshape(ntimes, nbl, nchan)
                   .transpose(1, 2, 0))
+    bp_wts = None
+    with h5py.File(path, "r") as f:
+        if "Data/flags" in f:
+            fl = f["Data/flags"][()][:, 0, :, 0]
+            if fl.any():
+                bp_wts = np.where(
+                    fl.reshape(ntimes, nbl, nchan).transpose(1, 2, 0),
+                    0.0, 1.0)
     ant1 = a["ant_1_array"][:nbl]
     ant2 = a["ant_2_array"][:nbl]
     labels = np.stack([ant2.astype(str), ant1.astype(str)], axis=-1)
@@ -176,7 +184,8 @@ def load_uvh5(path):
     t_acc = np.broadcast_to(np.atleast_1d(integ)[:1], (ntimes,)).copy()
     return VisibilitySet(
         baselines=bl, labels=labels, freqs=a["freq_array"], lst=lst,
-        skyvis=vis, timestamps=jd, t_acc=t_acc, latitude=lat,
+        skyvis=vis, bp_wts=bp_wts, timestamps=jd, t_acc=t_acc,
+        latitude=lat,
         longitude=lon, altitude=alt,
         telescope={"id": tel},
         layout=dict(positions=enu,
