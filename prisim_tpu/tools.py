@@ -394,6 +394,10 @@ def xcpdps(infile, outfile, freq_center=None, bw_eff=None, pad=1.0,
         w2 = (sub["wts_mean"][1] > 0).astype(float)
         mode = "cross"
     else:
+        if cpd.days.size >= 2:
+            print("[prisim_tpu] ndaybins=%d outside [2, ndays=%d]; "
+                  "falling back to auto spectrum of the day mean"
+                  % (ndaybins, cpd.days.size))
         wsum = cpd.wts.sum(axis=1)
         esum = (cpd.eicp * cpd.wts).sum(axis=1)
         with np.errstate(invalid="ignore", divide="ignore"):
