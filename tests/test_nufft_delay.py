@@ -1,0 +1,48 @@
+"""Experimental delay-space NUFFT vs the direct f64 DFT."""
+
+import numpy as np
+import pytest
+
+from prisim_tpu.engine.nufft_delay import nufft_delay_visibilities
+
+
+def _direct(tau, amps, nu0, dnu, nchan):
+    nus = nu0 + dnu * np.arange(nchan)
+    ph = np.exp(-2j * np.pi * nus[None, None, :] * tau[:, :, None])
+    return np.sum(amps[:, :, None] * ph, axis=0)
+
+
+def test_nufft_matches_direct():
+    rng = np.random.RandomState(0)
+    S, B, C = 700, 12, 256
+    nu0, dnu = 100e6, 97656.25
+    # HERA-scale delays: up to ~300 m baselines
+    tau = rng.uniform(-1e-6, 1e-6, (S, B))
+    amps = rng.uniform(0.1, 10.0, (S, B))
+    V = nufft_delay_visibilities(tau, amps, nu0, dnu, C)
+    Vd = _direct(tau, amps, nu0, dnu, C)
+    rel = np.abs(V - Vd).max() / np.abs(Vd).max()
+    assert rel < 1e-9, rel
+
+
+def test_nufft_accuracy_vs_taps():
+    """More taps -> monotonically better accuracy (sanity of the KB
+    kernel/deconvolution pairing)."""
+    rng = np.random.RandomState(1)
+    S, B, C = 300, 4, 128
+    nu0, dnu = 150e6, 1e5
+    tau = rng.uniform(-5e-7, 5e-7, (S, B))
+    amps = rng.uniform(0.5, 2.0, (S, B))
+    Vd = _direct(tau, amps, nu0, dnu, C)
+    rels = []
+    for K in (5, 9, 13):
+        V = nufft_delay_visibilities(tau, amps, nu0, dnu, C, K=K)
+        rels.append(np.abs(V - Vd).max() / np.abs(Vd).max())
+    assert rels[0] > rels[1] > rels[2]
+    assert rels[1] < 1e-6
+
+
+def test_nufft_range_guard():
+    tau = np.array([[0.0], [1.1e-5]])   # > 1/dnu apart
+    with pytest.raises(ValueError):
+        nufft_delay_visibilities(tau, np.ones(2), 1e8, 1e5, 64)
