@@ -46,3 +46,24 @@ def test_nufft_range_guard():
     tau = np.array([[0.0], [1.1e-5]])   # > 1/dnu apart
     with pytest.raises(ValueError):
         nufft_delay_visibilities(tau, np.ones(2), 1e8, 1e5, 64)
+
+
+def test_nufft_spectral_lowrank():
+    """Power-law spectra over a full octave compress to rank ~12."""
+    from prisim_tpu.engine.nufft_delay import \
+        nufft_delay_visibilities_spectral
+    rng = np.random.RandomState(2)
+    S, B, C = 512, 6, 128
+    nu0, dnu = 100e6, 781250.0          # 100-200 MHz
+    freqs = nu0 + dnu * np.arange(C)
+    tau = rng.uniform(-6e-7, 6e-7, (S, B))
+    F = rng.uniform(0.1, 10.0, S)
+    al = rng.uniform(-2.5, 0.0, S)
+    A = F[:, None] * (freqs[None, :] / 150e6) ** al[:, None]
+    V, trunc = nufft_delay_visibilities_spectral(tau, A, nu0, dnu, C,
+                                                 rank=12)
+    ph = np.exp(-2j * np.pi * freqs[None, None, :] * tau[:, :, None])
+    Vd = np.sum(A[:, None, :] * ph, axis=0)
+    rel = np.abs(V - Vd).max() / np.abs(Vd).max()
+    assert rel < 1e-8, rel
+    assert trunc < 1e-10
