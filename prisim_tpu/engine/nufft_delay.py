@@ -132,3 +132,82 @@ def nufft_delay_visibilities_spectral(tau, amps_sc, nu0, dnu, nchan,
                                       nchan, beta=beta, K=K, alpha=alpha)
         out = out + Vi * Vt[i][None, :]
     return out, trunc
+
+
+def nufft_delay_visibilities_jax(tau_h, tau_l, amps, nu0, dnu, nchan,
+                                 beta=2.0, K=13, alpha=None):
+    """JAX (f32 + two-float phase) port of nufft_delay_visibilities.
+
+    tau_h/tau_l: (S, B) two-float delays in seconds (split_f64 of the
+    f64 delays, or df arithmetic upstream); amps: (S,) or (S, B) f32.
+    Returns (B, C) complex64. Phase-critical steps (the nu_mid carrier,
+    the grid coordinate, and the tmin-shift ramp) run in two-float so
+    the ~150-cycle phases keep ~1e-6 relative accuracy; kernel weights
+    and the FFT are plain f32. The spreading scatter is XLA's — correct
+    everywhere, fast on CPU; the Pallas bin-accumulate replaces it on
+    TPU in round 2 (ROADMAP)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.scipy.special import i0 as j_i0
+    from .. import twofloat as tf
+
+    if alpha is None:
+        alpha = np.pi * K * (1.0 - 0.5 / beta) - 0.01
+    alpha = float(alpha)
+    n = int(beta * nchan)
+    h = 1.0 / (n * dnu)                     # host f64 scalars
+    S, B = tau_h.shape
+    amps = jnp.asarray(amps, jnp.float32)
+    if amps.ndim == 1:
+        amps = jnp.broadcast_to(amps[:, None], (S, B))
+    nu_mid = nu0 + (nchan // 2) * dnu
+
+    # two-float carrier cycles: nu_mid * tau, reduced mod 1
+    nmh, nml = [jnp.float32(x) for x in _split_host(nu_mid)]
+    ch, cl = tf.df_mul(tau_h, tau_l, nmh, nml)
+    fh, fl = tf.df_frac(ch, cl)
+    ang = -2.0 * np.pi * (fh + fl)
+    carr_re = jnp.cos(ang)
+    carr_im = jnp.sin(ang)
+
+    # two-float grid coordinate phi = tau / h (magnitude <= n ~ 2048)
+    invh_h, invh_l = [jnp.float32(x) for x in _split_host(1.0 / h)]
+    ph_h, ph_l = tf.df_mul(tau_h, tau_l, invh_h, invh_l)
+    ph_min_h = jnp.min(ph_h, axis=0)        # (B,) lo part negligible here
+    ph_h, ph_l = tf.df_add(ph_h, ph_l, -ph_min_h[None, :], 0.0)
+    m0 = jnp.rint(ph_h).astype(jnp.int32)
+    z0 = (ph_h - m0.astype(jnp.float32)) + ph_l   # |z0| <= 1/2, f32
+
+    src = amps * carr_re + 1j * (amps * carr_im)
+    grid = jnp.zeros((B, n), jnp.complex64)
+    bidx = jnp.broadcast_to(jnp.arange(B)[None, :], (S, B))
+    i0a = float(np.i0(alpha))
+    for j in range(-(K // 2), K // 2 + 1):
+        z = z0 - jnp.float32(j)
+        arg = 1.0 - (2.0 * z / K) ** 2
+        w = jnp.where(arg > 0,
+                      j_i0(alpha * jnp.sqrt(jnp.clip(arg, 0.0, 1.0)))
+                      / i0a, 0.0)
+        grid = grid.at[bidx, (m0 + j) % n].add(src * w)
+    G = jnp.fft.fft(grid, axis=1)
+    k = np.arange(nchan) - nchan // 2
+    Gk = G[:, k % n]
+    deconv = jnp.asarray(1.0 / kb_fourier(k / n, K, alpha), jnp.float32)
+    # tmin ramp: k * dnu * tmin = (k/n) * ph_min cycles (up to ~50) in
+    # two-float; both factors are exact f32 (k/n with n a power of two,
+    # ph_min a min over f32 values), so the product is an exact df pair.
+    rh, rl = tf.df_mul(jnp.float32(dnu * h) *
+                       jnp.asarray(k, jnp.float32)[None, :],
+                       jnp.zeros((1, nchan), jnp.float32),
+                       ph_min_h[:, None], jnp.zeros((B, 1), jnp.float32))
+    rfh, rfl = tf.df_frac(rh, rl)
+    rang = -2.0 * np.pi * (rfh + rfl)
+    ramp = jnp.cos(rang) + 1j * jnp.sin(rang)
+    return Gk * deconv[None, :] * ramp
+
+
+def _split_host(x):
+    """Host-side f64 -> (hi, lo) f32 split."""
+    hi = np.float32(x)
+    lo = np.float32(x - np.float64(hi))
+    return hi, lo

@@ -67,3 +67,25 @@ def test_nufft_spectral_lowrank():
     rel = np.abs(V - Vd).max() / np.abs(Vd).max()
     assert rel < 1e-8, rel
     assert trunc < 1e-10
+
+
+def test_nufft_jax_port():
+    """f32+two-float jax port matches the f64 reference to ~3e-6 and is
+    jittable."""
+    import jax
+    import jax.numpy as jnp
+    from prisim_tpu import twofloat as tf
+    from prisim_tpu.engine.nufft_delay import nufft_delay_visibilities_jax
+    rng = np.random.RandomState(3)
+    S, B, C = 400, 8, 128
+    nu0, dnu = 100e6, 97656.25
+    tau = rng.uniform(-1e-6, 1e-6, (S, B))
+    amps = rng.uniform(0.1, 10.0, (S, B)).astype(np.float32)
+    th, tl = tf.split_f64(tau)
+    fn = jax.jit(lambda a, b, c: nufft_delay_visibilities_jax(
+        a, b, c, nu0, dnu, C))
+    Vj = np.asarray(fn(jnp.asarray(th), jnp.asarray(tl),
+                       jnp.asarray(amps)))
+    Vd = _direct(tau, amps.astype(np.float64), nu0, dnu, C)
+    rel = np.abs(Vj - Vd).max() / np.abs(Vd).max()
+    assert rel < 1e-5, rel
