@@ -211,3 +211,47 @@ def _split_host(x):
     hi = np.float32(x)
     lo = np.float32(x - np.float64(hi))
     return hi, lo
+
+
+def simulate_snapshot_nufft(instrument, sky, Mh, Ml, pch, pcl, beam_fn,
+                            rank=12, beta=2.0, K=13):
+    """EXPERIMENTAL observe-level entry: one accumulation via the
+    delay-space NUFFT instead of the direct NUDFT.
+
+    Same inputs as engine.observe.simulate_snapshot; returns (B, C)
+    complex64. Host-side SVD factorizes the beam-weighted spectrum per
+    snapshot (rank flat-spectrum transforms); delays are built in
+    two-float on device. Accuracy ~1e-5 vs the direct engine (NUFFT
+    3e-6 + rank truncation); use the direct path when exactness
+    matters."""
+    import jax.numpy as jnp
+    from .. import twofloat as tf
+    from .observe import df_rotate3, _beam_and_flux
+
+    sh, sl = df_rotate3(Mh, Ml, sky.s_eq_hi, sky.s_eq_lo)
+    seh, sel = tf.df_add(sh, sl, -pch[None, :], -pcl[None, :])
+    freqs_f32 = jnp.asarray(instrument.freqs, dtype=jnp.float32)
+    amps = _beam_and_flux(sh, sky.flux, freqs_f32, beam_fn)   # (S, C)
+
+    # two-float tau = (se . b) / c per (source, baseline)
+    from .. import constants as CNST
+    th = tl = None
+    for i in range(3):
+        ph_, pl_ = tf.df_mul(seh[:, i:i + 1], sel[:, i:i + 1],
+                             instrument.bl_hi[None, :, i],
+                             instrument.bl_lo[None, :, i])
+        th, tl = (ph_, pl_) if th is None else tf.df_add(th, tl, ph_, pl_)
+    ich, icl = [jnp.float32(x) for x in _split_host(1.0 / CNST.c)]
+    th, tl = tf.df_mul(th, tl, ich, icl)
+
+    A = np.asarray(amps, dtype=np.float64)                    # host SVD
+    U, sv, Vt = np.linalg.svd(A, full_matrices=False)
+    r = min(rank, sv.size)
+    out = 0.0
+    for i in range(r):
+        Vi = nufft_delay_visibilities_jax(
+            th, tl, jnp.asarray((U[:, i] * sv[i]).astype(np.float32)),
+            instrument.nu0, instrument.dnu, instrument.nchan,
+            beta=beta, K=K)
+        out = out + np.asarray(Vi) * Vt[i][None, :]
+    return out

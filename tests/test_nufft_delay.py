@@ -89,3 +89,33 @@ def test_nufft_jax_port():
     Vd = _direct(tau, amps.astype(np.float64), nu0, dnu, C)
     rel = np.abs(Vj - Vd).max() / np.abs(Vd).max()
     assert rel < 1e-5, rel
+
+
+def test_nufft_snapshot_vs_direct_engine():
+    """Observe-level NUFFT path vs simulate_snapshot on a real HERA-19
+    snapshot (Airy beams, power-law spectra)."""
+    import jax.numpy as jnp
+    from prisim_tpu import twofloat as tf
+    from prisim_tpu import layouts as lay, baselines as bls, skymodel as sm
+    from prisim_tpu.engine import (Instrument, SkySources,
+                                   enu_rotation_from_eq)
+    from prisim_tpu.engine.observe import simulate_snapshot
+    from prisim_tpu.engine.nufft_delay import simulate_snapshot_nufft
+    from prisim_tpu.beams import airy_beam
+    from prisim_tpu.utils import get_complex
+
+    layout = lay.preset_layout("HERA-7")
+    bset = bls.build_baselines(layout, redundant=False)
+    nchan = 64
+    freqs = 120e6 + 97656.25 * np.arange(nchan)
+    inst = Instrument.build(bset.vectors, freqs, latitude=-30.72)
+    sky = SkySources.from_skymodel(
+        sm.random_point_source_model(128, seed=0), freqs)
+    Mh, Ml = tf.split_f64(enu_rotation_from_eq(30.0, inst.latitude))
+    pch, pcl = tf.split_f64(np.array([0.0, 0.0, 1.0]))
+    beam = lambda dc, f: airy_beam(dc, f, 14.0)
+    args = [jnp.asarray(x) for x in (Mh, Ml, pch, pcl)]
+    V0 = get_complex(simulate_snapshot(inst, sky, *args, beam))
+    V1 = simulate_snapshot_nufft(inst, sky, *args, beam)
+    rel = np.abs(V1 - V0).max() / np.abs(V0).max()
+    assert rel < 2e-5, rel
