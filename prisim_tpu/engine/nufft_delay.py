@@ -11,11 +11,18 @@ amplitudes onto an oversampled uniform delay grid, one FFT, and a
 diagonal deconvolution — O(S·K + beta·C log C) per baseline instead of
 O(S·C), a ~C/log C ≈ 100x algorithmic speedup at C=1024.
 
-This module is the ROADMAP round-2 candidate #1/#2 in prototype form:
-float64 numpy, flat-spectrum (rank-1) amplitudes, correctness-first. It
-is NOT wired into the driver; the Pallas work is the delay-binning
-scatter (see ROADMAP.md). Validated against the direct f64 DFT to
-~1e-12 (test_nufft_delay.py).
+This module is the ROADMAP round-2 engine in prototype form, in three
+layers (all validated in tests/test_nufft_delay.py):
+  * `nufft_delay_visibilities` — f64 numpy reference (~1e-12 vs direct);
+  * `nufft_delay_visibilities_spectral` — truncated-SVD factorization of
+    frequency-dependent amplitudes (rank 12 covers full-octave power
+    laws at 2e-11);
+  * `nufft_delay_visibilities_jax` / `simulate_snapshot_nufft` —
+    jittable f32 + two-float port (~3e-6, the engine accuracy class),
+    matching `observe.simulate_snapshot` end-to-end at 3.2e-6.
+Not yet wired into the driver: on TPU the spreading scatter needs a
+Pallas bin-accumulate kernel (XLA scatter is slow there; on CPU the jax
+port already runs ~16x faster than the direct XLA engine).
 
 Algorithm reference: standard gridding NUFFT (Dutt & Rokhlin 1993;
 finufft's kb design). The reference implementation evaluates the dense
