@@ -35,6 +35,7 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["nufft_delay_visibilities", "nufft_delay_visibilities_spectral",
+           "nufft_delay_visibilities_jax", "simulate_snapshot_nufft",
            "kb_kernel", "kb_fourier"]
 
 
@@ -83,16 +84,14 @@ def nufft_delay_visibilities(tau, amps, nu0, dnu, nchan, beta=2.0,
         alpha = np.pi * K * (1.0 - 0.5 / beta) - 0.01  # standard choice
     n = int(beta * nchan)
     h = 1.0 / (n * dnu)                   # grid step in seconds
-    span = 1.0 / dnu                      # one delay period
-    tmin = tau.min(axis=0)                # (B,)
-    if (tau.max(axis=0) - tmin).max() >= span - (K + 1) * h:
-        raise ValueError("delay range exceeds one 1/dnu period; "
-                         "fold delays before gridding")
     # carrier at mid-band so the FFT modes are centered: k = c - C/2
     # in [-C/2, C/2), inside the kernel's accuracy band |k| <= n/(2 beta)
     nu_mid = nu0 + (nchan // 2) * dnu
     carrier = np.exp(-2j * np.pi * nu_mid * tau)
-    phi = (tau - tmin[None, :]) / h       # grid coordinates, >= 0
+    # grid coordinate; delays fold mod 1/dnu EXACTLY for the evaluated
+    # modes (k dnu (tau + p/dnu) differs by whole cycles), so the
+    # scatter's mod-n wraparound supports arbitrary delay ranges
+    phi = tau / h
     m0 = np.rint(phi).astype(np.int64)   # center taps: |phi - m0| <= 1/2
     grid = np.zeros((B, n), dtype=np.complex128)
     half = K // 2
@@ -105,9 +104,7 @@ def nufft_delay_visibilities(tau, amps, nu0, dnu, nchan, beta=2.0,
     G = np.fft.fft(grid, axis=1)
     k = np.arange(nchan) - nchan // 2          # (C,) in [-C/2, C/2)
     Gk = G[:, k % n]
-    # deconvolve the kernel and undo the tmin shift
-    V = Gk / kb_fourier(k / n, K, alpha)[None, :] \
-        * np.exp(-2j * np.pi * k[None, :] * dnu * tmin[:, None])
+    V = Gk / kb_fourier(k / n, K, alpha)[None, :]
     return V
 
 
@@ -147,9 +144,9 @@ def nufft_delay_visibilities_jax(tau_h, tau_l, amps, nu0, dnu, nchan,
 
     tau_h/tau_l: (S, B) two-float delays in seconds (split_f64 of the
     f64 delays, or df arithmetic upstream); amps: (S,) or (S, B) f32.
-    Returns (B, C) complex64. Phase-critical steps (the nu_mid carrier,
-    the grid coordinate, and the tmin-shift ramp) run in two-float so
-    the ~150-cycle phases keep ~1e-6 relative accuracy; kernel weights
+    Returns (B, C) complex64. Phase-critical steps (the nu_mid carrier
+    and the grid coordinate) run in two-float so the ~150-cycle phases
+    keep ~1e-6 relative accuracy; kernel weights
     and the FFT are plain f32. The spreading scatter is XLA's — correct
     everywhere, fast on CPU; the Pallas bin-accumulate replaces it on
     TPU in round 2 (ROADMAP)."""
@@ -177,11 +174,11 @@ def nufft_delay_visibilities_jax(tau_h, tau_l, amps, nu0, dnu, nchan,
     carr_re = jnp.cos(ang)
     carr_im = jnp.sin(ang)
 
-    # two-float grid coordinate phi = tau / h (magnitude <= n ~ 2048)
+    # two-float grid coordinate phi = tau / h; delays fold mod 1/dnu
+    # exactly for the evaluated modes, so mod-n wraparound in the
+    # scatter supports arbitrary delay ranges (no tmin shift needed)
     invh_h, invh_l = [jnp.float32(x) for x in _split_host(1.0 / h)]
     ph_h, ph_l = tf.df_mul(tau_h, tau_l, invh_h, invh_l)
-    ph_min_h = jnp.min(ph_h, axis=0)        # (B,) lo part negligible here
-    ph_h, ph_l = tf.df_add(ph_h, ph_l, -ph_min_h[None, :], 0.0)
     m0 = jnp.rint(ph_h).astype(jnp.int32)
     z0 = (ph_h - m0.astype(jnp.float32)) + ph_l   # |z0| <= 1/2, f32
 
@@ -200,17 +197,7 @@ def nufft_delay_visibilities_jax(tau_h, tau_l, amps, nu0, dnu, nchan,
     k = np.arange(nchan) - nchan // 2
     Gk = G[:, k % n]
     deconv = jnp.asarray(1.0 / kb_fourier(k / n, K, alpha), jnp.float32)
-    # tmin ramp: k * dnu * tmin = (k/n) * ph_min cycles (up to ~50) in
-    # two-float; both factors are exact f32 (k/n with n a power of two,
-    # ph_min a min over f32 values), so the product is an exact df pair.
-    rh, rl = tf.df_mul(jnp.float32(dnu * h) *
-                       jnp.asarray(k, jnp.float32)[None, :],
-                       jnp.zeros((1, nchan), jnp.float32),
-                       ph_min_h[:, None], jnp.zeros((B, 1), jnp.float32))
-    rfh, rfl = tf.df_frac(rh, rl)
-    rang = -2.0 * np.pi * (rfh + rfl)
-    ramp = jnp.cos(rang) + 1j * jnp.sin(rang)
-    return Gk * deconv[None, :] * ramp
+    return Gk * deconv[None, :]
 
 
 def _split_host(x):

@@ -42,10 +42,17 @@ def test_nufft_accuracy_vs_taps():
     assert rels[1] < 1e-6
 
 
-def test_nufft_range_guard():
-    tau = np.array([[0.0], [1.1e-5]])   # > 1/dnu apart
-    with pytest.raises(ValueError):
-        nufft_delay_visibilities(tau, np.ones(2), 1e8, 1e5, 64)
+def test_nufft_multiperiod_folding():
+    """Delays spanning several 1/dnu periods fold exactly (long
+    baselines at fine channel widths)."""
+    rng = np.random.RandomState(4)
+    S, B, C = 200, 3, 64
+    nu0, dnu = 150e6, 1e5
+    tau = rng.uniform(-3e-5, 3e-5, (S, B))   # ~6 periods
+    amps = rng.uniform(0.5, 2.0, (S, B))
+    V = nufft_delay_visibilities(tau, amps, nu0, dnu, C)
+    Vd = _direct(tau, amps, nu0, dnu, C)
+    assert np.abs(V - Vd).max() / np.abs(Vd).max() < 1e-9
 
 
 def test_nufft_spectral_lowrank():
