@@ -126,3 +126,37 @@ def test_nufft_snapshot_vs_direct_engine():
     V1 = simulate_snapshot_nufft(inst, sky, *args, beam)
     rel = np.abs(V1 - V0).max() / np.abs(V0).max()
     assert rel < 2e-5, rel
+
+
+def test_nufft_jax_baseline_sharded():
+    """The jax NUFFT composes with shard_map over the baseline axis
+    (each shard grids and FFTs its own baselines independently)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+    from prisim_tpu import twofloat as tf
+    from prisim_tpu.parallel import make_mesh
+    from prisim_tpu.engine.nufft_delay import nufft_delay_visibilities_jax
+
+    rng = np.random.RandomState(5)
+    S, B, C = 200, 8, 64
+    nu0, dnu = 100e6, 97656.25
+    tau = rng.uniform(-1e-6, 1e-6, (S, B))
+    amps = rng.uniform(0.1, 10.0, (S, B)).astype(np.float32)
+    th, tl = tf.split_f64(tau)
+    mesh = make_mesh((4,), ("bl",), devices=jax.devices()[:4])
+
+    def local(a, b, c):
+        return nufft_delay_visibilities_jax(a, b, c, nu0, dnu, C)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(None, "bl"), P(None, "bl"),
+                             P(None, "bl")),
+                   out_specs=P("bl", None))
+    Vs = np.asarray(jax.jit(fn)(jnp.asarray(th), jnp.asarray(tl),
+                                jnp.asarray(amps)))
+    V1 = np.asarray(nufft_delay_visibilities_jax(
+        jnp.asarray(th), jnp.asarray(tl), jnp.asarray(amps),
+        nu0, dnu, C))
+    np.testing.assert_allclose(Vs, V1, rtol=0, atol=2e-5 * np.abs(V1).max())
