@@ -134,7 +134,7 @@ def test_nufft_jax_baseline_sharded():
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from prisim_tpu import twofloat as tf
     from prisim_tpu.parallel import make_mesh
     from prisim_tpu.engine.nufft_delay import nufft_delay_visibilities_jax
