@@ -80,7 +80,8 @@ DEFAULT_PARMS = {
                    "n_pad": 0, "max_abs_delay": 1.0,
                    "delay_transform": False, "memsave": False,
                    "store_prev_sky": True, "cleanup": 3,
-                   "src_block": 512, "use_pallas": "auto"},
+                   "src_block": 512, "use_pallas": "auto",
+                   "engine": "direct"},
     "pp": {"key": "freq", "eqvol": True, "method": "pool",
            "mesh_axes": None, "n_chunks": 1},
     "flags": {"flag_chan": -1, "bp_flag_repeat": False,

@@ -605,6 +605,27 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
     src_block = int(parms["processing"].get("src_block") or 512)
     out = None
     pp = parms.get("pp") or {}
+    engine = (parms["processing"].get("engine") or "direct").lower()
+    if engine == "nufft" and not grad and sks.src_shape_sigma is None:
+        # EXPERIMENTAL delay-space NUFFT engine (processing.engine:
+        # nufft): per-snapshot host loop; falls back to direct for
+        # gradients/extended sources (see engine/nufft_delay.py)
+        import jax.numpy as jnp
+        from . import twofloat as _tf
+        from .engine.nufft_delay import simulate_snapshot_nufft
+        Mh, Ml = obs.rotations(inst.latitude)
+        pch, pcl = _tf.split_f64(obs.pc_dircos())
+        snaps = [simulate_snapshot_nufft(
+            inst, sks, jnp.asarray(Mh[t]), jnp.asarray(Ml[t]),
+            jnp.asarray(pch[t]), jnp.asarray(pcl[t]), beam_fn)
+            for t in range(obs.n_acc)]
+        skyvis = np.ascontiguousarray(
+            np.transpose(np.stack(snaps), (1, 2, 0)))
+        return _finalize_simulation(parms, vs_inputs=dict(
+            bls=bls, freqs=freqs, obs=obs, layout=layout,
+            telescope=telescope, skyvis=skyvis, gradients=None,
+            lat=lat, tp=tp), outdir=outdir, verbose=verbose, save=save,
+            t0=t0)
     ndev = len(jax.devices())
     if ndev > 1 and not grad and sks.src_shape_sigma is None:
         # multi-chip: the reference's MPI decompositions map onto one
