@@ -115,7 +115,7 @@ def nufft_delay_visibilities(tau, amps, nu0, dnu, nchan, beta=2.0,
 
 def nufft_delay_visibilities_spectral(tau, amps_sc, nu0, dnu, nchan,
                                       rank=12, beta=2.0, K=13,
-                                      alpha=None):
+                                      alpha=None, basis="svd"):
     """NUFFT evaluation with frequency-dependent amplitudes.
 
     amps_sc: (S, C) per-source spectra (e.g. beam-weighted power laws).
@@ -132,14 +132,28 @@ def nufft_delay_visibilities_spectral(tau, amps_sc, nu0, dnu, nchan,
     S, C = amps_sc.shape
     if C != nchan:
         raise ValueError("amps_sc second axis must be nchan")
-    U, sv, Vt = np.linalg.svd(amps_sc, full_matrices=False)
-    r = min(rank, sv.size)
-    trunc = float(sv[r:].sum() / max(sv.sum(), 1e-300))
+    if basis == "chebyshev":
+        # FIXED basis in ln(nu): Q = chebvander rows, P = amps @ pinv(Q)
+        # — one matmul, no data-dependent SVD (jit/MXU-friendly; rank 8
+        # fits full-octave power laws at ~1e-7)
+        freqs = nu0 + dnu * np.arange(C)
+        x = np.log(freqs / freqs[C // 2])
+        x = 2.0 * (x - x.min()) / (x.max() - x.min()) - 1.0
+        Q = np.polynomial.chebyshev.chebvander(x, rank - 1)   # (C, r)
+        P = amps_sc @ np.linalg.pinv(Q).T                     # (S, r)
+        resid = np.abs(P @ Q.T - amps_sc).max() /             max(np.abs(amps_sc).max(), 1e-300)
+        comps = [(P[:, i], Q[:, i]) for i in range(rank)]
+        trunc = float(resid)
+    else:
+        U, sv, Vt = np.linalg.svd(amps_sc, full_matrices=False)
+        r = min(rank, sv.size)
+        trunc = float(sv[r:].sum() / max(sv.sum(), 1e-300))
+        comps = [(U[:, i] * sv[i], Vt[i]) for i in range(r)]
     out = 0.0
-    for i in range(r):
-        Vi = nufft_delay_visibilities(tau, U[:, i] * sv[i], nu0, dnu,
-                                      nchan, beta=beta, K=K, alpha=alpha)
-        out = out + Vi * Vt[i][None, :]
+    for p_r, q_r in comps:
+        Vi = nufft_delay_visibilities(tau, p_r, nu0, dnu, nchan,
+                                      beta=beta, K=K, alpha=alpha)
+        out = out + Vi * q_r[None, :]
     return out, trunc
 
 

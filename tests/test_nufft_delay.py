@@ -194,3 +194,23 @@ def test_nufft_gather_variant():
         jnp.asarray(th), jnp.asarray(tl), jnp.asarray(amps),
         nu0, dnu, C, window=4))
     assert np.abs(Vs - Vd).max() / np.abs(Vd).max() > 1e-3
+
+
+def test_nufft_spectral_chebyshev_basis():
+    """Fixed Chebyshev basis (no data-dependent SVD — the jittable
+    round-2 factorization) matches the SVD basis."""
+    from prisim_tpu.engine.nufft_delay import \
+        nufft_delay_visibilities_spectral
+    rng = np.random.RandomState(7)
+    S, B, C = 300, 4, 128
+    nu0, dnu = 100e6, 781250.0
+    freqs = nu0 + dnu * np.arange(C)
+    tau = rng.uniform(-6e-7, 6e-7, (S, B))
+    A = rng.uniform(0.1, 10.0, S)[:, None] \
+        * (freqs[None, :] / 150e6) ** rng.uniform(-2.5, 0.0, S)[:, None]
+    Vd = np.sum(A[:, None, :] * np.exp(
+        -2j * np.pi * freqs[None, None, :] * tau[:, :, None]), axis=0)
+    V, resid = nufft_delay_visibilities_spectral(
+        tau, A, nu0, dnu, C, rank=10, basis="chebyshev")
+    assert resid < 1e-8
+    assert np.abs(V - Vd).max() / np.abs(Vd).max() < 1e-8
