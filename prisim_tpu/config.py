@@ -81,7 +81,7 @@ DEFAULT_PARMS = {
                    "delay_transform": False, "memsave": False,
                    "store_prev_sky": True, "cleanup": 3,
                    "src_block": 512, "use_pallas": "auto",
-                   "engine": "direct"},
+                   "engine": "direct", "nufft_rank": 10},
     "pp": {"key": "freq", "eqvol": True, "method": "pool",
            "mesh_axes": None, "n_chunks": 1},
     "flags": {"flag_chan": -1, "bp_flag_repeat": False,

@@ -608,16 +608,22 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
     engine = (parms["processing"].get("engine") or "direct").lower()
     if engine == "nufft" and not grad and sks.src_shape_sigma is None:
         # EXPERIMENTAL delay-space NUFFT engine (processing.engine:
-        # nufft): per-snapshot host loop; falls back to direct for
-        # gradients/extended sources (see engine/nufft_delay.py)
+        # nufft): fully jittable snapshot (fixed Chebyshev spectral
+        # basis), compiled once and looped over accumulations; falls
+        # back to direct for gradients/extended sources
         import jax.numpy as jnp
         from . import twofloat as _tf
-        from .engine.nufft_delay import simulate_snapshot_nufft
+        from .engine.nufft_delay import (simulate_snapshot_nufft_jit,
+                                         chebyshev_projection)
         Mh, Ml = obs.rotations(inst.latitude)
         pch, pcl = _tf.split_f64(obs.pc_dircos())
-        snaps = [simulate_snapshot_nufft(
-            inst, sks, jnp.asarray(Mh[t]), jnp.asarray(Ml[t]),
-            jnp.asarray(pch[t]), jnp.asarray(pcl[t]), beam_fn)
+        rank = int(parms["processing"].get("nufft_rank") or 10)
+        pinvQ, Q = chebyshev_projection(freqs, min(rank, freqs.size))
+        snap = jax.jit(lambda mh, ml, ph, pl: simulate_snapshot_nufft_jit(
+            inst, sks, mh, ml, ph, pl, beam_fn, pinvQ, Q))
+        snaps = [get_complex(snap(
+            jnp.asarray(Mh[t]), jnp.asarray(Ml[t]),
+            jnp.asarray(pch[t]), jnp.asarray(pcl[t])))
             for t in range(obs.n_acc)]
         skyvis = np.ascontiguousarray(
             np.transpose(np.stack(snaps), (1, 2, 0)))

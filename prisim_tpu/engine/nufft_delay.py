@@ -346,3 +346,51 @@ def nufft_delay_visibilities_jax_gather(tau_h, tau_l, amps, nu0, dnu,
     Gk = G[:, k % n]
     deconv = jnp.asarray(1.0 / kb_fourier(k / n, K, alpha), jnp.float32)
     return Gk * deconv[None, :]
+
+
+def chebyshev_projection(freqs, rank):
+    """Host-precomputed fixed spectral basis: returns (pinvQ (C, r),
+    Q (C, r)) f32 for jit-internal factorization P = amps @ pinvQ."""
+    freqs = np.asarray(freqs, dtype=np.float64)
+    C = freqs.size
+    x = np.log(freqs / freqs[C // 2])
+    x = 2.0 * (x - x.min()) / (x.max() - x.min()) - 1.0
+    Q = np.polynomial.chebyshev.chebvander(x, rank - 1)       # (C, r)
+    return (np.linalg.pinv(Q).T.astype(np.float32),
+            Q.astype(np.float32))
+
+
+def simulate_snapshot_nufft_jit(instrument, sky, Mh, Ml, pch, pcl,
+                                beam_fn, pinvQ, Q, beta=2.0, K=13):
+    """Fully jittable NUFFT snapshot: the spectral factorization is one
+    matmul against the fixed Chebyshev basis (chebyshev_projection) —
+    no host round trip, so the whole accumulation fits in one jit (and
+    under lax control flow for drift scans). Returns (B, C) complex64."""
+    import jax.numpy as jnp
+    from .. import twofloat as tf
+    from .. import constants as CNST
+    from .observe import df_rotate3, _beam_and_flux
+
+    sh, sl = df_rotate3(Mh, Ml, sky.s_eq_hi, sky.s_eq_lo)
+    seh, sel = tf.df_add(sh, sl, -pch[None, :], -pcl[None, :])
+    freqs_f32 = jnp.asarray(instrument.freqs, dtype=jnp.float32)
+    amps = _beam_and_flux(sh, sky.flux, freqs_f32, beam_fn)   # (S, C)
+    P = amps @ jnp.asarray(pinvQ)                             # (S, r) MXU
+    th = tl = None
+    for i in range(3):
+        ph_, pl_ = tf.df_mul(seh[:, i:i + 1], sel[:, i:i + 1],
+                             instrument.bl_hi[None, :, i],
+                             instrument.bl_lo[None, :, i])
+        th, tl = (ph_, pl_) if th is None else tf.df_add(th, tl, ph_, pl_)
+    ich, icl = [jnp.float32(x) for x in _split_host(1.0 / CNST.c)]
+    th, tl = tf.df_mul(th, tl, ich, icl)
+    Qd = jnp.asarray(Q)
+    out = 0.0
+    for i in range(Q.shape[1]):                  # static unroll, r~10
+        Vi = nufft_delay_visibilities_jax(th, tl, P[:, i],
+                                          instrument.nu0,
+                                          instrument.dnu,
+                                          instrument.nchan,
+                                          beta=beta, K=K)
+        out = out + Vi * Qd[:, i][None, :]
+    return out
