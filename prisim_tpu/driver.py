@@ -632,8 +632,20 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
             telescope=telescope, skyvis=skyvis, gradients=None,
             lat=lat, tp=tp), outdir=outdir, verbose=verbose, save=save,
             t0=t0)
+    # Kernel choice (processing.use_pallas: auto|true|false) applies to
+    # BOTH the single-device and the sharded paths — on a real mesh each
+    # shard runs the Pallas kernel; interpret mode covers CPU meshes.
+    plain = not grad and sks.src_shape_sigma is None
+    up = parms["processing"].get("use_pallas", "auto")
+    if up == "auto":
+        from .engine.pallas_nudft import pallas_available
+        use_pallas = pallas_available() and plain
+    else:
+        use_pallas = bool(up) and plain
+    on_tpu = jax.devices()[0].platform == "tpu"
+    pallas_interpret = use_pallas and not on_tpu
     ndev = len(jax.devices())
-    if ndev > 1 and not grad and sks.src_shape_sigma is None:
+    if ndev > 1 and plain:
         # multi-chip: the reference's MPI decompositions map onto one
         # jax mesh (SURVEY.md section 2.7; run_prisim.py:1749-2210).
         from .parallel.mesh import (make_mesh, simulate_drift_sharded,
@@ -644,7 +656,9 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
             mesh = make_mesh(axis_names=("bl", "chan", "src"),
                              shape=tuple(axes) if axes else (1, 1, ndev))
             out = simulate_drift_src_sharded(inst, sks, obs, beam_fn,
-                                             mesh, src_block=src_block)
+                                             mesh, src_block=src_block,
+                                             use_pallas=use_pallas,
+                                             interpret=pallas_interpret)
         else:
             if axes:
                 shape = tuple(axes)
@@ -654,19 +668,14 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
                 shape = (ndev, 1)
             mesh = make_mesh(axis_names=("bl", "chan"), shape=shape)
             out = simulate_drift_sharded(inst, sks, obs, beam_fn, mesh,
-                                         src_block=src_block)
+                                         src_block=src_block,
+                                         use_pallas=use_pallas,
+                                         interpret=pallas_interpret)
     if out is None:
-        up = parms["processing"].get("use_pallas", "auto")
-        if up == "auto":
-            from .engine.pallas_nudft import pallas_available
-            use_pallas = (pallas_available() and not grad
-                          and sks.src_shape_sigma is None)
-        else:
-            use_pallas = bool(up) and not grad \
-                and sks.src_shape_sigma is None
         out = simulate_drift(inst, sks, obs, beam_fn,
                              src_block=src_block, gradient=bool(grad),
-                             use_pallas=use_pallas)
+                             use_pallas=use_pallas,
+                             interpret=pallas_interpret)
     gradients = None
     if grad:
         vis_tbc, grad_tbc = out

@@ -168,7 +168,8 @@ def _beam_and_flux(s_enu_hi, flux, freqs_f32, beam_fn):
 
 
 def simulate_snapshot(instrument, sky, Mh, Ml, pch, pcl, beam_fn,
-                      src_block=512, gradient=False, use_pallas=False):
+                      src_block=512, gradient=False, use_pallas=False,
+                      interpret=False):
     """One accumulation: returns (B, C) complex64 noiseless visibilities.
 
     Mh/Ml: (3,3) two-float ENU rotation; pch/pcl: (3,) two-float phase
@@ -191,7 +192,8 @@ def simulate_snapshot(instrument, sky, Mh, Ml, pch, pcl, beam_fn,
         from .pallas_nudft import nudft_pallas
         return nudft_pallas(seh, sel, instrument.bl_hi,
                             instrument.bl_lo, amps,
-                            instrument.grid_scalars(), instrument.nchan)
+                            instrument.grid_scalars(), instrument.nchan,
+                            interpret=interpret)
     return nudft_visibilities(seh, sel, instrument.bl_hi, instrument.bl_lo,
                               amps, instrument.grid_scalars(),
                               instrument.nchan, src_block=src_block,
@@ -199,7 +201,7 @@ def simulate_snapshot(instrument, sky, Mh, Ml, pch, pcl, beam_fn,
 
 
 def simulate_drift(instrument, sky, observation, beam_fn, src_block=512,
-                   gradient=False, use_pallas=False):
+                   gradient=False, use_pallas=False, interpret=False):
     """All accumulations via lax.scan. Returns (T, B, C) complex64
     (transpose to the reference's (nbl, nchan, n_acc) at IO time)."""
     Mh, Ml = observation.rotations(instrument.latitude)
@@ -214,7 +216,8 @@ def simulate_drift(instrument, sky, observation, beam_fn, src_block=512,
         mh, ml, ph, pl = x
         out = simulate_snapshot(instrument, sky, mh, ml, ph, pl, beam_fn,
                                 src_block=src_block, gradient=gradient,
-                                use_pallas=use_pallas)
+                                use_pallas=use_pallas,
+                                interpret=interpret)
         return None, out
 
     _, vis = jax.lax.scan(step, None, (Mh, Ml, pch, pcl))

@@ -166,9 +166,11 @@ def simulate_drift_sharded(instrument, sky, observation, beam_fn, mesh,
 
 
 def simulate_drift_src_sharded(instrument, sky, observation, beam_fn, mesh,
-                               src_block=512):
+                               src_block=512, use_pallas=False,
+                               interpret=False):
     """Drift scan with the *source* axis sharded and a psum reduce — the
     TPU equivalent of the reference's pp.key='src' mode with its rank-0
     recv-sum (/root/reference/scripts/run_prisim.py:1845-1856)."""
     return _sharded_drift(mesh, instrument, sky, observation, beam_fn,
-                          src_block, src_axis=True)
+                          src_block, src_axis=True,
+                          use_pallas=use_pallas, interpret=interpret)

@@ -27,14 +27,29 @@ def test_driver_mesh_matches_reference_key(key, axes):
     import jax
     assert len(jax.devices()) == 8
     vs, _ = run_simulation(_parms(key, axes), verbose=False, save=False)
-    # golden: force the single-device path by monkeypatching device count
+    # golden: force the single-device path by restricting jax.devices()
+    # to one REAL device (robust if driver code touches device attrs)
     parms = _parms(key, axes)
     parms["pp"]["key"] = "freq"
-    import prisim_tpu.driver as D
     import unittest.mock as mock
+    one = jax.devices()[:1]
     with mock.patch.object(jax, "devices",
-                           side_effect=lambda *a: [object()]):
+                           side_effect=lambda *a: list(one)):
         vs1, _ = run_simulation(parms, verbose=False, save=False)
     assert vs.skyvis.shape == vs1.skyvis.shape
     scale = np.abs(vs1.skyvis).max()
     assert np.abs(vs.skyvis - vs1.skyvis).max() / scale < 5e-6
+
+
+@pytest.mark.parametrize("key", ["freq", "bl", "src"])
+def test_driver_mesh_pallas_matches_xla(key):
+    """processing.use_pallas=true on the CPU mesh routes each shard's
+    NUDFT through the Pallas kernel in interpret mode (the path a real
+    v5e-8 uses) and agrees with the XLA engine."""
+    parms = _parms(key)
+    vs_xla, _ = run_simulation(parms, verbose=False, save=False)
+    parms2 = _parms(key)
+    parms2["processing"]["use_pallas"] = True
+    vs_pl, _ = run_simulation(parms2, verbose=False, save=False)
+    scale = np.abs(vs_xla.skyvis).max()
+    assert np.abs(vs_pl.skyvis - vs_xla.skyvis).max() / scale < 5e-6
