@@ -351,7 +351,27 @@ def _blgroups_dict(bls):
 
 def _bandpass_weights(parms, nbl, freqs, n_acc):
     """Channel flagging -> bp; window shape -> bp_wts
-    (run_prisim.py:908-981 flags; processing.bpass_shape)."""
+    (run_prisim.py:908-981 flags; processing.bpass_shape).
+
+    For frequency-chunked runs the reference builds the bandpass once
+    over the FULL band before chunking (run_prisim.py:898-981): flag
+    indices, edge flags, and window shapes are global-band quantities.
+    When pp._chunk metadata is present, compute on the full grid and
+    slice this chunk's channels."""
+    chunk = (parms.get("pp") or {}).get("_chunk")
+    if chunk and int(chunk.get("axis", -1)) == 1:
+        nchan_total = int(chunk["nchan_total"])
+        chan0 = int(chunk["chan0"])
+        df = float(parms["bandpass"]["freq_resolution"])
+        freqs_full = (freqs[0] - df * chan0) + df * np.arange(nchan_total)
+        bp, wts = _bandpass_weights_full(parms, nbl, freqs_full, n_acc)
+        sl = slice(chan0, chan0 + freqs.size)
+        return (np.ascontiguousarray(bp[:, sl, :]),
+                np.ascontiguousarray(wts[:, sl, :]))
+    return _bandpass_weights_full(parms, nbl, freqs, n_acc)
+
+
+def _bandpass_weights_full(parms, nbl, freqs, n_acc):
     from . import windows as win
     nchan = freqs.size
     bp = np.ones((nbl, nchan, n_acc))
@@ -714,8 +734,13 @@ def _finalize_simulation(parms, vs_inputs, outdir, verbose, save, t0):
         tsys, nbl=bls.nbl, nchan=freqs.size, ntimes=obs.n_acc,
         eff_Q=float(tp.get("eff_Q") or 1.0), xp=np))
     import jax.random as jr
-    noise = get_complex(generate_noise(jr.PRNGKey(
-        int(parms["skyparm"].get("seed") or 0)), rms))
+    key = jr.PRNGKey(int(parms["skyparm"].get("seed") or 0))
+    chunk = (parms.get("pp") or {}).get("_chunk")
+    if chunk is not None:
+        # chunked runs must draw INDEPENDENT noise per chunk while a
+        # single-shot run with the same seed stays reproducible
+        key = jr.fold_in(key, int(chunk["index"]))
+    noise = get_complex(generate_noise(key, rms))
     gains = 1.0
     if parms["gains"].get("file"):
         gi = GainInfo.read_hdf5(parms["gains"]["file"])
@@ -947,6 +972,10 @@ def run_simulation_chunked(parms, outdir=None, verbose=True):
             continue
         p2 = _copy.deepcopy(parms)
         p2["pp"]["n_chunks"] = 1
+        p2["pp"]["_chunk"] = {
+            "index": i, "axis": axis,
+            "chan0": int(edges[i]) if axis == 1 else 0,
+            "nchan_total": int(parms["bandpass"]["nchan"])}
         if axis == 1:
             nchan = int(parms["bandpass"]["nchan"])
             df = float(parms["bandpass"]["freq_resolution"])
@@ -968,6 +997,11 @@ def run_simulation_chunked(parms, outdir=None, verbose=True):
             print("[prisim_tpu] chunk %d/%d -> %s"
                   % (i + 1, n_chunks, part_path))
     vs = concatenate([load_hdf5(p) for p in parts], axis)
+    if parms["processing"].get("delay_transform"):
+        # lag-domain products were dropped by concatenate (partial-band
+        # spectra are invalid); recompute over the merged band
+        vs = delay_transform(vs, pad=float(
+            parms["processing"].get("f_pad") or 1.0))
     outpath = _save_products(vs, parms, outdir)
     # record the decomposition (run_prisim.py:1793-1801 chunkinfo.yaml)
     os.makedirs(os.path.join(outpath, "metainfo"), exist_ok=True)

@@ -40,7 +40,7 @@ import numpy as np
 
 __all__ = ["nufft_delay_visibilities", "nufft_delay_visibilities_spectral",
            "nufft_delay_visibilities_jax",
-           "nufft_delay_visibilities_jax_gather",
+           "nufft_delay_visibilities_jax_gather", "size_gather_window",
            "simulate_snapshot_nufft", "kb_kernel", "kb_fourier"]
 
 
@@ -270,9 +270,32 @@ def simulate_snapshot_nufft(instrument, sky, Mh, Ml, pch, pcl, beam_fn,
     return out
 
 
+def size_gather_window(tau, dnu, nchan, beta=2.0, K=13, margin=1.0):
+    """Host-side sizing of the gather window: the max occupancy of any
+    K+1-bin sliding window of the folded delay-bin histogram, over all
+    baselines (the bound the gather variant's fixed window must cover —
+    undersizing silently drops sources). `tau` is the concrete (S, B)
+    delay array (f64); `margin` scales the result (>1 for safety when
+    delays will move between calls, e.g. over a drift scan)."""
+    n = int(beta * nchan)
+    h = 1.0 / (n * dnu)
+    m0 = np.rint(np.asarray(tau, dtype=np.float64) / h).astype(np.int64)
+    m0 %= n
+    worst = 0
+    win = np.ones(K + 1)
+    for b in range(m0.shape[1]):
+        counts = np.bincount(m0[:, b], minlength=n).astype(np.float64)
+        # circular K+1-bin sliding sum (edge bins see wrapped bins)
+        ext = np.concatenate([counts[-(K // 2):], counts,
+                              counts[:K // 2]])
+        occ = np.convolve(ext, win, mode="valid")
+        worst = max(worst, int(occ.max()))
+    return max(1, int(np.ceil(worst * float(margin))))
+
+
 def nufft_delay_visibilities_jax_gather(tau_h, tau_l, amps, nu0, dnu,
-                                        nchan, window, beta=2.0, K=13,
-                                        alpha=None):
+                                        nchan, window=None, beta=2.0,
+                                        K=13, alpha=None):
     """Scatter-free (TPU-viable) variant of nufft_delay_visibilities_jax.
 
     Spreading by GATHER instead of scatter: per baseline, sources are
@@ -286,12 +309,27 @@ def nufft_delay_visibilities_jax_gather(tau_h, tau_l, amps, nu0, dnu,
     np.histogram(m0) -> (K+1) * max_count. Cost n*window per baseline
     (= S*K for quasi-uniform delays).
 
-    Same accuracy as the scatter variant (~3e-6)."""
+    Same accuracy as the scatter variant (~3e-6).
+
+    window=None auto-sizes from the concrete delays via
+    size_gather_window (requires non-traced tau; under jit pass an
+    explicit window sized on the host)."""
     import jax
     import jax.numpy as jnp
+    from jax.core import Tracer
     from jax.scipy.special import i0 as j_i0
     from .. import twofloat as tf
 
+    if window is None:
+        if isinstance(tau_h, Tracer):
+            raise ValueError(
+                "window=None needs concrete delays to auto-size; under "
+                "jit, precompute window=size_gather_window(tau, dnu, "
+                "nchan, beta, K) on the host")
+        tau = (np.asarray(tau_h, dtype=np.float64)
+               + np.asarray(tau_l, dtype=np.float64))
+        window = size_gather_window(tau, dnu, nchan, beta=beta, K=K)
+    window = int(window)
     if alpha is None:
         alpha = np.pi * K * (1.0 - 0.5 / beta) - 0.01
     alpha = float(alpha)

@@ -294,6 +294,12 @@ def concatenate(parts, axis):
                     [np.atleast_2d(np.asarray(a)) for a in arrs], axis=0)
     else:
         raise ValueError("axis must be 0, 1 or 2")
+    # lag-domain products are not concatenable (a partial-band delay
+    # spectrum has the wrong lag axis): drop them; callers re-run
+    # delay_transform on the merged set.
+    for name in ("lags", "skyvis_lag", "vis_lag", "vis_noise_lag",
+                 "lag_kernel"):
+        kw[name] = None
     return replace(first, **kw)
 
 

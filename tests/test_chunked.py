@@ -55,3 +55,52 @@ def test_cleanup_removes_parts(tmp_path):
                                            "_part_0.hdf5"))
     assert os.path.exists(os.path.join(outdir, "simdata",
                                        "simvis.hdf5"))
+
+def test_chunked_noise_independent_per_chunk(tmp_path):
+    """Equal-size chunks must NOT repeat the same thermal-noise block
+    (round-1 bug: same PRNGKey in every chunk). The chunk index is
+    folded into the key, so the two frequency halves draw independent
+    noise."""
+    parms = _parms(tmp_path, 2)
+    parms["telescope"]["Tsys"] = 200.0
+    vs, _ = run_simulation_chunked(parms, verbose=False)
+    n = np.asarray(vs.vis_noise)
+    half = n.shape[1] // 2
+    a, b = n[:, :half, :], n[:, half:, :]
+    assert np.abs(a - b).max() > 1e-6 * np.abs(a).max()
+
+
+def test_chunked_bandpass_global_flags(tmp_path):
+    """flags.flag_chan indices are FULL-BAND channel indices; edge flags
+    apply to the full band only (run_prisim.py:898-981). A 2-chunk run
+    must flag the same channels as the single-shot run."""
+    def with_flags(p):
+        p["flags"]["flag_chan"] = [9]       # inside chunk 1 (chans 8-15)
+        p["flags"]["n_edge_flag"] = [2, 1]
+        p["processing"]["bpass_shape"] = "bhw"
+        return p
+    vs, _ = run_simulation_chunked(with_flags(_parms(tmp_path, 2)),
+                                   verbose=False)
+    single, _ = run_simulation(with_flags(_parms(tmp_path / "s", 1)),
+                               verbose=False, save=False)
+    np.testing.assert_allclose(vs.bp, single.bp)
+    np.testing.assert_allclose(vs.bp_wts, single.bp_wts, rtol=1e-12)
+    # sanity: chunk-local edges were NOT flagged (chans 6,7 stay alive)
+    assert vs.bp[0, 6, 0] == 1.0 and vs.bp[0, 7, 0] == 1.0
+    assert vs.bp[0, 9, 0] == 0.0
+    assert vs.bp[0, 0, 0] == 0.0 and vs.bp[0, 15, 0] == 0.0
+
+
+def test_chunked_delay_transform_recomputed(tmp_path):
+    """Merged chunked runs recompute the delay transform over the full
+    band (concatenate drops partial-band lag products)."""
+    from prisim_tpu.vis import delay_transform
+    parms = _parms(tmp_path, 2)
+    parms["processing"]["delay_transform"] = True
+    vs, _ = run_simulation_chunked(parms, verbose=False)
+    assert vs.lags is not None and vs.skyvis_lag is not None
+    assert vs.lags.size == 16
+    golden = delay_transform(vs)
+    np.testing.assert_allclose(np.asarray(vs.skyvis_lag),
+                               np.asarray(golden.skyvis_lag),
+                               rtol=1e-5, atol=1e-8)

@@ -214,3 +214,29 @@ def test_nufft_spectral_chebyshev_basis():
         tau, A, nu0, dnu, C, rank=10, basis="chebyshev")
     assert resid < 1e-8
     assert np.abs(V - Vd).max() / np.abs(Vd).max() < 1e-8
+
+def test_gather_auto_window_sizing():
+    """window=None auto-sizes from concrete delays (no silent source
+    drops); size_gather_window bounds the sliding-bin occupancy even for
+    CLUSTERED delays."""
+    import jax.numpy as jnp
+    from prisim_tpu import twofloat as tf
+    from prisim_tpu.engine.nufft_delay import (
+        nufft_delay_visibilities_jax_gather, size_gather_window)
+    rng = np.random.RandomState(11)
+    S, B, C = 300, 4, 64
+    nu0, dnu = 100e6, 97656.25
+    # heavily clustered delays: half the sources in a tiny interval
+    tau = np.concatenate([
+        rng.uniform(-1e-6, 1e-6, (S // 2, B)),
+        rng.uniform(0.0, 2e-9, (S - S // 2, B))], axis=0)
+    amps = rng.uniform(0.1, 10.0, (S, B)).astype(np.float32)
+    th, tl = tf.split_f64(tau)
+    V = np.asarray(nufft_delay_visibilities_jax_gather(
+        jnp.asarray(th), jnp.asarray(tl), jnp.asarray(amps),
+        nu0, dnu, C))                      # window=None -> auto
+    Vd = _direct(tau, amps.astype(np.float64), nu0, dnu, C)
+    rel = np.abs(V - Vd).max() / np.abs(Vd).max()
+    assert rel < 1e-5, rel
+    W = size_gather_window(tau, dnu, C)
+    assert W >= S - S // 2                 # covers the clustered bin
