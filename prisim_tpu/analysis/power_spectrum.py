@@ -20,7 +20,8 @@ from .. import constants as CNST
 from .cosmology import (cosmo100, k_parallel, k_perp,
                         comoving_depth, jy2k, freq_to_z)
 
-__all__ = ["beam3Dvol", "delay_power_spectrum", "subband_power_spectra"]
+__all__ = ["beam3Dvol", "delay_power_spectrum", "subband_power_spectra",
+           "baseline_orientation_bins"]
 
 
 def beam3Dvol(beam, freqs, freq_wts=None, pixarea_sr=None,
@@ -127,3 +128,24 @@ def subband_power_spectra(vs, sbds, beam, beam_freqs=None, cosmo=cosmo100,
                    "vis_noise_lag": "noise"}[name]
             out[key] = np.abs(np.asarray(sbds[name])) ** 2 * conv
     return out
+
+
+def baseline_orientation_bins(baselines, n_bins=4):
+    """Bin baselines by orientation angle in the ENU plane.
+
+    The reference's processing.n_bins_blo parameter (defaultparms.yaml:
+    847; parsed at run_prisim.py:225) bins baselines into
+    n_bins_baseline_orientation east-of-north angle bins for
+    orientation-resolved delay power spectra. Angles are folded to
+    [-90, 90) deg (a baseline and its conjugate share a bin); bin i
+    covers [-90 + i*180/n, -90 + (i+1)*180/n).
+
+    Returns (bin_index (nbl,), bin_centers_deg (n_bins,))."""
+    b = np.asarray(baselines, dtype=np.float64)
+    ang = np.degrees(np.arctan2(b[:, 0], b[:, 1]))     # east of north
+    ang = (ang + 90.0) % 180.0 - 90.0
+    width = 180.0 / int(n_bins)
+    idx = np.floor((ang + 90.0) / width).astype(int)
+    idx = np.clip(idx, 0, int(n_bins) - 1)
+    centers = -90.0 + width * (np.arange(int(n_bins)) + 0.5)
+    return idx, centers

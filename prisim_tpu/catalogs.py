@@ -14,7 +14,8 @@ import numpy as np
 from .skymodel import SkyModel
 
 __all__ = ["read_sumss", "read_nvss", "read_gleam", "read_mwacs",
-           "read_custom_ascii", "flux_cut"]
+           "read_custom_ascii", "read_dsm_fits", "read_hi_cube_fits",
+           "flux_cut"]
 
 
 def _powerlaw_model(ra, dec, flux, freq_ref, spindex, src_shape=None,
@@ -185,3 +186,128 @@ def read_custom_ascii(path, freq_ref=150e6, spindex_default=-0.83):
     shape = data[:, 4:7] if data.shape[1] >= 7 else None
     return _powerlaw_model(ra, dec, flux, freq_ref, spindex,
                            src_shape=shape, name="custom")
+
+
+def read_dsm_fits(path, nside=None, map_freq=150e6):
+    """Diffuse sky model (DSM/GSM) per-pixel FITS catalog.
+
+    Format per the reference's use_DSM/use_GSM branches
+    (/root/reference/scripts/run_prisim.py:1089-1126, 1210-1249):
+    primary header carries PIXAREA (pixel solid angle, sr); extension 1
+    is a binary table with columns RA, DEC (degrees), T_<MHz> pixel
+    temperatures (K) at map_freq, and spindex (TEMPERATURE spectral
+    index). Pixel flux S = T * 2 k_B (nu/c)^2 * pixarea / Jy; the FLUX
+    spectral index is spindex + 2.
+
+    `path` may be the full filename or the reference's file prefix
+    (expanded to '<prefix>_<MHz:.1f>_MHz_nside_<nside>.fits',
+    run_prisim.py:1090). Sources carry a src_shape of the pixel
+    resolution (majax = minax = sqrt(pixarea), run_prisim.py:1230-1233).
+    Returns a power-law SkyModel in Jy."""
+    import os
+    from . import constants as CNST
+    from . import healpix as hp
+    from .io.fitsio import read_fits
+    if not os.path.exists(path):
+        if nside is None:
+            raise ValueError("nside required to expand a DSM file prefix")
+        path = "%s_%.1f_MHz_nside_%d.fits" % (path, map_freq / 1e6,
+                                              int(nside))
+    hdus = read_fits(path)
+    pixarea = None
+    for h in hdus:
+        if "PIXAREA" in h["header"]:
+            pixarea = float(h["header"]["PIXAREA"])
+            break
+    cols = None
+    for h in hdus:
+        if "columns" in h:
+            cols = h["columns"]
+            break
+    if cols is None:
+        raise ValueError("no binary table in %s" % path)
+    ra = np.asarray(cols["RA"], dtype=np.float64)
+    dec = np.asarray(cols["DEC"], dtype=np.float64)
+    tname = "T_%.0f" % (map_freq / 1e6)
+    if tname not in cols:
+        cand = [k for k in cols if k.startswith("T_")]
+        if not cand:
+            raise ValueError("no temperature column (T_<MHz>) in %s"
+                             % path)
+        tname = cand[0]
+        map_freq = float(tname[2:]) * 1e6
+    temp = np.asarray(cols[tname], dtype=np.float64)
+    if pixarea is None:
+        pixarea = hp.nside2pixarea(hp.npix2nside(ra.size))
+    flux = temp * 2.0 * CNST.k_B * (map_freq / CNST.c) ** 2 \
+        * pixarea / CNST.Jy
+    spindex = np.asarray(cols.get("spindex",
+                                  np.full(ra.size, -2.55)),
+                         dtype=np.float64) + 2.0
+    resol = np.degrees(np.sqrt(pixarea))
+    shape = np.stack([np.full(ra.size, resol), np.full(ra.size, resol),
+                      np.zeros(ra.size)], axis=-1)
+    return _powerlaw_model(ra, dec, flux, np.full(ra.size, map_freq),
+                           spindex, src_shape=shape, name="DSM")
+
+
+def read_hi_cube_fits(path, center_freq, fluctuations=False):
+    """HI lightcone / EoR simulation cube from FITS.
+
+    Format per the reference's use_HI_cube/use_HI_fluctuations branch
+    (/root/reference/scripts/run_prisim.py:1020-1065): primary header
+    has NEXTEN, FITSTYPE and PIXAREA; FITSTYPE='IMAGE' carries a
+    FREQUENCY bintable (column 'Frequency [MHz]') plus a TEMPERATURE
+    image (npix, nf) and a COORDINATE bintable (RA, DEC); other
+    FITSTYPEs store one bintable per frequency with a 'Temperature'
+    column and '<MHz> ...' EXTNAMEs. Temperatures (K) convert to pixel
+    fluxes with the center-frequency Rayleigh-Jeans factor
+    (run_prisim.py:1053, which uses the single band-center freq).
+    fluctuations=True subtracts the per-channel mean map
+    (use_HI_fluctuations, run_prisim.py:1046-1047).
+
+    Returns a tabulated-spectrum SkyModel (Jy); frequency interpolation
+    onto the simulated channels happens in SkyModel.generate_spectrum
+    (pchip — the healpix_interp_along_axis role)."""
+    from . import constants as CNST
+    from .skymodel import SkyModel
+    from .io.fitsio import read_fits
+    hdus = read_fits(path)
+    hdr0 = hdus[0]["header"]
+    pixarea = float(hdr0["PIXAREA"])
+    fitstype = str(hdr0.get("FITSTYPE", "IMAGE")).strip()
+    by_name = {str(h["header"].get("EXTNAME", "")).strip(): h
+               for h in hdus[1:]}
+    coords = by_name["COORDINATE"]["columns"]
+    ra = np.asarray(coords["RA"], dtype=np.float64)
+    dec = np.asarray(coords["DEC"], dtype=np.float64)
+    if fitstype.upper() == "IMAGE":
+        fcols = by_name["FREQUENCY"]["columns"]
+        fkey = [k for k in fcols if k.lower().startswith("freq")][0]
+        freqs_mhz = np.asarray(fcols[fkey], dtype=np.float64)
+        temp = np.asarray(by_name["TEMPERATURE"]["data"],
+                          dtype=np.float64)
+        if temp.shape[0] == freqs_mhz.size and \
+                temp.shape[-1] != freqs_mhz.size:
+            temp = temp.T                          # (npix, nf)
+    else:
+        items = []
+        for name, h in by_name.items():
+            if "columns" in h and "Temperature" in h["columns"]:
+                try:
+                    fmhz = float(name.split(" ")[0])
+                except ValueError:
+                    continue
+                items.append((fmhz, np.asarray(h["columns"]["Temperature"],
+                                               dtype=np.float64)))
+        items.sort(key=lambda t: t[0])
+        freqs_mhz = np.asarray([t[0] for t in items])
+        temp = np.stack([t[1] for t in items], axis=1)
+    if fluctuations:
+        temp = temp - temp.mean(axis=0, keepdims=True)
+    flux = temp * (2.0 * CNST.k_B * float(center_freq) ** 2
+                   / CNST.c ** 2) * pixarea / CNST.Jy
+    return SkyModel(location=np.stack([ra, dec], axis=-1),
+                    spec_kind="spectrum", spectrum=flux,
+                    freqs_model=freqs_mhz * 1e6,
+                    name="HI_fluctuations" if fluctuations else "HI_cube")

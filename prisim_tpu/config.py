@@ -50,7 +50,12 @@ DEFAULT_PARMS = {
                  "default", "pfb_file": None},
     "obsparm": {"obs_date": "2015/11/23", "obs_mode": "drift",
                 "t_obs": None, "n_acc": 2, "t_acc": 1080.0},
-    "gains": {"file": None, "filepathtype": "default"},
+    "gains": {"file": None, "filepathtype": "default",
+              # interpolation onto the sim grids: linear|cubic|nearest
+              # (interp1d, GainInfo.interpolate_gains) or 'spline'
+              # (smoothing splines, GainInfo.splinator/spline_gains,
+              # interferometry.py:3107/3382) with optional smoothness
+              "interp": "cubic", "smoothness": None},
     "pointing": {"file": None, "jd_init": None, "lst_init": 0.0,
                  "drift_init": {"alt": None, "az": None, "ha": 0.0,
                                 "dec": -30.7224},

@@ -37,7 +37,7 @@ from .vis import VisibilitySet, phase_centering, project_baselines, \
     delay_transform
 
 __all__ = ["run_simulation", "build_layout", "build_schedule",
-           "build_sky", "build_tsys", "main"]
+           "build_sky", "build_tsys", "precess_sky_to_obs_epoch", "main"]
 
 SIDEREAL_DEG_PER_SEC = 360.0 / 86164.0905
 
@@ -80,18 +80,37 @@ def build_frequencies(parms):
     return f_center + df * (np.arange(nchan) - nchan / 2)
 
 
-def build_schedule(parms, latitude):
+def _jd_init_from_obs_date(parms, lst_init_deg, longitude):
+    """Julian date at the start of the observation: the first instant on
+    obsparm.obs_date (UT, 'YYYY/MM/DD') at which the local sidereal time
+    equals lst_init (the reference's julian_date_from_LAST flow,
+    run_prisim.py:661-667)."""
+    from . import ephemeris as eph
+    date = str(parms["obsparm"].get("obs_date") or "2015/11/23")
+    y, m, d = [int(x) for x in date.replace("-", "/").split("/")[:3]]
+    jd0 = eph.julian_date(y, m, d)                       # midnight UT
+    dlst = (lst_init_deg - eph.lst_deg(jd0, longitude)) % 360.0
+    return jd0 + dlst / 360.98564736629          # sidereal rate deg/day
+
+
+def build_schedule(parms, latitude, longitude=None):
     """Observation schedule (run_prisim.py:576-740): drift (fixed altaz
-    or ha/dec pointing) or track (fixed ra/dec)."""
+    or ha/dec pointing) or track (fixed ra/dec). jd_init falls back to
+    obsparm.obs_date + lst_init via the ephemeris (run_prisim.py:
+    661-667) when pointing.jd_init is not given."""
     op = parms["obsparm"]
     pt = parms["pointing"]
+    if longitude is None:
+        longitude = float(parms["telescope"].get("longitude") or 0.0)
     n_acc = int(op["n_acc"]) if op.get("t_obs") is None else \
         int(np.ceil(float(op["t_obs"]) / float(op["t_acc"])))
     t_acc = float(op["t_acc"])
     lst_init = float(pt.get("lst_init") or 0.0) * 15.0 \
         if abs(float(pt.get("lst_init") or 0.0)) <= 24.0 \
         else float(pt["lst_init"])
-    jd_init = pt.get("jd_init") or 2458000.5
+    jd_init = pt.get("jd_init")
+    if jd_init is None:
+        jd_init = _jd_init_from_obs_date(parms, lst_init, longitude)
     lst = (lst_init + SIDEREAL_DEG_PER_SEC * t_acc *
            (np.arange(n_acc) + 0.5)) % 360.0
     jd = jd_init + t_acc * (np.arange(n_acc) + 0.5) / 86400.0
@@ -147,6 +166,18 @@ def _apply_snapshot_selection(obs, parms):
         obs = Observation(lst_deg=obs.lst_deg[idx], jd=obs.jd[idx],
                           t_acc=obs.t_acc[idx],
                           pointing_altaz=obs.pointing_altaz[idx],
+                          mode=obs.mode)
+    if sn.get("beam_switch") and obs.mode == "file":
+        # keep only the snapshots at which the pointing CHANGES (the
+        # reference's beam_switch selection for drift-and-shift runs,
+        # run_prisim.py:563-656; restricted to pointing-file mode there
+        # via obs_mode='dns')
+        keep = np.r_[True, np.any(np.abs(np.diff(obs.pointing_altaz,
+                                                 axis=0)) > 1e-9, axis=1)]
+        idx2 = np.where(keep)[0]
+        obs = Observation(lst_deg=obs.lst_deg[idx2], jd=obs.jd[idx2],
+                          t_acc=obs.t_acc[idx2],
+                          pointing_altaz=obs.pointing_altaz[idx2],
                           mode=obs.mode)
     if sn.get("avg_drifts"):
         # collapse all drift snapshots to their mean epoch with the
@@ -280,19 +311,27 @@ def build_sky(parms, freqs):
                           if sp.get("fluxcut_reffreq") else None))
     elif model in ("skymod_hdf5", "hdf5"):
         sm = SkyModel.load_hdf5(cat["skymod_file"])
-    elif model in ("hi_cube", "lidz", "21cmfast"):
-        # HI lightcone cube: npz with 'maps' (npix, nf) HEALPix
-        # brightness maps + 'freqs' (the reference reads Lidz/21cmFAST
-        # simulation cubes, run_prisim.py:1144-1258)
-        from .skymodel import healpix_diffuse_model
+    elif model in ("hi_cube", "hi_fluctuations", "lidz", "21cmfast"):
+        # HI lightcone cube: FITS simulation cubes (Lidz/21cmFAST,
+        # run_prisim.py:1020-1065) or npz with 'maps' (npix, nf)
+        # HEALPix brightness maps + 'freqs'
         path = cat.get("spectrum_file") or cat.get("skymod_file")
         if not path:
             raise ValueError("catalog.spectrum_file required for HI cube")
-        with np.load(path) as d:
-            maps = d["maps"]
-            fmdl = d["freqs"]
-        sm = healpix_diffuse_model(maps, freqs_model=fmdl)
-    elif model in ("usm", "hpx", "dsm", "gsm"):
+        if str(path).endswith((".fits", ".FITS")):
+            from .catalogs import read_hi_cube_fits
+            sm = read_hi_cube_fits(
+                path, center_freq=float(parms["bandpass"]["freq"]),
+                fluctuations=(model == "hi_fluctuations"))
+        else:
+            from .skymodel import healpix_diffuse_model
+            with np.load(path) as d:
+                maps = d["maps"]
+                fmdl = d["freqs"]
+            if model == "hi_fluctuations":
+                maps = maps - maps.mean(axis=0, keepdims=True)
+            sm = healpix_diffuse_model(maps, freqs_model=fmdl)
+    elif model in ("usm", "hpx", "dsm", "gsm", "gsm2008", "gsm2016"):
         from .skymodel import healpix_diffuse_model
         from . import healpix as hp
         nside = int(sp.get("nside") or 64)
@@ -302,17 +341,69 @@ def build_sky(parms, freqs):
             path = cat.get("DSM_file_prefix") or cat.get("spectrum_file")
             if not path:
                 raise ValueError("catalog file required for HEALPix sky")
-            temp = np.load(path)
-            if hasattr(temp, "files"):
-                temp = temp[temp.files[0]]
-        sm = healpix_diffuse_model(
-            temp, freqs_model=np.asarray([float(sp.get("custom_reffreq")
-                                                or 0.15) * 1e9]),
-            spindex=float(sp.get("spindex") or -2.55))
+            if str(path).endswith((".fits", ".FITS")) or \
+                    not os.path.exists(str(path)):
+                # per-pixel FITS catalog (or the reference's file
+                # prefix, expanded inside the reader)
+                from .catalogs import read_dsm_fits
+                temp = read_dsm_fits(
+                    path, nside=nside,
+                    map_freq=float(sp.get("custom_reffreq") or 0.15)
+                    * 1e9)
+            else:
+                temp = np.load(path)
+                if hasattr(temp, "files"):
+                    temp = temp[temp.files[0]]
+        if isinstance(temp, SkyModel):
+            sm = temp
+        else:
+            sm = healpix_diffuse_model(
+                temp,
+                freqs_model=np.asarray([float(sp.get("custom_reffreq")
+                                              or 0.15) * 1e9]),
+                spindex=float(sp.get("spindex") or -2.55))
     else:
         raise ValueError("unsupported skyparm.model %r (catalog data "
                          "files are not bundled)" % model)
     return sm
+
+
+def precess_sky_to_obs_epoch(sky, parms, obs):
+    """Precess catalog coordinates from skyparm.epoch (a Julian year,
+    e.g. '2000') to the observing epoch — the reference precesses the
+    sky model to the obs epoch once (run_prisim.py:1690-1692) and
+    transforms FK5->AltAz per snapshot (interferometry.py:6174-6180).
+    J2000->2015 is ~0.2 deg, far outside the 1e-6 visibility budget."""
+    from . import ephemeris as eph
+    ep = parms["skyparm"].get("epoch")
+    if ep is None:
+        return sky
+    jd_from = float(eph.jyear_to_jd(float(ep)))
+    jd_to = float(np.mean(np.asarray(obs.jd, dtype=np.float64)))
+    if abs(jd_to - jd_from) < 1.0:                # same epoch: no-op
+        return sky
+    ra, dec = eph.precess_radec(sky.location[:, 0], sky.location[:, 1],
+                                jd_from, jd_to)
+    import dataclasses
+    return dataclasses.replace(
+        sky, location=np.stack([ra, dec], axis=-1),
+        epoch_jyear=2000.0 + (jd_to - eph.JD_J2000) / 365.25)
+
+
+def _src_block_from_memuse(parms, nbl, nchan, nsrc):
+    """processing.memuse (GB) -> source-streaming block size via the
+    reference's DFT-matrix memory model (run_prisim.py:1737-1743:
+    nsrc*nchan*nbl*8 B), scaled by skyparm.fsky (fraction of the model
+    above the horizon at any instant, defaultparms.yaml:643-656)."""
+    proc = parms["processing"]
+    memuse = proc.get("memuse")
+    if memuse is None:
+        return None
+    bytes_per_src = nbl * nchan * 8.0          # complex64 phase matrix
+    fsky = parms["skyparm"].get("fsky")
+    eff_nsrc = nsrc * (float(fsky) if fsky else 1.0)
+    blk = int(float(memuse) * 2 ** 30 / bytes_per_src)
+    return int(np.clip(blk, 16, max(16, eff_nsrc)))
 
 
 def build_tsys(parms, freqs, nbl, n_acc):
@@ -476,6 +567,8 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
     obs = build_schedule(parms, lat)
     sky = _sky_override if _sky_override is not None \
         else build_sky(parms, freqs)
+    if _sky_override is None:
+        sky = precess_sky_to_obs_epoch(sky, parms, obs)
 
     roi = parms["skyparm"].get("roi_radius")
     if roi is not None and _sky_override is None:
@@ -623,6 +716,10 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
               % (bls.nbl, freqs.size, obs.n_acc, sks.flux.shape[0]))
     grad = parms["processing"].get("gradient_mode")
     src_block = int(parms["processing"].get("src_block") or 512)
+    mem_block = _src_block_from_memuse(parms, bls.nbl, freqs.size,
+                                       sks.flux.shape[0])
+    if mem_block is not None:
+        src_block = min(src_block, mem_block)
     out = None
     pp = parms.get("pp") or {}
     engine = (parms["processing"].get("engine") or "direct").lower()
@@ -745,7 +842,9 @@ def _finalize_simulation(parms, vs_inputs, outdir, verbose, save, t0):
     if parms["gains"].get("file"):
         gi = GainInfo.read_hdf5(parms["gains"]["file"])
         gains = gi.eval_gains(bls.labels, freqs=freqs,
-                              times=np.asarray(obs.jd) - obs.jd[0])
+                              times=np.asarray(obs.jd) - obs.jd[0],
+                              kind=parms["gains"].get("interp") or "cubic",
+                              smoothness=parms["gains"].get("smoothness"))
     vis = apply_gains(skyvis, gains, noise)
 
     bp, bp_wts = _bandpass_weights(parms, bls.nbl, freqs, obs.n_acc)

@@ -87,6 +87,75 @@ def _interp_complex_axis(values, x, xq, axis, kind):
     return np.moveaxis(out, -1, axis)
 
 
+def _spline_complex(values, f, t, freqs, times, smoothness=None):
+    """Smoothing-spline resampling of (nlab, nf, nt) complex gains onto
+    (freqs, times) — the reference's splinator/spline_gains semantics
+    (/root/reference/prisim/interferometry.py:3107-3169, 3382-3599):
+    real and imaginary parts are splined separately per label; when only
+    one of (frequency, time) varies, scipy UnivariateSpline with
+    smoothing factor s=smoothness (default: the number of samples); when
+    both vary, RectBivariateSpline over (time, frequency) (s default
+    nf*nt). Size-1 axes broadcast. Queries are clamped to the table
+    range (the reference raises and falls back; clamping subsumes the
+    fallback chain, cf. interferometry.py:6707-6722)."""
+    from scipy.interpolate import UnivariateSpline, RectBivariateSpline
+    values = np.asarray(values, dtype=np.complex128)
+    nlab, nf, nt = values.shape
+    fq = None if freqs is None else \
+        np.atleast_1d(np.asarray(freqs, dtype=np.float64))
+    tq = None if times is None else \
+        np.atleast_1d(np.asarray(times, dtype=np.float64))
+    nf_out = nf if fq is None else fq.size
+    nt_out = nt if tq is None else tq.size
+    f_varies = nf > 1 and fq is not None
+    t_varies = nt > 1 and tq is not None
+    if not f_varies and not t_varies:
+        reps = [1, nf_out // nf if nf == 1 else 1,
+                nt_out // nt if nt == 1 else 1]
+        out = np.tile(values, reps)
+        if out.shape[1] != nf_out or out.shape[2] != nt_out:
+            out = np.broadcast_to(out, (nlab, nf_out, nt_out)).copy()
+        return out
+    out = np.empty((nlab, nf_out, nt_out), dtype=np.complex128)
+    if f_varies and t_varies:
+        if f is None or t is None:
+            raise ValueError("frequency and time coordinates required "
+                             "for 2-D spline gains")
+        s = float(smoothness) if smoothness is not None else \
+            float(nf * nt)
+        kx = min(3, nt - 1)
+        ky = min(3, nf - 1)
+        tqc = np.clip(tq, t.min(), t.max())
+        fqc = np.clip(fq, f.min(), f.max())
+        for ll in range(nlab):
+            re = RectBivariateSpline(t, f, values[ll].real.T,
+                                     kx=kx, ky=ky, s=s)
+            im = RectBivariateSpline(t, f, values[ll].imag.T,
+                                     kx=kx, ky=ky, s=s)
+            out[ll] = (re(tqc, fqc) + 1j * im(tqc, fqc)).T
+        return out
+    # exactly one axis varies: UnivariateSpline along it
+    if f_varies:
+        coord, query, n = f, fq, nf
+    else:
+        coord, query, n = t, tq, nt
+    if coord is None:
+        raise ValueError("axis coordinates required for spline gains")
+    s = float(smoothness) if smoothness is not None else float(n)
+    k = min(3, n - 1)
+    qc = np.clip(query, coord.min(), coord.max())
+    for ll in range(nlab):
+        flat = values[ll].ravel()
+        re = UnivariateSpline(coord, flat.real, s=s, k=k)
+        im = UnivariateSpline(coord, flat.imag, s=s, k=k)
+        vals = re(qc) + 1j * im(qc)
+        if f_varies:
+            out[ll] = np.broadcast_to(vals[:, None], (nf_out, nt_out))
+        else:
+            out[ll] = np.broadcast_to(vals[None, :], (nf_out, nt_out))
+    return out
+
+
 @dataclass
 class GainTable:
     """One gain table (antenna- or baseline-based), canonical axis order
@@ -106,10 +175,22 @@ class GainTable:
         if self.time is not None:
             self.time = np.asarray(self.time, dtype=np.float64)
 
-    def interpolated(self, freqs=None, times=None, kind="cubic"):
-        """New GainTable resampled onto the given freq/time grids."""
+    def interpolated(self, freqs=None, times=None, kind="cubic",
+                     smoothness=None):
+        """New GainTable resampled onto the given freq/time grids.
+        kind: 'linear' | 'cubic' | 'nearest' (per-axis interp1d) or
+        'spline' (smoothing splines, the reference's splinator path,
+        interferometry.py:3107/3382)."""
         g = self.gains
         f, t = self.frequency, self.time
+        if kind == "spline":
+            g = _spline_complex(g, f, t, freqs, times,
+                                smoothness=smoothness)
+            if freqs is not None:
+                f = np.atleast_1d(np.asarray(freqs, dtype=np.float64))
+            if times is not None:
+                t = np.atleast_1d(np.asarray(times, dtype=np.float64))
+            return GainTable(g, self.label, f, t)
         if freqs is not None:
             g = _interp_complex_axis(g, f, freqs, axis=1, kind=kind)
             f = np.atleast_1d(np.asarray(freqs, dtype=np.float64))
@@ -185,7 +266,8 @@ class GainInfo:
                     grp["time"] = tab.time
 
     # -- evaluation -------------------------------------------------------
-    def eval_gains(self, bl_labels, freqs=None, times=None, kind=None):
+    def eval_gains(self, bl_labels, freqs=None, times=None, kind=None,
+                   smoothness=None):
         """Per-baseline complex gains (nbl, nchan, nt).
 
         bl_labels: (nbl, 2) array of (A2, A1) antenna-label pairs, with
@@ -201,7 +283,8 @@ class GainInfo:
         out = np.ones((nbl, 1, 1), dtype=np.complex128)
 
         if self.antenna_based is not None:
-            tab = self.antenna_based.interpolated(freqs, times, kind)
+            tab = self.antenna_based.interpolated(freqs, times, kind,
+                                                  smoothness=smoothness)
             g = tab.gains
             if tab.label is None:
                 # no label variation -> broadcast (reference does this for
@@ -215,7 +298,8 @@ class GainInfo:
                 out = out * g[i2] * np.conj(g[i1])
 
         if self.baseline_based is not None:
-            tab = self.baseline_based.interpolated(freqs, times, kind)
+            tab = self.baseline_based.interpolated(freqs, times, kind,
+                                                   smoothness=smoothness)
             g = tab.gains
             if tab.label is None:
                 out = out * g

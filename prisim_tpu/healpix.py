@@ -15,7 +15,8 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = [
-    "nside2npix", "npix2nside", "nside2pixarea", "pix2ang", "ang2pix",
+    "nside2npix", "npix2nside", "nside2pixarea", "nside2resol",
+    "pix2ang", "ang2pix",
     "pix2vec", "ring2nest", "nest2ring", "get_interp_weights",
     "interp_map", "ud_grade",
 ]
@@ -37,6 +38,15 @@ def nside2pixarea(nside, degrees=False):
     if degrees:
         area *= (180.0 / np.pi) ** 2
     return area
+
+
+def nside2resol(nside, arcmin=False):
+    """Approximate pixel resolution: sqrt(pixel area) in radians
+    (healpy convention)."""
+    res = np.sqrt(nside2pixarea(nside))
+    if arcmin:
+        res = np.degrees(res) * 60.0
+    return res
 
 
 def pix2ang(nside, ipix, nest=False):

@@ -11,7 +11,7 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["Card", "format_header", "write_random_groups",
-           "write_bintable", "read_fits"]
+           "write_bintable", "write_image", "read_fits"]
 
 BLOCK = 2880
 
@@ -129,6 +129,44 @@ def write_bintable(fh, extname, columns, extra_cards=()):
     fh.write(_pad_data(bytes(buf)))
 
 
+_BITPIX = {16: ">i2", 32: ">i4", 64: ">i8", -32: ">f4", -64: ">f8"}
+
+
+def write_image(fh, data=None, primary=False, extname=None,
+                extra_cards=()):
+    """Write an IMAGE HDU (primary or extension). data: ndarray or None
+    (header-only HDU). Axis order follows FITS convention (NAXIS1 is the
+    FASTEST-varying axis = the last numpy axis)."""
+    cards = []
+    if primary:
+        cards.append(card("SIMPLE", True, "conforms to FITS standard"))
+    else:
+        cards.append(card("XTENSION", "IMAGE", "image extension"))
+    if data is None:
+        cards += [card("BITPIX", 8), card("NAXIS", 0)]
+        if not primary:
+            cards += [card("PCOUNT", 0), card("GCOUNT", 1)]
+    else:
+        data = np.asarray(data)
+        if data.dtype.kind == "f":
+            dt, bitpix = (">f8", -64) if data.itemsize == 8 else \
+                (">f4", -32)
+        else:
+            dt, bitpix = ">i4", 32
+        cards += [card("BITPIX", bitpix), card("NAXIS", data.ndim)]
+        for i, n in enumerate(reversed(data.shape), 1):
+            cards.append(card("NAXIS%d" % i, int(n)))
+        if not primary:
+            cards += [card("PCOUNT", 0), card("GCOUNT", 1)]
+    if extname:
+        cards.append(card("EXTNAME", extname))
+    cards.extend(extra_cards)
+    fh.write(format_header(cards))
+    if data is not None:
+        fh.write(_pad_data(np.ascontiguousarray(data, dtype=dt)
+                           .tobytes()))
+
+
 # -- reader (for round-trip tests) ------------------------------------------
 
 def _parse_header(fh):
@@ -223,13 +261,18 @@ def read_fits(path):
                     cols[name] = table[name]
                 hdus.append(dict(header=hdr, columns=cols))
             else:
-                # plain image HDU (or empty primary): skip its data
+                # plain image HDU (or empty primary)
                 naxis = hdr.get("NAXIS", 0)
+                out = dict(header=hdr)
                 if naxis:
                     dims = [hdr.get("NAXIS%d" % i, 0)
                             for i in range(1, naxis + 1)]
-                    nbytes = abs(hdr.get("BITPIX", 8)) // 8 * \
-                        int(np.prod(dims))
-                    fh.read(((nbytes + BLOCK - 1) // BLOCK) * BLOCK)
-                hdus.append(dict(header=hdr))
+                    bitpix = hdr.get("BITPIX", 8)
+                    nbytes = abs(bitpix) // 8 * int(np.prod(dims))
+                    raw = fh.read(((nbytes + BLOCK - 1) // BLOCK) * BLOCK)
+                    dt = _BITPIX.get(bitpix)
+                    if dt is not None and nbytes:
+                        out["data"] = np.frombuffer(
+                            raw[:nbytes], dtype=dt).reshape(dims[::-1])
+                hdus.append(out)
     return hdus

@@ -210,7 +210,9 @@ def test_multi_source_analytic_golden(tmp_path):
         "array": {"layout": "HERA-7"},
         "obsparm": {"n_acc": 1, "t_acc": 10.0},
         "pointing": {"lst_init": 40.0 / 15.0},
-        "skyparm": {"model": "custom", "flux_min": None},
+        # epoch None: catalog coordinates are AT the observing epoch
+        # (the analytic golden below uses them unprecessed)
+        "skyparm": {"model": "custom", "flux_min": None, "epoch": None},
         "phasing": {"center": [90.0, 270.0], "coords": "altaz"},
         "catalog": {"custom_file": cat}})
     vs, _ = run_simulation(p, verbose=False, save=False)

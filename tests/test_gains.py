@@ -108,3 +108,68 @@ def test_apply_gains():
     noise = rng.randn(2, 4, 3) + 1j * rng.randn(2, 4, 3)
     np.testing.assert_allclose(apply_gains(vis, gains, noise),
                                gains * vis + noise)
+
+
+def test_spline_gains_2d_golden(tmp_path):
+    """kind='spline' matches a hand-built scipy RectBivariateSpline
+    golden through the full read->eval path (GainInfo.splinator/
+    spline_gains, interferometry.py:3107-3599)."""
+    from scipy.interpolate import RectBivariateSpline
+    import h5py
+    nant, nchan, nt = 3, 12, 6
+    f = np.linspace(100e6, 111e6, nchan)
+    t = np.linspace(0.0, 5.0, nt)
+    rng = np.random.RandomState(5)
+    g = (1.0 + 0.1 * rng.randn(nant, nchan, nt)
+         + 1j * 0.1 * rng.randn(nant, nchan, nt))
+    path = str(tmp_path / "gains.hdf5")
+    with h5py.File(path, "w") as fh:        # reference HDF5 schema
+        grp = fh.create_group("antenna-based")
+        grp["ordering"] = np.asarray([b"label", b"frequency", b"time"])
+        grp["gains"] = g
+        grp["label"] = np.asarray([b"0", b"1", b"2"])
+        grp["frequency"] = f
+        grp["time"] = t
+    gi = GainInfo.read_hdf5(path)
+    fq = np.linspace(100.5e6, 110.5e6, 7)
+    tq = np.linspace(0.25, 4.75, 4)
+    s = 0.5
+    out = gi.eval_gains(np.asarray([["1", "0"]]), freqs=fq, times=tq,
+                        kind="spline", smoothness=s)
+
+    def spl(a):                              # golden (per label)
+        re = RectBivariateSpline(t, f, a.real.T, s=s)
+        im = RectBivariateSpline(t, f, a.imag.T, s=s)
+        return (re(tq, fq) + 1j * im(tq, fq)).T
+    golden = spl(g[1]) * np.conj(spl(g[0]))
+    np.testing.assert_allclose(out[0], golden, rtol=1e-10)
+
+
+@pytest.mark.parametrize("axis", ["freq", "time"])
+def test_spline_gains_1d_smoothing(axis):
+    """One varying axis -> UnivariateSpline with smoothing: a large
+    smoothness flattens noisy gains toward their mean (the point of the
+    reference's splinator over plain interpolation)."""
+    from scipy.interpolate import UnivariateSpline
+    n = 32
+    x = np.linspace(0.0, 1.0, n)
+    rng = np.random.RandomState(9)
+    noisy = 2.0 + 0.05 * rng.randn(n)
+    if axis == "freq":
+        tab = GainTable(noisy.reshape(1, n, 1).astype(complex),
+                        label=np.asarray(["0"]),
+                        frequency=x)
+        kw = dict(freqs=x)
+    else:
+        tab = GainTable(noisy.reshape(1, 1, n).astype(complex),
+                        label=np.asarray(["0"]),
+                        time=x)
+        kw = dict(times=x)
+    gi = GainInfo(antenna_based=tab)
+    out = gi.eval_gains(np.asarray([["0", "0"]]), kind="spline",
+                        smoothness=10.0, **kw)
+    g_spl = UnivariateSpline(x, noisy, s=10.0, k=3)(x)
+    golden = (g_spl * np.conj(g_spl)).reshape(-1)
+    np.testing.assert_allclose(out[0].ravel(), golden, rtol=1e-10)
+    # heavily smoothed -> much flatter than the raw |g|^2
+    assert np.std(out[0].real) < 0.5 * np.std(noisy ** 2)
