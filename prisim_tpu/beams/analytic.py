@@ -269,3 +269,194 @@ def array_field_pattern(element_pos, dircos, freqs, pointing_dircos=None,
     af = jnp.sum(g[None, :, None, :]
                  * jnp.exp(1j * phase), axis=1) / nant
     return af  # (nsrc, nchan, nrand)
+
+
+def _bc_element_chan(x, nelem, nchan, what):
+    """Normalize per-element/per-channel arrays to (nelem|1, nchan|1):
+    scalar, (nelem,), (nchan,), (nelem, nchan), or already-3D
+    (nelem, nchan, nrand) (returned unchanged)."""
+    x = jnp.asarray(x)
+    if x.ndim == 0:
+        return x.reshape(1, 1)
+    if x.ndim == 1:
+        if x.shape[0] == nelem:
+            return x.reshape(nelem, 1)
+        if x.shape[0] == nchan:
+            return x.reshape(1, nchan)
+        if x.shape[0] == 1:
+            return x.reshape(1, 1)
+        raise ValueError("size of %s inconsistent with elements/channels"
+                         % what)
+    if x.ndim == 2:
+        return x
+    if x.ndim == 3:
+        return x
+    raise ValueError("%s must be scalar, 1-D, 2-D or 3-D" % what)
+
+
+def generic_aperture_field_pattern(aperture_locs, dircos, freqs,
+                                   pointing_dircos=None, delays=None,
+                                   gains=None, delayerr=0.0,
+                                   gainerr_db=0.0, nrand=1, key=None,
+                                   power=False):
+    """Field pattern of an arbitrary aperture of isotropic radiators.
+
+    Generalizes array_field_pattern with FREQUENCY-DEPENDENT complex
+    element gains and delays — scalars, (nelem,), (nchan,),
+    (nelem, nchan), or (nelem, nchan, nrand) — modeling aperture surface
+    imperfections (generic_aperture_field_pattern,
+    /root/reference/prisim/primary_beams.py:1758-2055).
+
+    AF(s, nu) = (1/N) sum_a g_a(nu) exp(i 2 pi nu (d_a(nu) - s.x_a/c)),
+    d_a defaulting to x_a.p/c delay compensation toward pointing p.
+    Returns (nsrc, nchan, nrand) complex field, or the power pattern
+    mean_nrand |AF|^2 (nsrc, nchan) when power=True."""
+    aperture_locs = jnp.asarray(aperture_locs, dtype=jnp.float32)
+    if aperture_locs.shape[1] == 2:
+        aperture_locs = jnp.concatenate(
+            [aperture_locs, jnp.zeros((aperture_locs.shape[0], 1),
+                                      dtype=jnp.float32)], axis=1)
+    nelem = aperture_locs.shape[0]
+    dircos = jnp.asarray(dircos)
+    freqs = jnp.asarray(freqs)
+    nchan = freqs.shape[0]
+    if delays is None:
+        if pointing_dircos is not None:
+            p = jnp.asarray(pointing_dircos).reshape(3)
+            delays = ((aperture_locs @ p) / CNST.c).reshape(nelem, 1)
+        else:
+            delays = jnp.zeros((1, 1))
+    else:
+        delays = _bc_element_chan(delays, nelem, nchan, "delays")
+    gains = jnp.ones((1, 1)) if gains is None else \
+        _bc_element_chan(gains, nelem, nchan, "gains")
+    if delays.ndim == 2:
+        delays = delays[:, :, None]
+    if gains.ndim == 2:
+        gains = gains[:, :, None]
+
+    if (delayerr > 0.0 or gainerr_db > 0.0) and key is None:
+        key = jax.random.PRNGKey(0)
+    if delayerr > 0.0:
+        key, sub = jax.random.split(key)
+        delays = delays + delayerr * jax.random.normal(
+            sub, (nelem, 1, nrand))
+    if gainerr_db > 0.0:
+        key, sub = jax.random.split(key)
+        gains = gains * 10.0 ** ((gainerr_db / 10.0)
+                                 * jax.random.normal(sub,
+                                                     (nelem, 1, nrand)))
+    nr = max(int(nrand), delays.shape[-1], gains.shape[-1])
+
+    geom_delay = -(dircos @ aperture_locs.T) / CNST.c      # (nsrc, nelem)
+    # (nsrc, nelem, nchan, nrand)
+    tot = geom_delay[:, :, None, None] + delays[None, :, :, :]
+    phase = 2.0 * jnp.pi * freqs[None, None, :, None] * tot
+    af = jnp.sum(gains[None] * jnp.exp(1j * phase), axis=1) / nelem
+    if af.shape[-1] != nr:
+        af = jnp.broadcast_to(af, af.shape[:-1] + (nr,))
+    if power:
+        return jnp.mean(jnp.abs(af) ** 2, axis=-1)
+    return af
+
+
+def _feed_sky_field(feedinfo, dircos, freqs, short_dipole=False,
+                    half_wave=True):
+    """Complex feed element field at the given directions: the shared
+    shape dispatch of feed_illumination_of_aperture /
+    feed_aperture_combined_field_pattern
+    (/root/reference/prisim/primary_beams.py:2510-2560, 2752-2790).
+    Returns (nsrc, nchan, nrand) complex."""
+    shape = (feedinfo or {}).get("shape", "delta")
+    nsrc = dircos.shape[0]
+    nchan = freqs.shape[0]
+    if shape == "delta":
+        ep = jnp.ones((nsrc, nchan))
+    elif shape == "dipole":
+        ep = dipole_beam(dircos, freqs, feedinfo["size"],
+                         orientation_dircos=feedinfo.get(
+                             "orientation_dircos", (1.0, 0.0, 0.0)),
+                         short_dipole=short_dipole, half_wave=half_wave,
+                         power=False)
+    elif shape == "dish":
+        ep = airy_beam(dircos, freqs, feedinfo["size"], power=False)
+    elif shape == "rect":
+        ep = uniform_rect_aperture_beam(dircos, freqs, feedinfo["size"],
+                                        power=False)
+    elif shape == "square":
+        ep = uniform_square_aperture_beam(dircos, freqs,
+                                          feedinfo["size"], power=False)
+    else:
+        raise ValueError("invalid feed shape %r" % shape)
+    ep = ep[:, :, None].astype(jnp.complex64)
+    if feedinfo.get("element_locs") is not None:
+        # phased-array feed: isotropic-radiator array factor
+        ep = ep * array_field_pattern(feedinfo["element_locs"], dircos,
+                                      freqs)
+    if feedinfo.get("groundplane") is not None and shape != "dish":
+        gp = ground_plane_pattern(dircos, freqs,
+                                  feedinfo["groundplane"],
+                                  modifier=feedinfo.get("ground_modify"),
+                                  power=False)
+        ep = ep * gp[:, :, None]
+    return ep
+
+
+def feed_illumination_of_aperture(aperture_locs, feedinfo, freqs,
+                                  short_dipole=False, half_wave=True):
+    """Complex feed illumination of aperture samples
+    (feed_illumination_of_aperture,
+    /root/reference/prisim/primary_beams.py:2344-2570).
+
+    aperture_locs: (N, 2|3) sample positions, ENU meters. feedinfo:
+    dict with position (3,), shape, size, orientation_dircos,
+    element_locs (phased-array feed), groundplane. The feed's field
+    pattern is evaluated along the directions from the feed to each
+    sample (apertures below the feed are mirrored — the feed "only
+    points upwards", reference :2504-2506).
+
+    Returns (rel_locs (N, 3), illumination (N, nchan, nrand))."""
+    locs = np.asarray(aperture_locs, dtype=np.float64)
+    if locs.shape[1] == 2:
+        locs = np.hstack([locs, np.zeros((locs.shape[0], 1))])
+    pos = np.asarray((feedinfo or {}).get("position") or (0.0, 0.0, 0.0),
+                     dtype=np.float64).reshape(3)
+    rel = locs - pos[None, :]
+    look = -rel if rel[:, 2].mean() < 0.0 else rel
+    r = np.linalg.norm(look, axis=1)
+    safe = np.where(r > 0, r, 1.0)
+    dirs = look / safe[:, None]
+    dirs[r == 0] = (0.0, 0.0, 1.0)          # sample at the feed: zenith
+    illum = _feed_sky_field(feedinfo, jnp.asarray(dirs),
+                            jnp.asarray(freqs),
+                            short_dipole=short_dipole,
+                            half_wave=half_wave)
+    return rel, illum
+
+
+def feed_aperture_combined_field_pattern(aperture_locs, feedinfo, dircos,
+                                         freqs, pointing_dircos=None,
+                                         short_dipole=False,
+                                         half_wave=True, power=True):
+    """Combined feed x aperture pattern
+    (feed_aperture_combined_field_pattern,
+    /root/reference/prisim/primary_beams.py:2572-2828): the feed's own
+    sky field pattern times the aperture array factor whose per-element
+    complex gains are the feed's illumination of the aperture samples.
+    Returns (nsrc, nchan) power (default) or (nsrc, nchan, nrand)
+    field."""
+    dircos = jnp.asarray(dircos)
+    freqs = jnp.asarray(freqs)
+    rel, illum = feed_illumination_of_aperture(
+        aperture_locs, feedinfo, freqs, short_dipole=short_dipole,
+        half_wave=half_wave)
+    feed_fp = _feed_sky_field(feedinfo, dircos, freqs,
+                              short_dipole=short_dipole,
+                              half_wave=half_wave)
+    ap = generic_aperture_field_pattern(rel, dircos, freqs,
+                                        pointing_dircos=pointing_dircos,
+                                        gains=illum, power=False)
+    field = ap * feed_fp
+    if power:
+        return jnp.mean(jnp.abs(field) ** 2, axis=-1)
+    return field

@@ -85,6 +85,28 @@ def primary_beam(dircos, freqs, telescope, pointing_info=None,
         return _power_from_field(ep, gp=_ground_plane(telescope, dircos,
                                                       freqs))
 
+    # Arbitrary aperture samples ------------------------------------------
+    if (telescope or {}).get("aperture_locs") is not None:
+        # generic aperture of isotropic radiators, optionally illuminated
+        # by a feed (telescope['feedinfo']) — the reference's
+        # generic_aperture_field_pattern / feed_aperture_combined path
+        # (primary_beams.py:1758, 2344, 2572)
+        pinfo = pointing_info or {}
+        pdc = pinfo.get("pointing_center_dircos", pointing_center_dircos)
+        feedinfo = telescope.get("feedinfo")
+        if feedinfo:
+            return AB.feed_aperture_combined_field_pattern(
+                telescope["aperture_locs"], feedinfo, dircos, freqs,
+                pointing_dircos=pdc, short_dipole=short_dipole,
+                half_wave=half_wave, power=True)
+        return AB.generic_aperture_field_pattern(
+            telescope["aperture_locs"], dircos, freqs,
+            pointing_dircos=pdc, delays=pinfo.get("delays"),
+            gains=pinfo.get("gains"),
+            delayerr=pinfo.get("delayerr", 0.0) or 0.0,
+            gainerr_db=pinfo.get("gainerr", 0.0) or 0.0,
+            nrand=pinfo.get("nrand", 1) or 1, key=key, power=True)
+
     # Generic shapes ------------------------------------------------------
     shape = (telescope or {}).get("shape", "delta")
     nsrc, nchan = dircos.shape[0], freqs.shape[0]

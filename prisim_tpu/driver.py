@@ -467,13 +467,22 @@ def _bandpass_weights_full(parms, nbl, freqs, n_acc):
     nchan = freqs.size
     bp = np.ones((nbl, nchan, n_acc))
     pfb = (parms.get("bandpass") or {}).get("pfb_method")
-    if pfb is not None:
+    ccw = int(parms["processing"].get("coarse_channel_width") or 16)
+    shape1d = None
+    if pfb == "theoretical" and parms["bandpass"].get("pfb_file"):
+        # measured PFB response from a FITS table (run_prisim.py:
+        # 916-927): hdu0 = per-filter response grid (dB), hdu1 =
+        # frequency axis (MHz); summed in linear units and interpolated
+        # onto the channels
+        shape1d = win.pfb_theoretical_shape(
+            parms["bandpass"]["pfb_file"], freqs)
+    elif pfb is not None:
         # analytic PFB scalloping (stand-in for the empirical MWA
-        # table, run_prisim.py:911-925); bp_correct divides it back out
-        ccw = int(parms["processing"].get("coarse_channel_width") or 16)
+        # table, DSP.PFB_empirical at run_prisim.py:914)
         shape1d = win.pfb_shape(nchan, ccw)
-        if not parms["processing"].get("bp_correct", True):
-            bp *= shape1d[None, :, None]
+    if shape1d is not None and not parms["processing"].get("bp_correct",
+                                                           True):
+        bp *= shape1d[None, :, None]
     abf = parms["processing"].get("ant_bpass_file")
     if abf:
         # antenna bandpass table: npz with 'faxis' (Hz) and complex
@@ -486,20 +495,33 @@ def _bandpass_weights_full(parms, nbl, freqs, n_acc):
         ant_bp = np.interp(freqs, faxis, band)
         bp *= ant_bp[None, :, None]
     fl = parms.get("flags") or {}
-    n_edge = fl.get("n_edge_flag") or [0, 0]
-    if n_edge[0]:
-        bp[:, :int(n_edge[0]), :] = 0.0
-    if n_edge[1]:
-        bp[:, nchan - int(n_edge[1]):, :] = 0.0
+    n_edge = [int(x) for x in (fl.get("n_edge_flag") or [0, 0])]
+    if fl.get("flag_repeat_edge_channels") and shape1d is not None \
+            and (n_edge[0] or n_edge[1]):
+        # flag around every coarse-channel edge of the PFB shape instead
+        # of the band edges (run_prisim.py:928-940, 964-966)
+        e0 = int(np.argmin(shape1d))
+        edges = (e0 + np.arange(nchan // ccw) * ccw) % nchan
+        edges = np.unique(np.hstack([edges, [edges.min() - ccw,
+                                             edges.max() + ccw]]))
+        for e in edges:
+            bp[:, max(0, e - n_edge[0]):
+               max(0, min(nchan, e + n_edge[1])), :] = 0.0
+    else:
+        if n_edge[0]:
+            bp[:, :n_edge[0], :] = 0.0
+        if n_edge[1]:
+            bp[:, nchan - n_edge[1]:, :] = 0.0
     flag_chan = np.asarray(fl.get("flag_chan") if fl.get("flag_chan")
                            is not None else [-1]).ravel().astype(int)
-    flag_chan = flag_chan[(flag_chan >= 0) & (flag_chan < nchan)]
     if fl.get("bp_flag_repeat"):
-        ccw = int(parms["processing"].get("coarse_channel_width") or 1)
+        # within-coarse-channel offsets repeated across every coarse
+        # channel (run_prisim.py:971-974)
+        flag_chan = flag_chan[flag_chan >= 0] % ccw
         reps = np.arange(0, nchan, ccw)
         flag_chan = np.unique((flag_chan[None, :] +
                                reps[:, None]).ravel())
-        flag_chan = flag_chan[flag_chan < nchan]
+    flag_chan = flag_chan[(flag_chan >= 0) & (flag_chan < nchan)]
     if flag_chan.size:
         bp[:, flag_chan, :] = 0.0
     shape = (parms["processing"].get("bpass_shape") or "rect").lower()

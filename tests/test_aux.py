@@ -259,3 +259,53 @@ def test_get_complex_roundtrip():
     # non-complex input passes through unchanged
     x = jnp.ones((2, 2), jnp.float32)
     np.testing.assert_allclose(get_complex(x), 1.0)
+
+
+def test_pfb_theoretical_from_fits(tmp_path):
+    """pfb_method='theoretical' reads the measured PFB FITS table
+    (response grid dB + frequency axis MHz, run_prisim.py:916-927) and
+    flag_repeat_edge_channels flags coarse-channel edges."""
+    import numpy as np
+    from prisim_tpu.config import load_parms
+    from prisim_tpu.driver import _bandpass_weights, build_frequencies
+    from prisim_tpu.io.fitsio import write_image
+    from prisim_tpu.windows import pfb_theoretical_shape
+
+    nchan, ccw = 32, 8
+    f0, df = 150e6, 100e3
+    freqs = f0 + df * (np.arange(nchan) - nchan / 2)
+    # dense response table: one filter column, scalloped in dB with
+    # minima at coarse-channel edges
+    fmhz = np.linspace(140.0, 160.0, 400)
+    fine = (fmhz - freqs[0] / 1e6) / (df / 1e6)
+    resp_db = -6.0 * (1 - np.cos(2 * np.pi * fine / ccw)) / 2
+    path = str(tmp_path / "pfb.fits")
+    with open(path, "wb") as fh:
+        write_image(fh, resp_db.reshape(-1, 1), primary=True)
+        write_image(fh, fmhz, extname="FREQS")
+    shape = pfb_theoretical_shape(path, freqs)
+    assert shape.shape == (nchan,)
+    assert abs(shape.max() - 1.0) < 1e-12
+    assert shape.min() < 0.3                   # scalloping survived
+
+    parms = load_parms({
+        "bandpass": {"nchan": nchan, "freq": f0, "freq_resolution": df,
+                     "pfb_method": "theoretical", "pfb_file": path},
+        "processing": {"bp_correct": False, "coarse_channel_width": ccw},
+        "flags": {"n_edge_flag": [1, 1],
+                  "flag_repeat_edge_channels": True},
+    })
+    bp, wts = _bandpass_weights(parms, 3, build_frequencies(parms), 2)
+    # bp carries the scalloped shape (bp_correct false)
+    nonzero = bp[0, :, 0] > 0
+    assert nonzero.any()
+    got = bp[0, nonzero, 0] / bp[0, nonzero, 0].max()
+    exp = shape[nonzero] / shape[nonzero].max()
+    np.testing.assert_allclose(got, exp, rtol=1e-9)
+    # every coarse-channel edge (pfb minima) got flagged
+    e0 = int(np.argmin(shape))
+    for k in range(nchan // ccw):
+        e = (e0 + k * ccw) % nchan
+        assert bp[0, e, 0] == 0.0
+    # but mid-coarse-channel channels survive
+    assert bp[0, (e0 + ccw // 2) % nchan, 0] > 0
