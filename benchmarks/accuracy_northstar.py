@@ -1,0 +1,225 @@
+"""North-star accuracy measurement: engines vs f64 golden at HERA-331 scale.
+
+Measures the relative visibility error of the TPU engines (XLA U.W and
+Pallas NUDFT) against the direct float64 golden at the BASELINE.json
+north-star problem size: HERA-331 unique baselines (incl. the longest,
+~876 m, where two-float phase headroom is worst), 1024 channels,
+nside-256 sky (786,432 pixels; ~half above horizon carry flux).
+
+The f64 golden is O(S*B*C) numpy on one host core, so only a slice of
+baselines is golden-checked — chosen to span the full length range, which
+is what controls phase-cycle count and therefore precision. The engines
+are run at full source count so f32 accumulation error at true scale is
+included.
+
+Usage: python benchmarks/accuracy_northstar.py [--nbl-slice 8]
+           [--nside 256] [--nchan 1024]
+Prints one JSON line per engine with max relative error (scaled by
+max |V_golden|) and the worst per-element relative error among
+|V| > 1e-3 * max.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import time
+
+import numpy as np
+
+
+def build_problem(nside=256, nchan=1024, lst_deg=30.0, seed=0):
+    import jax.numpy as jnp
+    from prisim_tpu import layouts as lay
+    from prisim_tpu import baselines as bls
+    from prisim_tpu import healpix as hp
+    from prisim_tpu import skymodel as sm
+    from prisim_tpu import twofloat as tf
+    from prisim_tpu.engine import (Instrument, SkySources,
+                                   enu_rotation_from_eq)
+
+    layout = lay.preset_layout("HERA-331")
+    bset = bls.build_baselines(layout, redundant=True)
+    freqs = 100e6 + 97656.25 * np.arange(nchan)
+    inst = Instrument.build(bset.vectors, freqs, latitude=-30.72)
+
+    rng = np.random.default_rng(seed)
+    theta, phi = hp.pix2ang(nside, np.arange(hp.nside2npix(nside)))
+    ra = np.degrees(phi)
+    dec = 90.0 - np.degrees(theta)
+    loc = np.stack([ra, dec], axis=-1)
+    nsrc = loc.shape[0]
+    model = sm.SkyModel(location=loc, spec_kind="power-law", spec_parms={
+        "flux-scale": rng.uniform(0.1, 10.0, nsrc),
+        "freq-ref": np.full(nsrc, 150e6),
+        "power-law-index": np.full(nsrc, -0.8),
+        "flux-offset": np.zeros(nsrc)})
+    sky = SkySources.from_skymodel(model, freqs)
+
+    # Host-side f64 geometry (exactly what the engines consume as splits)
+    M64 = enu_rotation_from_eq(lst_deg, inst.latitude)
+    ra_r = np.radians(loc[:, 0])
+    dec_r = np.radians(loc[:, 1])
+    s_eq = np.stack([np.cos(dec_r) * np.cos(ra_r),
+                     np.cos(dec_r) * np.sin(ra_r),
+                     np.sin(dec_r)], axis=-1)
+    s_enu = s_eq @ M64.T
+    pc = np.array([0.0, 0.0, 1.0])
+    s_eff64 = s_enu - pc[None, :]
+    return dict(inst=inst, sky=sky, bset=bset, freqs=freqs, M64=M64,
+                s_eff64=s_eff64, s_enu=s_enu, pc=pc, nsrc=nsrc)
+
+
+def engine_amps(prob):
+    """Beam-weighted fluxes on device (f32), identical input to all paths."""
+    import jax
+    import jax.numpy as jnp
+    from prisim_tpu import twofloat as tf
+    from prisim_tpu.beams import airy_beam
+    from prisim_tpu.engine.observe import df_rotate3
+
+    sky = prob["sky"]
+    freqs_f32 = jnp.asarray(prob["freqs"], dtype=jnp.float32)
+    Mh, Ml = tf.split_f64(prob["M64"])
+
+    @jax.jit
+    def amps_fn(mh, ml, s_eq_hi, s_eq_lo, flux):
+        # all large arrays are ARGUMENTS: a closure capture would embed
+        # them as multi-GB HLO literals and stall the remote compile
+        sh, sl = df_rotate3(mh, ml, s_eq_hi, s_eq_lo)
+        pb = airy_beam(sh, freqs_f32, 14.0)
+        amps = jnp.where((sh[:, 2] > 0.0)[:, None], pb * flux, 0.0)
+        return sh, sl, amps
+
+    sh, sl, amps = amps_fn(jnp.asarray(Mh), jnp.asarray(Ml),
+                           jnp.asarray(sky.s_eq_hi),
+                           jnp.asarray(sky.s_eq_lo),
+                           jnp.asarray(sky.flux))
+    return sh, sl, np.asarray(amps)
+
+
+def golden_slice(prob, amps_np, bl_idx, chunk=2048):
+    """f64 direct sum over nonzero-amp sources for the baseline slice."""
+    from prisim_tpu import constants as CNST
+    s_eff = prob["s_eff64"]
+    freqs = prob["freqs"]
+    bl = np.asarray(prob["inst"].bl_hi, dtype=np.float64) + \
+        np.asarray(prob["inst"].bl_lo, dtype=np.float64)
+    bl = bl[bl_idx]
+    up = np.any(amps_np != 0.0, axis=1)
+    s_eff = s_eff[up]
+    A = amps_np[up].astype(np.float64)
+    S = s_eff.shape[0]
+    V = np.zeros((bl.shape[0], freqs.size), dtype=np.complex128)
+    t0 = time.perf_counter()
+    for i0 in range(0, S, chunk):
+        sl = slice(i0, min(i0 + chunk, S))
+        tau = s_eff[sl] @ bl.T / CNST.c                     # (s, b)
+        phase = (2.0 * np.pi) * tau[:, :, None] * freqs[None, None, :]
+        E = np.cos(phase) - 1j * np.sin(phase)
+        V += np.einsum("sc,sbc->bc", A[sl], E)
+    return V, time.perf_counter() - t0, int(S)
+
+
+def run_engines(prob, sh, sl, amps_np, bl_idx, nchan):
+    import jax
+    import jax.numpy as jnp
+    from prisim_tpu import twofloat as tf
+    from prisim_tpu.engine.nudft import nudft_visibilities
+    from prisim_tpu.engine.pallas_nudft import nudft_pallas, \
+        pallas_available
+
+    inst = prob["inst"]
+    pch, pcl = tf.split_f64(prob["pc"])
+    seh, sel = tf.df_add(sh, sl, -jnp.asarray(pch)[None, :],
+                         -jnp.asarray(pcl)[None, :])
+    blh = jnp.asarray(np.asarray(inst.bl_hi)[bl_idx])
+    bll = jnp.asarray(np.asarray(inst.bl_lo)[bl_idx])
+    gs = inst.grid_scalars()
+
+    out = {}
+    timing = {}
+
+    # Pallas first (the production kernel), each engine with a donated
+    # fresh copy of amps — at nside-256 the (S, C) array is 3.2 GB and
+    # two engines' working sets together exceed the 16 GB HBM.
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def pal(seh, sel, amps):
+        v = nudft_pallas(seh, sel, blh, bll, amps, gs, nchan)
+        return jnp.real(v), jnp.imag(v)
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def xla(seh, sel, amps):
+        v = nudft_visibilities(seh, sel, blh, bll, amps, gs, nchan,
+                               src_block=4096)
+        return jnp.real(v), jnp.imag(v)
+
+    if pallas_available():
+        t0 = time.perf_counter()
+        vr, vi = jax.block_until_ready(pal(seh, sel,
+                                           jnp.asarray(amps_np)))
+        timing["pallas"] = time.perf_counter() - t0
+        out["pallas"] = np.asarray(vr) + 1j * np.asarray(vi)
+        del vr, vi
+
+    try:
+        t0 = time.perf_counter()
+        vr, vi = jax.block_until_ready(xla(seh, sel,
+                                           jnp.asarray(amps_np)))
+        timing["xla"] = time.perf_counter() - t0
+        out["xla"] = np.asarray(vr) + 1j * np.asarray(vi)
+    except Exception as exc:
+        print(json.dumps({"warning": "xla engine failed: %s"
+                          % str(exc)[:160]}))
+    return out, timing
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nside", type=int, default=256)
+    ap.add_argument("--nchan", type=int, default=1024)
+    ap.add_argument("--nbl-slice", type=int, default=8)
+    args = ap.parse_args()
+
+    prob = build_problem(nside=args.nside, nchan=args.nchan)
+    bl = np.asarray(prob["inst"].bl_hi, dtype=np.float64) + \
+        np.asarray(prob["inst"].bl_lo, dtype=np.float64)
+    lengths = np.sqrt((bl ** 2).sum(1))
+    order = np.argsort(lengths)
+    # slice spanning shortest..longest (length controls cycle count)
+    pick = np.unique(np.linspace(0, order.size - 1, args.nbl_slice)
+                     .astype(int))
+    bl_idx = order[pick]
+    print(json.dumps({"info": "problem", "nbl_total": int(bl.shape[0]),
+                      "bl_slice_lengths_m": np.round(lengths[bl_idx], 1)
+                      .tolist(), "nsrc": prob["nsrc"],
+                      "nchan": args.nchan}))
+
+    sh, sl, amps_np = engine_amps(prob)
+    eng, timing = run_engines(prob, sh, sl, amps_np, bl_idx, args.nchan)
+
+    cache = "/tmp/acc_ns_golden_%d_%d_%d.npz" % (
+        args.nside, args.nchan, args.nbl_slice)
+    if os.path.exists(cache):
+        z = np.load(cache)
+        Vg, tg, n_up = z["Vg"], float(z["tg"]), int(z["n_up"])
+    else:
+        Vg, tg, n_up = golden_slice(prob, amps_np, bl_idx)
+        np.savez(cache, Vg=Vg, tg=tg, n_up=n_up)
+    scale = np.abs(Vg).max()
+    mask = np.abs(Vg) > 1e-3 * scale
+    for name, V in eng.items():
+        err = np.abs(V - Vg)
+        rel_max_scaled = float(err.max() / scale)
+        rel_elem = float((err[mask] / np.abs(Vg)[mask]).max())
+        print(json.dumps({
+            "engine": name, "rel_max_scaled": rel_max_scaled,
+            "rel_elem_worst": rel_elem,
+            "engine_seconds_incl_compile": timing[name],
+            "golden_seconds": tg, "n_src_above_horizon": n_up}))
+
+
+if __name__ == "__main__":
+    main()

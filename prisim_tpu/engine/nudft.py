@@ -72,8 +72,8 @@ def _phasors(p0h, p0l, dh, dl, steps):
     ml = ml + dl[..., None] * k
     th, tl = tf.df_add(p0h[..., None], p0l[..., None], mh, ml)
     th, tl = tf.df_frac(th, tl, xp=jnp)
-    ang = (2.0 * jnp.pi) * (th + tl)
-    return jnp.cos(ang), -jnp.sin(ang)
+    cosv, sinv = tf.df_sincos_cycles(th, tl, xp=jnp)
+    return cosv, -sinv
 
 
 def _source_block_vis(seh, sel, blh, bll, amps, g0h, g0l, gdh, gdl, Q, L,
@@ -202,6 +202,15 @@ def nudft_visibilities(seh, sel, blh, bll, amps, grid_scalars, nchan,
     sig_p = pad_src(src_shape_sigma) if src_shape_sigma is not None else None
     bl_len = jnp.sqrt(jnp.sum(blh ** 2, axis=1))
 
+    def kahan(sum_, comp, x):
+        # Compensated accumulation: without it, the f32 carry quantizes
+        # each block add at eps*|V|, a random walk that reaches ~3e-6
+        # relative over the north-star source count (measured; see
+        # benchmarks/accuracy_northstar.py).
+        y = x - comp
+        t = sum_ + y
+        return t, (t - sum_) - y
+
     def body(carry, blk):
         idx = blk * src_block
         sl = lambda x: jax.lax.dynamic_slice_in_dim(x, idx, src_block, 0)
@@ -216,19 +225,21 @@ def nudft_visibilities(seh, sel, blh, bll, amps, grid_scalars, nchan,
                                 gradient=gradient, **kw)
         if gradient:
             vr, vi, gr, gi = out
-            cvr, cvi, cgr, cgi = carry
-            return (cvr + vr, cvi + vi, cgr + gr, cgi + gi), None
+            cvr, cvi, cgr, cgi, kvr, kvi = carry
+            cvr, kvr = kahan(cvr, kvr, vr)
+            cvi, kvi = kahan(cvi, kvi, vi)
+            return (cvr, cvi, cgr + gr, cgi + gi, kvr, kvi), None
         vr, vi = out
-        return (carry[0] + vr, carry[1] + vi), None
+        cvr, kvr = kahan(carry[0], carry[2], vr)
+        cvi, kvi = kahan(carry[1], carry[3], vi)
+        return (cvr, cvi, kvr, kvi), None
 
+    zbc = jnp.zeros((B, C_pad), jnp.float32)
     if gradient:
-        init = (jnp.zeros((B, C_pad), jnp.float32),
-                jnp.zeros((B, C_pad), jnp.float32),
-                jnp.zeros((3, B, C_pad), jnp.float32),
-                jnp.zeros((3, B, C_pad), jnp.float32))
+        init = (zbc, zbc, jnp.zeros((3, B, C_pad), jnp.float32),
+                jnp.zeros((3, B, C_pad), jnp.float32), zbc, zbc)
     else:
-        init = (jnp.zeros((B, C_pad), jnp.float32),
-                jnp.zeros((B, C_pad), jnp.float32))
+        init = (zbc, zbc, zbc, zbc)
     carry, _ = jax.lax.scan(body, init, jnp.arange(nblk))
     vis = (carry[0] + 1j * carry[1])[:, :nchan]
     if gradient:

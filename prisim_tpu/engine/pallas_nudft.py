@@ -44,7 +44,8 @@ def pallas_available():
 
 
 def _kernel(seh_ref, sel_ref, blh_ref, bll_ref, amps_ref, scal_ref,
-            vr_ref, vi_ref, wc_ref, ws_ref, *, Q, L, ST, BT, k_mode):
+            vr_ref, vi_ref, wc_ref, ws_ref, cr_ref, ci_ref,
+            *, Q, L, ST, BT, k_mode):
     # NOTE on scal_ref: the four frequency-grid scalars are passed as
     # pre-broadcast (4, ST, BT) VMEM tiles, NOT SMEM scalars. SMEM scalar
     # reads reach the fused arithmetic as compile-time constants, and
@@ -57,10 +58,15 @@ def _kernel(seh_ref, sel_ref, blh_ref, bll_ref, amps_ref, scal_ref,
     def _():
         vr_ref[:] = jnp.zeros_like(vr_ref)
         vi_ref[:] = jnp.zeros_like(vi_ref)
+        cr_ref[:] = jnp.zeros_like(cr_ref)
+        ci_ref[:] = jnp.zeros_like(ci_ref)
 
     g0h, g0l = scal_ref[0], scal_ref[1]
     gdh, gdl = scal_ref[2], scal_ref[3]
     ch0 = scal_ref[4]          # channel-axis offset (mesh chan shards)
+    # 2*pi as opaque runtime two-float (VMEM, not a literal the Mosaic
+    # compiler could constant-fold through the compensated product).
+    two_pi = (scal_ref[5], scal_ref[6])
 
     # k = s_eff . bl in two-float, (ST, BT) meters. Two formulations of
     # the same compensated dot product (empirically forced):
@@ -109,9 +115,9 @@ def _kernel(seh_ref, sel_ref, blh_ref, bll_ref, amps_ref, scal_ref,
     # VPU lanes.
     def w_step(rr, carry):
         ch, cl = carry
-        wang = jnp.float32(_TWO_PI) * (ch + cl)
-        wc_ref[rr] = jnp.cos(wang)
-        ws_ref[rr] = -jnp.sin(wang)
+        wc, ws = tf.df_sincos_cycles(ch, cl, xp=jnp, two_pi=two_pi)
+        wc_ref[rr] = wc
+        ws_ref[rr] = -ws
         return tf.df_frac(*tf.df_add(ch, cl, dh, dl), xp=jnp)
 
     jax.lax.fori_loop(0, L, w_step,
@@ -133,17 +139,25 @@ def _kernel(seh_ref, sel_ref, blh_ref, bll_ref, amps_ref, scal_ref,
 
     def q_step(q, carry):
         th, tl = carry
-        ang = jnp.float32(_TWO_PI) * (th + tl)
-        uc = jnp.cos(ang)                                # (ST, BT)
-        us = -jnp.sin(ang)
-        A = amps_ref[q]                                  # (ST, L)
-        AT = jnp.transpose(A)[:, :, None]                # (L, ST, 1)
+        uc, us_ = tf.df_sincos_cycles(th, tl, xp=jnp, two_pi=two_pi)
+        us = -us_                                        # (ST, BT)
+        AT = amps_ref[q][:, :, None]                     # (L, ST, 1)
         Er = uc[None] * Wc - us[None] * Ws               # (L, ST, BT)
         Ei = uc[None] * Ws + us[None] * Wc
         vr = jnp.sum(AT * Er, axis=1)                    # (L, BT)
         vi = jnp.sum(AT * Ei, axis=1)
-        vr_ref[q] += vr
-        vi_ref[q] += vi
+        # Kahan-compensated accumulation: the plain f32 `+=` quantizes
+        # each of the S/ST sequential grid-step adds at eps*|V| — a
+        # random walk measured at ~3e-6 relative by north-star source
+        # counts (benchmarks/accuracy_northstar.py), over the 1e-6 bar.
+        yr = vr - cr_ref[q]
+        tr = vr_ref[q] + yr
+        cr_ref[q] = (tr - vr_ref[q]) - yr
+        vr_ref[q] = tr
+        yi = vi - ci_ref[q]
+        ti = vi_ref[q] + yi
+        ci_ref[q] = (ti - vi_ref[q]) - yi
+        vi_ref[q] = ti
         return tf.df_frac(*tf.df_add(th, tl, Ldh, Ldl), xp=jnp)
 
     jax.lax.fori_loop(0, Q, q_step, (p0h, p0l))
@@ -171,7 +185,10 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
         amps = jnp.pad(amps, ((0, 0), (0, C_pad - amps.shape[1])))
 
     ST, BT = int(src_tile), int(bl_tile)
-    S_pad = -(-S // ST) * ST
+    # sources pad to a multiple of lcm(ST, 128): ST for the grid, 128 so
+    # the (Q, L, S) amps layout ends on a full lane tile (padding-free)
+    s_align = int(np.lcm(ST, 128))
+    S_pad = -(-S // s_align) * s_align
     B_pad = -(-B // BT) * BT
 
     def padn(x, n, axis=0):
@@ -188,18 +205,24 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
     bll_p = padn(bll, B_pad)
     scal = jnp.stack([jnp.broadcast_to(jnp.float32(v), (ST, BT))
                       for v in (g0h, g0l, gdh, gdl,
-                                jnp.asarray(chan0, jnp.float32))])
+                                jnp.asarray(chan0, jnp.float32),
+                                jnp.float32(tf.TWO_PI_HI),
+                                jnp.float32(tf.TWO_PI_LO))])
 
     if k_mode is None:
         k_mode = "vec3" if interpret else "axis2d"
     grid = (B_pad // BT, S_pad // ST)
     kernel = functools.partial(_kernel, Q=Q, L=L, ST=ST, BT=BT,
                                k_mode=k_mode)
-    # (Q, ST_total, L): the per-q read indexes the LEADING dim — traced
+    # (Q, L, S_total): the per-q read indexes the LEADING dim — traced
     # dynamic indexing on non-leading VMEM dims trapped the device at
     # runtime (verified on hardware: kernel ran, then all subsequent
-    # device ops returned UNIMPLEMENTED)
-    amps_q = jnp.transpose(amps_p.reshape(S_pad, Q, L), (1, 0, 2))
+    # device ops returned UNIMPLEMENTED). Sources ride the LANE dim:
+    # with L=32 last, the T(8,128) HBM layout pads 32 lanes to 128 — a
+    # 4x expansion that OOMed HBM at north-star source counts (12 GB
+    # for the nside-256 sky); S_pad is 128-divisible so (Q, L, S) is
+    # padding-free.
+    amps_q = jnp.transpose(amps_p.reshape(S_pad, Q, L), (1, 2, 0))
     out_shape = [jax.ShapeDtypeStruct((Q, L, B_pad), jnp.float32),
                  jax.ShapeDtypeStruct((Q, L, B_pad), jnp.float32)]
     vr, vi = pl.pallas_call(
@@ -214,9 +237,9 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BT, 3), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Q, ST, L), lambda i, j: (0, j, 0),
+            pl.BlockSpec((Q, L, ST), lambda i, j: (0, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((5, ST, BT), lambda i, j: (0, 0, 0),
+            pl.BlockSpec((7, ST, BT), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -227,7 +250,9 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
         ],
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((L, ST, BT), jnp.float32),
-                        pltpu.VMEM((L, ST, BT), jnp.float32)],
+                        pltpu.VMEM((L, ST, BT), jnp.float32),
+                        pltpu.VMEM((Q, L, BT), jnp.float32),
+                        pltpu.VMEM((Q, L, BT), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=10 * S_pad * B_pad * C_pad,

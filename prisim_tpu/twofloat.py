@@ -21,6 +21,10 @@ import numpy as np
 # Veltkamp split constant for float32 (2^12 + 1).
 _SPLIT_F32 = 4097.0
 
+# 2*pi as a two-float32 (hi rounds to 6.2831855; lo carries the residual).
+TWO_PI_HI = float(np.float32(2.0 * np.pi))
+TWO_PI_LO = float(np.float32(2.0 * np.pi - np.float64(np.float32(2.0 * np.pi))))
+
 
 def two_sum(a, b):
     """Knuth exact addition: a + b = s + e with s = fl(a+b)."""
@@ -94,6 +98,29 @@ def df_frac(xh, xl, xp=jnp):
     n = xp.round(xh + xl)
     h = xh - n  # exact: both are integers-scale values within f32 range
     return fast_two_sum(h, xl)
+
+
+def df_sincos_cycles(ch, cl, xp=jnp, two_pi=(TWO_PI_HI, TWO_PI_LO)):
+    """(cos, sin) of 2*pi*(ch+cl) for a frac-reduced two-float cycle count.
+
+    Collapsing the cycles to a single f32 before the multiply costs
+    ~2^-24 cycles (~4e-7 rad) per phasor, and multiplying by a single-f32
+    2*pi costs another ~2.5e-7 rad at |c|=0.5 — both above the 1e-6
+    visibility budget at north-star scale. Here the radian conversion is
+    a two-float product (ah + al, |al| <~ 2e-7) and the residual enters
+    through the first-order rotation sin(ah+al) ~= sin+cos*al,
+    cos(ah+al) ~= cos-sin*al, leaving only the f32 sincos intrinsic
+    error (~1 ulp).
+
+    `two_pi` lets Pallas callers pass the constants as opaque runtime
+    values (VMEM tiles) so the Mosaic compiler cannot constant-fold the
+    compensated product.
+    """
+    ph, plo = two_pi
+    ah, al = df_mul(ch, cl, ph, plo)
+    c = xp.cos(ah)
+    s = xp.sin(ah)
+    return c - s * al, s + c * al
 
 
 def df_dot3(ah, al, bh, bl):
