@@ -754,16 +754,47 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
         from . import twofloat as _tf
         from .engine.nufft_delay import (simulate_snapshot_nufft_jit,
                                          chebyshev_projection)
+        from .engine.observe import simulate_snapshot
         Mh, Ml = obs.rotations(inst.latitude)
         pch, pcl = _tf.split_f64(obs.pc_dircos())
         rank = int(parms["processing"].get("nufft_rank") or 10)
+        spread = str(parms["processing"].get("nufft_spread")
+                     or "sorted")
         pinvQ, Q = chebyshev_projection(freqs, min(rank, freqs.size))
         snap = jax.jit(lambda mh, ml, ph, pl: simulate_snapshot_nufft_jit(
-            inst, sks, mh, ml, ph, pl, beam_fn, pinvQ, Q))
+            inst, sks, mh, ml, ph, pl, beam_fn, pinvQ, Q,
+            spread=spread))
         snaps = [get_complex(snap(
             jnp.asarray(Mh[t]), jnp.asarray(Ml[t]),
             jnp.asarray(pch[t]), jnp.asarray(pcl[t])))
             for t in range(obs.n_acc)]
+        if parms["processing"].get("nufft_crosscheck", True):
+            # Automatic accuracy gate: the fast engine's first snapshot
+            # is re-evaluated with the exact direct NUDFT; a mismatch
+            # beyond tolerance falls the WHOLE run back to the direct
+            # engine (approximate-engine results are never silently
+            # trusted; cf. the reference's always-exact loop,
+            # run_prisim.py:1858-2210).
+            tol = float(parms["processing"].get("nufft_crosscheck_tol")
+                        or 1e-4)
+            direct0 = get_complex(simulate_snapshot(
+                inst, sks, jnp.asarray(Mh[0]), jnp.asarray(Ml[0]),
+                jnp.asarray(pch[0]), jnp.asarray(pcl[0]), beam_fn,
+                src_block=src_block))
+            scale = max(float(np.abs(direct0).max()), 1e-30)
+            rel = float(np.abs(snaps[0] - direct0).max()) / scale
+            if rel > tol:
+                print("[prisim_tpu] NUFFT engine cross-check FAILED "
+                      "(rel=%.2e > %.0e); falling back to the direct "
+                      "engine" % (rel, tol))
+                p2 = dict(parms)
+                p2["processing"] = dict(parms["processing"],
+                                        engine="direct")
+                return _run_simulation_inner(p2, outdir, verbose, save,
+                                             _sky_override, t0)
+            if verbose:
+                print("[prisim_tpu] NUFFT/direct cross-check ok "
+                      "(rel=%.2e)" % rel)
         skyvis = np.ascontiguousarray(
             np.transpose(np.stack(snaps), (1, 2, 0)))
         return _finalize_simulation(parms, vs_inputs=dict(

@@ -40,7 +40,9 @@ import numpy as np
 
 __all__ = ["nufft_delay_visibilities", "nufft_delay_visibilities_spectral",
            "nufft_delay_visibilities_jax",
-           "nufft_delay_visibilities_jax_gather", "size_gather_window",
+           "nufft_delay_visibilities_jax_gather",
+           "nufft_delay_visibilities_jax_sorted", "fold_delay_bins",
+           "kb_tap_coeffs", "size_gather_window",
            "simulate_snapshot_nufft", "kb_kernel", "kb_fourier"]
 
 
@@ -386,6 +388,173 @@ def nufft_delay_visibilities_jax_gather(tau_h, tau_l, amps, nu0, dnu,
     return Gk * deconv[None, :]
 
 
+def kb_tap_coeffs(K, alpha, degree=12):
+    """Host-side per-tap Chebyshev fits of the KB kernel.
+
+    Evaluating i0(alpha*sqrt(arg))/i0(alpha) directly in f32 loses
+    ~alpha*eps ~ 2e-6 relative (the sqrt feeds a sharp exponent) — the
+    measured accuracy plateau of the jax spreading paths. Instead each
+    tap j's weight w_j(z0) = kb(z0 - j) is fit on z0 in [-1/2, 1/2] by a
+    degree-`degree` polynomial with f64 coefficients (fit error ~1e-10),
+    then Horner-evaluated in f32: absolute error ~eps * max_z w_j, which
+    is what a summed spreading weight needs. Returns (K, degree+1)
+    float64 monomial coefficients, highest degree first (np.polyval
+    order)."""
+    half = K // 2
+    z = np.polynomial.chebyshev.chebpts1(64) * 0.5          # 64 nodes
+    out = np.empty((K, degree + 1))
+    for idx, j in enumerate(range(-half, half + 1)):
+        w = kb_kernel(z - j, K, alpha)
+        cheb = np.polynomial.chebyshev.Chebyshev.fit(z, w, degree,
+                                                     domain=[-0.5, 0.5])
+        out[idx] = cheb.convert(kind=np.polynomial.Polynomial).coef[::-1]
+    return out
+
+
+def fold_delay_bins(tau_h, tau_l, dnu, nchan, beta=2.0):
+    """Two-float folding of delays onto the oversampled grid: returns
+    (m0 (S,B) int32 in [0, n), z0 (S,B) f32 in [-1/2, 1/2], n).
+
+    The SAME computation the sorted spread uses internally — external
+    plans (sort reuse across spectral ranks) must derive m0 from here,
+    since an f64 recomputation can round ties to a different bin."""
+    import jax.numpy as jnp
+    from .. import twofloat as tf
+    n = int(beta * nchan)
+    h = 1.0 / (n * dnu)
+    invh_h, invh_l = [jnp.float32(x) for x in _split_host(1.0 / h)]
+    ph_h, ph_l = tf.df_mul(tau_h, tau_l, invh_h, invh_l)
+    m0 = jnp.rint(ph_h).astype(jnp.int32)
+    z0 = (ph_h - m0.astype(jnp.float32)) + ph_l
+    return m0 % n, z0, n
+
+
+def _sorted_spread_setup(m0, n):
+    """Per-baseline sort of folded bin indices + segment boundaries.
+
+    m0: (S, B) int32 folded bin indices (0..n-1). Returns
+    (order (S, B), starts (n+1, B)) — `order` sorts each baseline's
+    sources by bin; `starts[g]` is the first sorted position of bin g
+    (starts[n] = S). Host/jit agnostic; reused across spectral ranks."""
+    import jax
+    import jax.numpy as jnp
+    order = jnp.argsort(m0, axis=0)                       # (S, B)
+    ms = jnp.take_along_axis(m0, order, axis=0)           # sorted bins
+    g = jnp.arange(int(n) + 1, dtype=m0.dtype)
+    starts = jax.vmap(lambda col: jnp.searchsorted(col, g),
+                      in_axes=1, out_axes=1)(ms)          # (n+1, B)
+    return order, starts
+
+
+def nufft_delay_visibilities_jax_sorted(tau_h, tau_l, amps, nu0, dnu,
+                                        nchan, beta=2.0, K=13,
+                                        alpha=None, setup=None):
+    """Scatter-free, occupancy-INDEPENDENT spreading (the TPU path).
+
+    The gather variant's fixed window must bound the worst-case bin
+    occupancy, which clustered delays blow up ~12x (ROADMAP; measured).
+    Here each tap's spreading is an exact segment sum over sources
+    sorted by delay bin, computed as a cumulative sum differenced at the
+    segment boundaries:
+
+        T_j[g] = sum_{s: m0_s = g} src_s * kb(z0_s - j)
+               = cumsum(vals_j)[starts[g+1]] - cumsum(vals_j)[starts[g]]
+        grid[g] = sum_j T_j[g - j]   (K rolls)
+
+    — one argsort per (baseline, snapshot) (reusable across spectral
+    ranks via `setup`), K cumsums of length S, K×n boundary gathers and
+    K rolls per baseline: O(S·(log S + K) + n·K), with NO window bound
+    and no occupancy sensitivity. All ops are dense TPU-native XLA
+    (sort, cumsum, gather, roll, FFT).
+
+    Cancellation note: the boundary difference subtracts two running
+    f32 sums of magnitude ~sqrt(S)·amp (the carrier randomizes signs),
+    so per-bin error is ~eps·sqrt(S)·amp — within the NUFFT engine's
+    ~3e-6 class at north-star source counts (measured in
+    tests/test_nufft_delay.py and benchmarks/bench_nufft_tpu.py).
+
+    setup: optional (order, starts) from _sorted_spread_setup(m0, n) to
+    amortize the sort across ranks. Returns (B, C) complex64."""
+    import jax
+    import jax.numpy as jnp
+    from jax.scipy.special import i0 as j_i0
+    from .. import twofloat as tf
+
+    if alpha is None:
+        alpha = np.pi * K * (1.0 - 0.5 / beta) - 0.01
+    alpha = float(alpha)
+    n = int(beta * nchan)
+    h = 1.0 / (n * dnu)
+    S, B = tau_h.shape
+    amps = jnp.asarray(amps, jnp.float32)
+    if amps.ndim == 1:
+        amps = jnp.broadcast_to(amps[:, None], (S, B))
+    nu_mid = nu0 + (nchan // 2) * dnu
+    nmh, nml = [jnp.float32(x) for x in _split_host(nu_mid)]
+    ch, cl = tf.df_mul(tau_h, tau_l, nmh, nml)
+    fh, fl = tf.df_frac(ch, cl)
+    cosv, sinv = tf.df_sincos_cycles(fh, fl, xp=jnp)
+    m0, z0, _ = fold_delay_bins(tau_h, tau_l, dnu, nchan, beta=beta)
+    src_re = amps * cosv
+    src_im = amps * (-sinv)
+    if setup is None:
+        setup = _sorted_spread_setup(m0, n)
+    order, starts = setup
+    half = K // 2
+    i0a = float(np.i0(alpha))
+
+    zs = jnp.take_along_axis(z0, order, axis=0)           # (S, B)
+    res = jnp.take_along_axis(src_re, order, axis=0)
+    ims = jnp.take_along_axis(src_im, order, axis=0)
+    tap_coeffs = kb_tap_coeffs(K, alpha)                  # (K, d+1) f64
+
+    def df_cumsum(x):
+        # Compensated prefix sum: a plain f32 cumsum random-walks to
+        # ~sqrt(S)*amp and the boundary difference cancels it back down,
+        # costing ~eps*sqrt(S) per bin (measured 5e-6 at S=8192). The
+        # two-float scan keeps the running sum to ~eps^2*S.
+        h, l = jax.lax.associative_scan(
+            lambda a, b: tf.df_add(a[0], a[1], b[0], b[1]),
+            (x, jnp.zeros_like(x)), axis=0)
+        return h, l
+
+    def tap(j):
+        # Horner on the host-fit f64 tap polynomial (see kb_tap_coeffs)
+        co = tap_coeffs[j + half]
+        w = jnp.full_like(zs, np.float32(co[0]))
+        for c in co[1:]:
+            w = w * zs + jnp.float32(c)
+        # exclusive-prefix cumsum with a leading zero: T[g] =
+        # cs[starts[g+1]] - cs[starts[g]] is then exact segment algebra
+        zpad = jnp.zeros((1, B), jnp.float32)
+
+        def bounds(csh, csl):
+            csh = jnp.concatenate([zpad, csh], axis=0)    # (S+1, B)
+            csl = jnp.concatenate([zpad, csl], axis=0)
+            ah = jnp.take_along_axis(csh, starts[1:], axis=0)
+            al = jnp.take_along_axis(csl, starts[1:], axis=0)
+            bh = jnp.take_along_axis(csh, starts[:-1], axis=0)
+            bl = jnp.take_along_axis(csl, starts[:-1], axis=0)
+            th, tl_ = tf.df_add(ah, al, -bh, -bl)         # (n, B)
+            return th + tl_
+
+        tr = bounds(*df_cumsum(w * res))
+        ti = bounds(*df_cumsum(w * ims))
+        return jnp.roll(tr, j, axis=0), jnp.roll(ti, j, axis=0)
+
+    gr = jnp.zeros((n, B), jnp.float32)
+    gi = jnp.zeros((n, B), jnp.float32)
+    for j in range(-half, half + 1):                      # static K
+        tr, ti = tap(j)
+        gr = gr + tr
+        gi = gi + ti
+    G = jnp.fft.fft(jnp.transpose(gr) + 1j * jnp.transpose(gi), axis=1)
+    k = np.arange(nchan) - nchan // 2
+    Gk = G[:, k % n]
+    deconv = jnp.asarray(1.0 / kb_fourier(k / n, K, alpha), jnp.float32)
+    return Gk * deconv[None, :]
+
+
 def chebyshev_projection(freqs, rank):
     """Host-precomputed fixed spectral basis: returns (pinvQ (C, r),
     Q (C, r)) f32 for jit-internal factorization P = amps @ pinvQ."""
@@ -399,11 +568,16 @@ def chebyshev_projection(freqs, rank):
 
 
 def simulate_snapshot_nufft_jit(instrument, sky, Mh, Ml, pch, pcl,
-                                beam_fn, pinvQ, Q, beta=2.0, K=13):
+                                beam_fn, pinvQ, Q, beta=2.0, K=13,
+                                spread="sorted"):
     """Fully jittable NUFFT snapshot: the spectral factorization is one
     matmul against the fixed Chebyshev basis (chebyshev_projection) —
     no host round trip, so the whole accumulation fits in one jit (and
-    under lax control flow for drift scans). Returns (B, C) complex64."""
+    under lax control flow for drift scans). Returns (B, C) complex64.
+
+    spread: 'sorted' (default; scatter-free, occupancy-independent —
+    the TPU path, with one argsort shared across all spectral ranks) or
+    'scatter' (XLA scatter-add; fast on CPU backends)."""
     import jax.numpy as jnp
     from .. import twofloat as tf
     from .. import constants as CNST
@@ -423,12 +597,22 @@ def simulate_snapshot_nufft_jit(instrument, sky, Mh, Ml, pch, pcl,
     ich, icl = [jnp.float32(x) for x in _split_host(1.0 / CNST.c)]
     th, tl = tf.df_mul(th, tl, ich, icl)
     Qd = jnp.asarray(Q)
+    setup = None
+    if spread == "sorted":
+        m0, _, n = fold_delay_bins(th, tl, instrument.dnu,
+                                   instrument.nchan, beta=beta)
+        setup = _sorted_spread_setup(m0, n)       # one sort, all ranks
     out = 0.0
     for i in range(Q.shape[1]):                  # static unroll, r~10
-        Vi = nufft_delay_visibilities_jax(th, tl, P[:, i],
-                                          instrument.nu0,
-                                          instrument.dnu,
-                                          instrument.nchan,
-                                          beta=beta, K=K)
+        if spread == "sorted":
+            Vi = nufft_delay_visibilities_jax_sorted(
+                th, tl, P[:, i], instrument.nu0, instrument.dnu,
+                instrument.nchan, beta=beta, K=K, setup=setup)
+        else:
+            Vi = nufft_delay_visibilities_jax(th, tl, P[:, i],
+                                              instrument.nu0,
+                                              instrument.dnu,
+                                              instrument.nchan,
+                                              beta=beta, K=K)
         out = out + Vi * Qd[:, i][None, :]
     return out
