@@ -83,8 +83,38 @@ class ClosurePhaseData:
             lst = 0.5 * (edges[:-1] + edges[1:])
             eicp, wts = se, sw
         if daybinsize is not None:
-            raise NotImplementedError(
-                "day binning: use subsample_differencing")
+            # contiguous JD binning along the day axis (the reference's
+            # daybinsize branch, bispectrum_phase.py:1751-1855); for the
+            # randomized equal-count split used in noise estimation see
+            # subsample_differencing
+            edges = np.arange(days.min(), days.max() + daybinsize,
+                              daybinsize)
+            if edges.size < 2:
+                edges = np.asarray([days.min(), days.max() + 1.0])
+            which = np.clip(np.digitize(days, edges) - 1, 0,
+                            edges.size - 2)
+            nb = edges.size - 1
+            se = np.zeros(eicp.shape[:1] + (nb,) + eicp.shape[2:],
+                          dtype=complex)
+            sw = np.zeros(wts.shape[:1] + (nb,) + wts.shape[2:])
+            if stat == "median":
+                for b in range(nb):
+                    sel = np.where(which == b)[0]
+                    if sel.size:
+                        wsel = np.moveaxis(wts[:, sel], 1, 0)
+                        ei = np.moveaxis(
+                            np.where(wts[:, sel] > 0, eicp[:, sel]
+                                     / np.maximum(wts[:, sel], 1e-30),
+                                     0.0), 1, 0)
+                        med_r = _wmedian_axis0(ei.real, wsel)
+                        med_i = _wmedian_axis0(ei.imag, wsel)
+                        sw[:, b] = wsel.sum(axis=0)
+                        se[:, b] = (med_r + 1j * med_i) * sw[:, b]
+            else:
+                np.add.at(se, (slice(None), which), eicp)
+                np.add.at(sw, (slice(None), which), wts)
+            days = 0.5 * (edges[:-1] + edges[1:])
+            eicp, wts = se, sw
         with np.errstate(invalid="ignore", divide="ignore"):
             mean_eicp = np.where(wts > 0, eicp / np.maximum(wts, 1e-30),
                                  0.0)
@@ -253,9 +283,20 @@ def cross_power_spectrum(ft1, ft2, beam_omega_bw=None, cosmo=cosmo100,
     (compute_power_spectrum, bispectrum_phase.py:3350-3604).
     Returns dict(kprll (nwin, nlag), z, P cross-PS cube, factor)."""
     d1, d2 = ft1["dspec"], ft2["dspec"]
-    freq_center = ft1["freq_center"]
-    bw_eff = ft1["bw_eff"]
-    lags = ft1["lags"]
+    factor, kprll, z = _ps_normalization(ft1["freq_center"],
+                                         ft1["bw_eff"], ft1["lags"],
+                                         beam_omega_bw, cosmo, units)
+    P = d1 * np.conj(d2) * factor.reshape(
+        (-1,) + (1,) * (d1.ndim - 1))
+    return dict(kprll=kprll, z=z, P=P, factor=factor, lags=ft1["lags"],
+                freq_center=ft1["freq_center"])
+
+
+def _ps_normalization(freq_center, bw_eff, lags, beam_omega_bw=None,
+                      cosmo=cosmo100, units="mk"):
+    """Cosmological delay->P(k) normalization shared by the cross-PS
+    entry points (bispectrum_phase.py:3395-3417): returns
+    (factor (nwin,), kprll (nwin, nlag), z (nwin,))."""
     z = freq_to_z(freq_center)
     wl = CNST.c / freq_center
     drz = comoving_depth(bw_eff, z, cosmo)
@@ -266,15 +307,12 @@ def cross_power_spectrum(ft1, ft2, beam_omega_bw=None, cosmo=cosmo100,
         tempfac = np.ones_like(wl)
     else:
         jac1 = 1.0 / np.broadcast_to(np.atleast_1d(beam_omega_bw),
-                                     freq_center.shape)
+                                     np.shape(freq_center))
         jac2 = rz ** 2 * drz / bw_eff
         tempfac = jy2k(wl) if units == "mk" else np.ones_like(wl)
     factor = jac1 * jac2 * tempfac ** 2
     kprll = np.stack([dkprll_deta(zz, cosmo) * lags for zz in z])
-    P = d1 * np.conj(d2) * factor.reshape(
-        (-1,) + (1,) * (d1.ndim - 1))
-    return dict(kprll=kprll, z=z, P=P, factor=factor, lags=lags,
-                freq_center=freq_center)
+    return factor, kprll, z
 
 
 def kbin_average(kprll, P, kbins=None, num_kbins=None, kbintype="log"):
@@ -348,6 +386,213 @@ def cross_power_diagonal(ft, axis_values, axis=1, offsets=(0, 1),
                 axis_offsets=np.asarray(coord),
                 nsamples=np.asarray(nsamp), kprll=ps0["kprll"],
                 z=ps0["z"], lags=ps0["lags"])
+
+
+def _array_trace(arr, ax1, ax2):
+    """Nan-aware diagonal collapse of a square (N, N) axis pair: the
+    (ax1, ax2) covariance block is replaced (at ax1) by its 2N-1
+    leading-diagonal means, offsets -(N-1)..(N-1)
+    (the astroutils OPS.array_trace role in bispectrum_phase.py:3546).
+    Returns (out, offsets, counts) — counts are the per-offset numbers
+    of non-nan samples averaged (diagweights)."""
+    arr = np.asarray(arr)
+    n = arr.shape[ax1]
+    if arr.shape[ax2] != n:
+        raise ValueError("axes %d/%d are not a square pair" % (ax1, ax2))
+    offsets = np.arange(-(n - 1), n)
+    if ax1 >= ax2:
+        raise ValueError("expected ax1 < ax2")
+    # move the pair to the back (ax2 first so ax1's index is unshifted)
+    work = np.moveaxis(np.moveaxis(arr, ax2, -1), ax1, -2)
+    outs, counts = [], []
+    for o in offsets:
+        idx_i = np.arange(max(0, -o), min(n, n - o))
+        diag = work[..., idx_i, idx_i + o]          # (..., ndiag)
+        valid = ~np.isnan(diag.real)
+        cnt = valid.sum(axis=-1)
+        s = np.nansum(diag, axis=-1)
+        outs.append(s / np.where(cnt > 0, cnt, 1))
+        counts.append(cnt.max() if cnt.size else 0)
+    out = np.stack(outs, axis=-1)                    # (..., 2n-1)
+    out = np.moveaxis(out, -1, ax1)
+    return out, offsets, np.asarray(counts)
+
+
+def xcpdps_full(ft, twts=None, cohax=(), incohax=(), collapse_axes=(),
+                lst_shifts=None, avgcov=False, preX=None, postX=None,
+                preXnorm=False, postXnorm=False, stat="mean",
+                beam_omega_bw=None, cosmo=cosmo100, units="mk"):
+    """Full closure-phase cross-power machinery: arbitrary coherent /
+    incoherent axis combinations with covariance collapse
+    (ClosurePhaseDelaySpectrum.compute_power_spectrum,
+    bispectrum_phase.py:2888-3604).
+
+    ft   : dict from cpds_ft; dspec axes (nwin, nlst, ndays, ntriads,
+           nlag). Axis ids follow the reference: 1=lst, 2=days,
+           3=triads.
+    twts : optional (nlst, ndays, ntriads, 1) weights (time flags) used
+           in the coherent average.
+    cohax: axes averaged coherently (weighted mean, or median when
+           stat='median') BEFORE cross-multiplication, keepdims.
+    incohax: axes cross-multiplied incoherently. Each axis a expands to
+           a pair: for days/triads the full (N, N) covariance block
+           d1[i] conj(d2[j]); for the LST axis only `lst_shifts`
+           covariance diagonals are formed (default offsets (0, 1)) —
+           d2 rolled by each shift with rolled-off entries NaN.
+    collapse_axes: subset of incohax whose covariance blocks are
+           reduced to per-diagonal means (_array_trace; for LST the
+           shift axis already is the diagonal axis, so the partner nlst
+           axis is nanmean-ed away).
+    avgcov: weighted nanmean of the collapsed diagonal axes down to one
+           sample (weights = per-diagonal sample counts x postX).
+    preX/postX: {axis_id: weight array} applied before / after the
+           cross-multiplication, with optional normalization.
+
+    Returns dict(P, diagoffsets {axis: offsets}, diagweights,
+    axesmap {axis: positions in P}, nsamples_coh, nsamples_incoh,
+    kprll, z, lags, lst_shifts)."""
+    d = np.array(ft["dspec"], dtype=np.complex128)
+    nwin = d.shape[0]
+    cohax = tuple(np.atleast_1d(cohax).astype(int)) if cohax != () else ()
+    incohax = tuple(np.atleast_1d(incohax).astype(int)) \
+        if incohax != () else ()
+    collapse_axes = tuple(np.atleast_1d(collapse_axes).astype(int)) \
+        if collapse_axes != () else ()
+    if set(cohax) & set(incohax):
+        raise ValueError("cohax and incohax must be disjoint")
+    if not set(collapse_axes) <= set(incohax):
+        raise ValueError("collapse_axes must be a subset of incohax")
+    if lst_shifts is None:
+        lst_shifts = np.arange(2)
+    lst_shifts = np.asarray(lst_shifts, dtype=int)
+    preX = dict(preX or {})
+    postX = dict(postX or {})
+
+    factor, kprll, z = _ps_normalization(ft["freq_center"],
+                                         ft["bw_eff"], ft["lags"],
+                                         beam_omega_bw, cosmo, units)
+    nsamples_coh = int(np.prod([d.shape[a] for a in cohax])) \
+        if cohax else 1
+    ninc = int(np.prod([d.shape[a] for a in incohax])) if incohax else 1
+    nsamples_incoh = ninc * (ninc - 1) if incohax else 1
+
+    # ---- coherent stage ------------------------------------------------
+    if cohax:
+        if twts is not None:
+            w = np.asarray(twts, dtype=np.float64)[None, ...]
+            if stat == "mean":
+                d = (np.sum(w * d, axis=cohax, keepdims=True)
+                     / np.sum(np.broadcast_to(w, d.shape), axis=cohax,
+                              keepdims=True))
+            else:
+                d = np.median(d.real, axis=cohax, keepdims=True) \
+                    + 1j * np.median(d.imag, axis=cohax, keepdims=True)
+        elif stat == "mean":
+            d = np.mean(d, axis=cohax, keepdims=True)
+        else:
+            d = np.median(d.real, axis=cohax, keepdims=True) \
+                + 1j * np.median(d.imag, axis=cohax, keepdims=True)
+
+    if not incohax:
+        P = np.abs(d) ** 2 * factor.reshape((-1,) + (1,) * (d.ndim - 1))
+        return dict(P=P, diagoffsets={}, diagweights={}, axesmap={},
+                    nsamples_coh=nsamples_coh, nsamples_incoh=1,
+                    kprll=kprll, z=z, lags=ft["lags"],
+                    lst_shifts=lst_shifts)
+
+    # ---- incoherent cross-multiplication -------------------------------
+    w1 = np.ones((1,) * d.ndim)
+    for a in incohax:
+        if a in preX:
+            shp = [1] * d.ndim
+            shp[a] = -1
+            w1 = w1 * np.asarray(preX[a]).reshape(shp)
+    d1 = d * w1
+    d2 = d * w1
+    expandax_map = {}
+    for a in sorted(incohax, reverse=True):
+        d1 = np.expand_dims(d1, axis=a)
+        if a == 1:
+            # LST: only the requested covariance diagonals, via rolls
+            base = np.expand_dims(d2, axis=a)
+            shp = list(base.shape)
+            shp[a] = lst_shifts.size
+            rolled = np.empty(shp, dtype=base.dtype)
+            for si, s in enumerate(lst_shifts):
+                r = np.roll(base[:, 0, ...], s, axis=a)
+                sl = [slice(None)] * r.ndim
+                sl[a] = slice(0, s)
+                r[tuple(sl)] = np.nan
+                rolled[:, si, ...] = r
+            d2 = rolled
+        else:
+            d2 = np.expand_dims(d2, axis=a + 1)
+        expandax_map[a] = np.array([a, a + 1])
+        for k in expandax_map:
+            if k > a:
+                expandax_map[k] = expandax_map[k] + 1
+    P = d1 * np.conj(d2)
+    P = P * factor.reshape((-1,) + (1,) * (P.ndim - 1))
+    if preXnorm:
+        wnorm = (np.expand_dims(w1, 0).sum() if w1.size == 1
+                 else np.nansum(w1 ** 2))
+        P = P / wnorm
+
+    # ---- covariance collapse -------------------------------------------
+    diagoffsets, diagweights = {}, {}
+    for colax in collapse_axes:
+        if colax == 1:
+            ax_partner = int(expandax_map[1][-1])
+            diagweights[1] = np.sum(
+                ~np.isnan(P.real).all(
+                    axis=tuple(i for i in range(P.ndim)
+                               if i != ax_partner)))
+            P = np.nanmean(P, axis=ax_partner) if stat == "mean" \
+                else np.nanmedian(P.real, axis=ax_partner) \
+                + 1j * np.nanmedian(P.imag, axis=ax_partner)
+            diagoffsets[1] = lst_shifts
+        else:
+            ax1, ax2 = (int(x) for x in expandax_map[colax])
+            P, offs, cnts = _array_trace(P, ax1, ax2)
+            diagoffsets[colax] = offs
+            diagweights[colax] = cnts
+        for k in expandax_map:
+            if k > colax:
+                expandax_map[k] = expandax_map[k] - 1
+        expandax_map[colax] = np.atleast_1d(expandax_map[colax][0])
+
+    if collapse_axes:
+        wpost = np.ones((1,) * P.ndim)
+        for colax in collapse_axes:
+            if colax in postX:
+                shp = [1] * P.ndim
+                shp[int(expandax_map[colax][0])] = -1
+                wpost = wpost * np.asarray(postX[colax]).reshape(shp)
+        P = P * wpost
+        sum_axes = tuple(int(expandax_map[c][0]) for c in collapse_axes)
+        if postXnorm:
+            P = P / np.nansum(wpost, axis=sum_axes, keepdims=True)
+        if avgcov:
+            dw = np.ones((1,) * P.ndim)
+            for colax in collapse_axes:
+                shp = [1] * P.ndim
+                shp[int(expandax_map[colax][0])] = -1
+                dw = dw * np.asarray(
+                    diagweights[colax], dtype=np.float64).reshape(shp) \
+                    if np.ndim(diagweights[colax]) else dw
+            num = np.nansum(P * dw, axis=sum_axes, keepdims=True)
+            den = np.nansum(np.broadcast_to(dw, P.shape)
+                            * ~np.isnan(P.real), axis=sum_axes,
+                            keepdims=True)
+            P = num / np.where(den > 0, den, 1)
+            for colax in collapse_axes:
+                diagoffsets.pop(colax, None)
+
+    return dict(P=P, diagoffsets=diagoffsets, diagweights=diagweights,
+                axesmap={k: np.atleast_1d(v).tolist()
+                         for k, v in expandax_map.items()},
+                nsamples_coh=nsamples_coh, nsamples_incoh=nsamples_incoh,
+                kprll=kprll, z=z, lags=ft["lags"], lst_shifts=lst_shifts)
 
 
 def incoherent_average(ps_list, weights=None):

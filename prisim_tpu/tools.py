@@ -361,7 +361,9 @@ def closure_npz(infile, outfile, datatype="vis", unique=True):
 def xcpdps(infile, outfile, freq_center=None, bw_eff=None, pad=1.0,
            shape="bhw", fftpow=1.0, lstbinsize=None, ndaybins=2,
            num_kbins=None, kbintype="log", seed=0, errinfo=False,
-           rescale_vis=None, rescale_triad=None):
+           rescale_vis=None, rescale_triad=None, cohax=None,
+           incohax=None, collapse_axes=None, avgcov=False,
+           lst_shifts=None):
     """Closure-phase delay cross power spectrum from a HERA-layout NPZ:
     the reference's ClosurePhase -> smooth_in_tbins ->
     subsample_differencing -> ClosurePhaseDelaySpectrum.FT ->
@@ -387,6 +389,39 @@ def xcpdps(infile, outfile, freq_center=None, bw_eff=None, pad=1.0,
     freq_center = np.atleast_1d(np.asarray(freq_center, np.float64))
     bw_eff = np.broadcast_to(
         np.atleast_1d(np.asarray(bw_eff, np.float64)), freq_center.shape)
+    if cohax is not None or incohax is not None:
+        # full cohax/incohax covariance machinery over the
+        # (lst, day, triad)-resolved delay spectra (the reference's
+        # compute_power_spectrum, bispectrum_phase.py:2888-3604); axis
+        # ids 1=lst, 2=days, 3=triads
+        from .analysis.bispectrum import cpds_ft as _ft, xcpdps_full
+        if cpd.days.size >= 2 and 2 <= ndaybins <= cpd.days.size:
+            sub = cpd.subsample_differencing(ndaybins=ndaybins,
+                                             seed=seed)
+            eic = np.moveaxis(sub["eicp_mean"], 0, 1)  # (nlst,nb,ntr,nc)
+            wts = np.moveaxis((sub["wts_mean"] > 0).astype(float), 0, 1)
+        else:
+            eic = cpd.eicp
+            wts = (cpd.wts > 0).astype(float)
+        ftf = _ft(eic, wts, freqs, freq_center, bw_eff, shape=shape,
+                  fftpow=fftpow, pad=pad)
+        ps = xcpdps_full(
+            ftf,
+            cohax=tuple(cohax or ()), incohax=tuple(incohax or ()),
+            collapse_axes=tuple(collapse_axes or ()), avgcov=avgcov,
+            lst_shifts=None if lst_shifts is None
+            else np.asarray(lst_shifts, int))
+        ps["mode"] = "xcpdps_full"
+        ps["triads"] = np.asarray(cpd.triads, dtype="U")
+        ps["lst"] = cpd.lst
+        ps["diagoffsets"] = {str(k): np.asarray(v)
+                             for k, v in ps["diagoffsets"].items()}
+        ps["diagweights"] = {str(k): np.asarray(v)
+                             for k, v in ps["diagweights"].items()}
+        ps["axesmap"] = {str(k): np.asarray(v)
+                         for k, v in ps["axesmap"].items()}
+        save_xcpdps(ps, outfile)
+        return ps
     if cpd.days.size >= 2 and 2 <= ndaybins <= cpd.days.size:
         sub = cpd.subsample_differencing(ndaybins=ndaybins, seed=seed)
         e1, e2 = sub["eicp_mean"][0], sub["eicp_mean"][1]
@@ -559,6 +594,16 @@ def main(argv=None):
     xp.add_argument("--errinfo", action="store_true")
     xp.add_argument("--rescale-vis")
     xp.add_argument("--rescale-triad", nargs=3)
+    xp.add_argument("--cohax", type=int, nargs="+",
+                    help="axes averaged coherently (1=lst 2=days "
+                         "3=triads)")
+    xp.add_argument("--incohax", type=int, nargs="+",
+                    help="axes cross-multiplied incoherently")
+    xp.add_argument("--collapse-axes", type=int, nargs="+",
+                    help="incoherent axes collapsed onto covariance "
+                         "diagonals")
+    xp.add_argument("--avgcov", action="store_true")
+    xp.add_argument("--lst-shifts", type=int, nargs="+")
 
     pl = sub.add_parser("plot")
     pl.add_argument("infile")
@@ -610,7 +655,9 @@ def main(argv=None):
                     bw_eff=a.bw_eff, pad=a.pad, lstbinsize=a.lstbin,
                     ndaybins=a.ndaybins, num_kbins=a.num_kbins,
                     errinfo=a.errinfo, rescale_vis=a.rescale_vis,
-                    rescale_triad=a.rescale_triad)
+                    rescale_triad=a.rescale_triad, cohax=a.cohax,
+                    incohax=a.incohax, collapse_axes=a.collapse_axes,
+                    avgcov=a.avgcov, lst_shifts=a.lst_shifts)
         print("wrote %s (%s spectrum, %d subbands, P shape %s)"
               % (a.outfile, ps["mode"], len(np.atleast_1d(ps["z"])),
                  ps["P"].shape))

@@ -263,3 +263,98 @@ def test_lst_binning_median_stat():
     dmed = np.abs(np.angle(np.exp(1j * (med.cp - ref.cp)))).mean()
     dmean = np.abs(np.angle(np.exp(1j * (mean.cp - ref.cp)))).mean()
     assert dmed <= dmean
+
+
+def test_xcpdps_full_shapes_and_consistency():
+    """Full cohax/incohax machinery (xcpdps_full): shape contracts of
+    the reference's compute_power_spectrum docstring examples
+    (bispectrum_phase.py:3192-3249), and the no-cross case reduces to
+    |dspec|^2 * factor (cross_power_spectrum of ft with itself)."""
+    from prisim_tpu.analysis.bispectrum import (cpds_ft, xcpdps_full,
+                                                cross_power_spectrum)
+    cpd = _random_cpd(nlst=6, ndays=4, ntri=3, nchan=32)
+    ft = cpds_ft(cpd.eicp, cpd.wts, cpd.freqs, freq_center=[152e6],
+                 bw_eff=2e6, pad=1.0)
+    nlag = ft["dspec"].shape[-1]
+
+    # example (1): coherent over days only
+    r = xcpdps_full(ft, cohax=(2,))
+    assert r["P"].shape == (1, 6, 1, 3, nlag)
+    ps = cross_power_spectrum(ft, ft)
+    r0 = xcpdps_full(ft)
+    np.testing.assert_allclose(r0["P"], ps["P"].real, rtol=1e-10)
+
+    # example (2): incoherent cross over lst+triads, full covariance
+    r2 = xcpdps_full(ft, cohax=(2,), incohax=(1, 3))
+    assert r2["P"].shape == (1, 2, 6, 1, 3, 3, nlag)
+    assert r2["axesmap"][1] == [1, 2]
+    assert r2["axesmap"][3] == [4, 5]
+    assert r2["nsamples_incoh"] == 18 * 17
+
+    # example (3): collapse the triad covariance onto diagonals
+    r3 = xcpdps_full(ft, cohax=(2,), incohax=(1, 3), collapse_axes=(3,),
+                     lst_shifts=np.arange(3))
+    assert r3["P"].shape == (1, 3, 6, 1, 2 * 3 - 1, nlag)
+    np.testing.assert_array_equal(r3["diagoffsets"][3],
+                                  np.arange(-2, 3))
+
+    # example (4): collapse both lst and triads
+    r4 = xcpdps_full(ft, incohax=(1, 3), collapse_axes=(1, 3),
+                     lst_shifts=np.arange(4))
+    assert r4["P"].shape == (1, 4, 4, 2 * 3 - 1, nlag)
+
+    # avgcov collapses the diagonal axes to singletons
+    r5 = xcpdps_full(ft, incohax=(1, 3), collapse_axes=(3,),
+                     avgcov=True)
+    assert r5["P"].shape == (1, 2, 6, 4, 1, nlag)
+    assert 3 not in r5["diagoffsets"]
+
+
+def test_xcpdps_full_diagonal_matches_cross_power_diagonal():
+    """The triad-axis offset-0 diagonal of the full covariance collapse
+    equals the direct per-offset cross products."""
+    from prisim_tpu.analysis.bispectrum import (cpds_ft, xcpdps_full,
+                                                cross_power_diagonal)
+    cpd = _random_cpd(nlst=3, ndays=1, ntri=4, nchan=32, seed=3)
+    ft = cpds_ft(cpd.eicp, cpd.wts, cpd.freqs, freq_center=[152e6],
+                 bw_eff=2e6)
+    r = xcpdps_full(ft, incohax=(3,), collapse_axes=(3,))
+    ref = cross_power_diagonal(ft, np.arange(4), axis=3, offsets=(0, 1))
+    ntri = 4
+    off0 = np.where(r["diagoffsets"][3] == 0)[0][0]
+    np.testing.assert_allclose(
+        np.take(r["P"], off0, axis=r["axesmap"][3][0]),
+        ref["P"][0], rtol=1e-8)
+    # convention: the trace's offset o holds mean_i d[i+o] conj(d[i]),
+    # so cross_power_diagonal's offset +1 (d[i] conj(d[i+1])) is the
+    # trace's offset -1 diagonal
+    offm1 = np.where(r["diagoffsets"][3] == -1)[0][0]
+    np.testing.assert_allclose(
+        np.take(r["P"], offm1, axis=r["axesmap"][3][0]),
+        ref["P"][1], rtol=1e-8)
+
+
+def test_day_binning():
+    """smooth_in_tbins(daybinsize=...) bins contiguous JD ranges along
+    the day axis (bispectrum_phase.py:1751-1855): identical data in all
+    days binned down to one bin reproduces the per-day closure phases,
+    and weights are conserved."""
+    cpd = _random_cpd(ndays=4)
+    out = cpd.smooth_in_tbins(daybinsize=10.0)     # one bin spans all
+    assert out.cp.shape[1] == 1
+    np.testing.assert_allclose(out.wts.sum(), cpd.wts.sum())
+    cpd2 = _random_cpd()
+    cpd2.cp[:] = cpd2.cp[:, :1]
+    out2 = cpd2.smooth_in_tbins(daybinsize=10.0)
+    np.testing.assert_allclose(
+        np.angle(np.exp(1j * (out2.cp - cpd2.cp[:, :1]))), 0.0,
+        atol=1e-10)
+    # two bins of two days each
+    out3 = cpd.smooth_in_tbins(daybinsize=2.0)
+    assert out3.cp.shape[1] == 2
+    # median stat runs and keeps shapes
+    out4 = cpd.smooth_in_tbins(daybinsize=2.0, stat="median")
+    assert out4.cp.shape == out3.cp.shape
+    # combined lst + day binning
+    out5 = cpd.smooth_in_tbins(lstbinsize=0.25, daybinsize=2.0)
+    assert out5.cp.shape[0] < cpd.cp.shape[0] and out5.cp.shape[1] == 2

@@ -231,3 +231,34 @@ def test_xcpdps_errinfo_and_rescale(tmp_path):
                                           avgax=(1, 2), kprll_llim=0.2)
     assert avg.shape == (1, 1, 1, 8)
     np.testing.assert_allclose(avg, 4.0 / 3.0)
+
+
+def test_xcpdps_full_cli(tmp_path):
+    """--cohax/--incohax/--collapse-axes route through xcpdps_full and
+    the result round-trips through the HDF5 writer."""
+    from prisim_tpu.analysis.bispectrum import (ClosurePhaseData,
+                                                read_xcpdps)
+    rng = np.random.RandomState(2)
+    nlst, ndays, ntri, nchan = 5, 4, 4, 32
+    cpd = ClosurePhaseData(
+        cp=rng.uniform(-0.4, 0.4, (nlst, ndays, ntri, nchan)),
+        wts=np.ones((nlst, ndays, ntri, nchan)),
+        freqs=150e6 + 1e5 * np.arange(nchan),
+        lst=np.linspace(1.0, 2.0, nlst),
+        days=2458000.0 + np.arange(ndays),
+        triads=np.array([["%d" % i, "%d" % (i + 1), "%d" % (i + 2)]
+                         for i in range(ntri)]))
+    npz = str(tmp_path / "cp.npz")
+    cpd.save_npz(npz)
+    out = str(tmp_path / "xcf.hdf5")
+    ps = tools.xcpdps(npz, out, ndaybins=2, cohax=[2], incohax=[1, 3],
+                      collapse_axes=[3], lst_shifts=[0, 1])
+    assert ps["mode"] == "xcpdps_full"
+    # (nwin, nshift, nlst, ndaybins->1, 2*ntri-1, nlag)
+    assert ps["P"].shape == (1, 2, nlst, 1, 2 * ntri - 1, 2 * nchan)
+    back = read_xcpdps(out)
+    np.testing.assert_allclose(np.asarray(back["P"]), ps["P"],
+                               rtol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(back["diagoffsets"]["3"]),
+        np.arange(-(ntri - 1), ntri))
