@@ -73,9 +73,15 @@ def save_uvh5(vs, path, datatype="noiseless"):
         h["Ntimes"] = a["nacc"]
         h["Nspws"] = 1
         h["spw_array"] = np.asarray([0], dtype=np.int64)
-        h["freq_array"] = a["freqs"].reshape(1, -1)
-        h["channel_width"] = float(a["freqs"][1] - a["freqs"][0]) \
-            if nchan > 1 else 1.0
+        # UVH5 memo v1.0 layout: freq_array is (Nfreqs,), channel_width
+        # is per-channel (Nfreqs,), and flex_spw_id_array maps channels
+        # to spw_array entries (the v0.1 (1, Nfreqs) freq axis + scalar
+        # width + 4-dim data belong to version 0.1, which this file does
+        # NOT declare)
+        h["freq_array"] = a["freqs"]
+        df = float(a["freqs"][1] - a["freqs"][0]) if nchan > 1 else 1.0
+        h["channel_width"] = np.full(nchan, df)
+        h["flex_spw_id_array"] = np.zeros(nchan, dtype=np.int64)
         h["polarization_array"] = np.asarray([-5], dtype=np.int64)
         h["ant_1_array"] = a["ant_1_array"].astype(np.int64)
         h["ant_2_array"] = a["ant_2_array"].astype(np.int64)
@@ -86,18 +92,18 @@ def save_uvh5(vs, path, datatype="noiseless"):
         h["vis_units"] = np.bytes_("Jy")
         d = f.create_group("Data")
         d.create_dataset("visdata",
-                         data=a["data"].reshape(nblts, 1, nchan, 1)
+                         data=a["data"].reshape(nblts, nchan, 1)
                          .astype(np.complex64))
         if vs.bp is not None or vs.bp_wts is not None:
             bp, wts = vs.default_bp()
             bad = (np.asarray(bp) * np.asarray(wts)) == 0
             flags = np.transpose(bad, (2, 0, 1)).reshape(
-                nblts, 1, nchan, 1)
+                nblts, nchan, 1)
         else:
-            flags = np.zeros((nblts, 1, nchan, 1), dtype=bool)
+            flags = np.zeros((nblts, nchan, 1), dtype=bool)
         d.create_dataset("flags", data=flags)
         d.create_dataset("nsamples",
-                         data=np.ones((nblts, 1, nchan, 1),
+                         data=np.ones((nblts, nchan, 1),
                                       dtype=np.float32))
 
 
@@ -147,13 +153,19 @@ def load_uvh5(path):
         integ = h["integration_time"][()]
     nbl, ntimes = a["Nbls"], a["Ntimes"]
     nchan = a["freq_array"].size
-    # (nblts, 1, nchan, 1) time-major -> (nbl, nchan, ntimes), un-conjugated
-    vis = np.conj(a["visdata"][:, 0, :, 0].reshape(ntimes, nbl, nchan)
+
+    def chan_pol0(x):
+        # v1.0 data is (Nblts, Nfreqs, Npols); v0.1 files carry an extra
+        # Nspws axis (Nblts, 1, Nfreqs, Npols) — accept both
+        return x[:, 0, :, 0] if x.ndim == 4 else x[:, :, 0]
+
+    # time-major blts -> (nbl, nchan, ntimes), un-conjugated
+    vis = np.conj(chan_pol0(a["visdata"]).reshape(ntimes, nbl, nchan)
                   .transpose(1, 2, 0))
     bp_wts = None
     with h5py.File(path, "r") as f:
         if "Data/flags" in f:
-            fl = f["Data/flags"][()][:, 0, :, 0]
+            fl = chan_pol0(f["Data/flags"][()])
             if fl.any():
                 bp_wts = np.where(
                     fl.reshape(ntimes, nbl, nchan).transpose(1, 2, 0),

@@ -105,9 +105,9 @@ def test_uvh5_roundtrip(tmp_path):
     path = str(tmp_path / "sim.uvh5")
     save_uvh5(vs, path)
     back = read_uvh5_arrays(path)
-    assert back["visdata"].shape == (6, 1, 8, 1)
+    assert back["visdata"].shape == (6, 8, 1)   # v1.0: no Nspws axis
     expect = np.conj(np.transpose(vs.skyvis, (2, 0, 1))).reshape(6, 8)
-    np.testing.assert_allclose(back["visdata"][:, 0, :, 0], expect,
+    np.testing.assert_allclose(back["visdata"][:, :, 0], expect,
                                rtol=1e-6)
     np.testing.assert_allclose(back["freq_array"], vs.freqs)
     np.testing.assert_allclose(back["uvw_array"][:3],
@@ -184,7 +184,7 @@ def test_flags_propagate_to_uv_exports(tmp_path):
     expect_flag = np.array([1, 1, 0, 0, 0, 0, 0, 1], bool)
     with h5py.File(base + ".uvh5") as f:
         fl = f["Data/flags"][()]
-    assert (fl[0, 0, :, 0] == expect_flag).all()
+    assert (fl[0, :, 0] == expect_flag).all()
     gh = next(h for h in read_fits(base + ".uvfits") if "pars" in h)
     w = gh["data"].reshape(gh["header"]["GCOUNT"], -1, 3)[0, :, 2]
     assert ((w < 0) == expect_flag).all()
