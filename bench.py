@@ -159,6 +159,39 @@ def _cpu_reference_macs_per_sec(nsrc=1024, nbl=666, nchan=128):
     return (nsrc * nbl * nchan) / dt
 
 
+def _end_to_end_seconds(nchan=256, n_acc=2, nside=64):
+    """Driver-inclusive wall-clock: YAML-config -> sim -> noise -> gains
+    -> HDF5 save, the whole product path (not just the kernel). HERA-37
+    drift scan, `nchan` channels, nside-`nside` USM sky, `n_acc`
+    accumulations with thermal noise — a scaled version of BASELINE.json
+    config #3."""
+    import os
+    import shutil
+    import tempfile
+    from prisim_tpu.driver import run_simulation
+    tmp = tempfile.mkdtemp(prefix="prisim_bench_")
+    parms = {
+        "dirstruct": {"rootdir": tmp, "project": "bench_e2e"},
+        "telescope": {"id": "hera", "latitude": -30.72,
+                      "A_eff": 154.0, "Trx": 100.0},
+        "array": {"layout": "HERA-37", "redundant": False},
+        "antenna": {"shape": "dish", "size": 14.0},
+        "bandpass": {"freq": 150e6, "freq_resolution": 781250.0,
+                     "nchan": nchan},
+        "obsparm": {"obs_mode": "drift", "n_acc": n_acc, "t_acc": 60.0},
+        "pointing": {"lst_init": 0.0},
+        "skyparm": {"model": "usm", "nside": nside},
+        "processing": {"noise": True},
+        "save_formats": {"fmt": "HDF5", "npz": False},
+    }
+    try:
+        t0 = time.perf_counter()
+        run_simulation(parms, verbose=False, save=True)
+        return time.perf_counter() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main():
     import time as _time
     last_exc = None
@@ -174,6 +207,12 @@ def main():
     else:
         raise last_exc
     cpu_rate = _cpu_reference_macs_per_sec()
+    try:
+        e2e = _end_to_end_seconds()
+    except Exception as exc:
+        e2e = None
+        print('{"warning": "end-to-end bench failed: %s"}'
+              % str(exc)[:160].replace('"', "'"))
     print(json.dumps({
         "metric": "NUDFT complex MACs/sec/chip (HERA-37, 1024 chan, "
                   "nside-64 sky)",
@@ -181,7 +220,8 @@ def main():
         "unit": "MAC/s",
         "vs_baseline": tpu_rate / cpu_rate,
         "detail": {"snapshot_seconds": dt, **shape,
-                   "cpu_reference_macs_per_sec": cpu_rate},
+                   "cpu_reference_macs_per_sec": cpu_rate,
+                   "end_to_end_seconds_hera37_256c_2acc": e2e},
     }))
 
 

@@ -24,7 +24,25 @@ import tempfile
 import numpy as np
 
 
+def _force_cpu_backend():
+    """Default the walkthrough to the CPU backend.
+
+    The analysis stages use complex FFT/pad ops that tunneled TPU
+    backends (axon) leave UNIMPLEMENTED; the demo's tiny shapes gain
+    nothing from a chip anyway. Set PRISIM_EXAMPLE_TPU=1 to keep the
+    ambient platform (real TPU VMs handle these ops)."""
+    if os.environ.get("PRISIM_EXAMPLE_TPU"):
+        return
+    os.environ.pop("JAX_PLATFORMS", None)
+    import jax
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:      # backend already initialized (e.g. pytest)
+        pass
+
+
 def main(outdir=None, verbose=True):
+    _force_cpu_backend()
     from prisim_tpu import config, driver, tools
     from prisim_tpu.io import load_hdf5
     from prisim_tpu.analysis.closure import closure_phases_vs
