@@ -168,9 +168,10 @@ def _end_to_end_seconds(nchan=256, n_acc=2, nside=64):
     import os
     import shutil
     import tempfile
+    from prisim_tpu.config import load_parms
     from prisim_tpu.driver import run_simulation
     tmp = tempfile.mkdtemp(prefix="prisim_bench_")
-    parms = {
+    parms = load_parms({
         "dirstruct": {"rootdir": tmp, "project": "bench_e2e"},
         "telescope": {"id": "hera", "latitude": -30.72,
                       "A_eff": 154.0, "Trx": 100.0},
@@ -181,9 +182,8 @@ def _end_to_end_seconds(nchan=256, n_acc=2, nside=64):
         "obsparm": {"obs_mode": "drift", "n_acc": n_acc, "t_acc": 60.0},
         "pointing": {"lst_init": 0.0},
         "skyparm": {"model": "usm", "nside": nside},
-        "processing": {"noise": True},
         "save_formats": {"fmt": "HDF5", "npz": False},
-    }
+    })
     try:
         t0 = time.perf_counter()
         run_simulation(parms, verbose=False, save=True)

@@ -87,7 +87,7 @@ DEFAULT_PARMS = {
                    "delay_transform": False, "memsave": False,
                    "store_prev_sky": True, "cleanup": 3,
                    "src_block": 512, "use_pallas": "auto",
-                   "engine": "direct", "nufft_rank": 10,
+                   "engine": "direct", "nufft_rank": 16,
                    "nufft_spread": "sorted",
                    "nufft_crosscheck": True,
                    "nufft_crosscheck_tol": 1e-4},

@@ -757,17 +757,44 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
         from .engine.observe import simulate_snapshot
         Mh, Ml = obs.rotations(inst.latitude)
         pch, pcl = _tf.split_f64(obs.pc_dircos())
-        rank = int(parms["processing"].get("nufft_rank") or 10)
+        rank = int(parms["processing"].get("nufft_rank") or 16)
         spread = str(parms["processing"].get("nufft_spread")
                      or "sorted")
         pinvQ, Q = chebyshev_projection(freqs, min(rank, freqs.size))
-        snap = jax.jit(lambda mh, ml, ph, pl: simulate_snapshot_nufft_jit(
-            inst, sks, mh, ml, ph, pl, beam_fn, pinvQ, Q,
-            spread=spread))
-        snaps = [get_complex(snap(
-            jnp.asarray(Mh[t]), jnp.asarray(Ml[t]),
-            jnp.asarray(pch[t]), jnp.asarray(pcl[t])))
-            for t in range(obs.n_acc)]
+        ndev_nufft = len(jax.devices())
+        if ndev_nufft > 1:
+            # multi-chip NUFFT: same mesh decompositions as the direct
+            # engine (bl/chan/src), sorted spreading per shard
+            from .parallel.mesh import (make_mesh,
+                                        simulate_drift_nufft_sharded)
+            key = ((parms.get("pp") or {}).get("key") or "freq").lower()
+            axes = (parms.get("pp") or {}).get("mesh_axes")
+            if key == "src":
+                nmesh = make_mesh(axis_names=("bl", "chan", "src"),
+                                  shape=tuple(axes) if axes
+                                  else (1, 1, ndev_nufft))
+            elif key == "freq":
+                nmesh = make_mesh(axis_names=("bl", "chan"),
+                                  shape=tuple(axes) if axes
+                                  else (1, ndev_nufft))
+            else:
+                nmesh = make_mesh(axis_names=("bl", "chan"),
+                                  shape=tuple(axes) if axes
+                                  else (ndev_nufft, 1))
+            vis_cube = simulate_drift_nufft_sharded(
+                inst, sks, obs, beam_fn, nmesh,
+                rank=min(rank, freqs.size))
+            snaps = [get_complex(vis_cube[t])
+                     for t in range(obs.n_acc)]
+        else:
+            snap = jax.jit(
+                lambda mh, ml, ph, pl: simulate_snapshot_nufft_jit(
+                    inst, sks, mh, ml, ph, pl, beam_fn, pinvQ, Q,
+                    spread=spread))
+            snaps = [get_complex(snap(
+                jnp.asarray(Mh[t]), jnp.asarray(Ml[t]),
+                jnp.asarray(pch[t]), jnp.asarray(pcl[t])))
+                for t in range(obs.n_acc)]
         if parms["processing"].get("nufft_crosscheck", True):
             # Automatic accuracy gate: the fast engine's first snapshot
             # is re-evaluated with the exact direct NUDFT; a mismatch

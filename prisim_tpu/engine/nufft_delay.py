@@ -448,7 +448,8 @@ def _sorted_spread_setup(m0, n):
 
 def nufft_delay_visibilities_jax_sorted(tau_h, tau_l, amps, nu0, dnu,
                                         nchan, beta=2.0, K=13,
-                                        alpha=None, setup=None):
+                                        alpha=None, setup=None,
+                                        chan0=None):
     """Scatter-free, occupancy-INDEPENDENT spreading (the TPU path).
 
     The gather variant's fixed window must bound the worst-case bin
@@ -474,7 +475,13 @@ def nufft_delay_visibilities_jax_sorted(tau_h, tau_l, amps, nu0, dnu,
     tests/test_nufft_delay.py and benchmarks/bench_nufft_tpu.py).
 
     setup: optional (order, starts) from _sorted_spread_setup(m0, n) to
-    amortize the sort across ranks. Returns (B, C) complex64."""
+    amortize the sort across ranks.
+    chan0: optional global channel offset of this (mesh-sharded) block —
+    may be a traced f32 scalar (jax.lax.axis_index * nchan). The
+    carrier shifts by chan0*dnu*tau cycles in two-float, so channel
+    shards evaluate their exact global sub-band (the NUDFT chan0
+    mechanism of parallel/mesh.py, NUFFT edition).
+    Returns (B, C) complex64."""
     import jax
     import jax.numpy as jnp
     from jax.scipy.special import i0 as j_i0
@@ -492,6 +499,14 @@ def nufft_delay_visibilities_jax_sorted(tau_h, tau_l, amps, nu0, dnu,
     nu_mid = nu0 + (nchan // 2) * dnu
     nmh, nml = [jnp.float32(x) for x in _split_host(nu_mid)]
     ch, cl = tf.df_mul(tau_h, tau_l, nmh, nml)
+    if chan0 is not None:
+        # carrier offset for a channel shard: += chan0 * (dnu * tau)
+        # cycles, all in two-float (chan0 is an exact small f32 int)
+        dnh, dnl = [jnp.float32(x) for x in _split_host(dnu)]
+        dth, dtl = tf.df_mul(tau_h, tau_l, dnh, dnl)
+        c0 = jnp.asarray(chan0, jnp.float32)
+        oh, oe = tf.two_prod(dth, c0)
+        ch, cl = tf.df_add(ch, cl, oh, oe + dtl * c0)
     fh, fl = tf.df_frac(ch, cl)
     cosv, sinv = tf.df_sincos_cycles(fh, fl, xp=jnp)
     m0, z0, _ = fold_delay_bins(tau_h, tau_l, dnu, nchan, beta=beta)
@@ -555,6 +570,45 @@ def nufft_delay_visibilities_jax_sorted(tau_h, tau_l, amps, nu0, dnu,
     return Gk * deconv[None, :]
 
 
+def delays_two_float(seh, sel, bl_hi, bl_lo):
+    """Two-float geometric delays tau = (s_eff . b)/c, (S, B) seconds."""
+    import jax.numpy as jnp
+    from .. import twofloat as tf
+    from .. import constants as CNST
+    th = tl = None
+    for i in range(3):
+        ph_, pl_ = tf.df_mul(seh[:, i:i + 1], sel[:, i:i + 1],
+                             bl_hi[None, :, i], bl_lo[None, :, i])
+        th, tl = (ph_, pl_) if th is None else tf.df_add(th, tl, ph_, pl_)
+    ich, icl = [jnp.float32(x) for x in _split_host(1.0 / CNST.c)]
+    return tf.df_mul(th, tl, ich, icl)
+
+
+def chebyshev_basis_jit(freqs_f32, rank):
+    """In-jit fixed Chebyshev basis in ln(nu) with its projector.
+
+    Same role as chebyshev_projection but traceable (for shard_map
+    bodies where each channel shard fits its own local sub-band).
+    Returns (pinvQ (C, r), Q (C, r)) f32 with P = amps @ pinvQ via a
+    normal-equations solve (Chebyshev-Vandermonde columns are well
+    conditioned at r ~ 10)."""
+    import jax.numpy as jnp
+    x = jnp.log(freqs_f32 / freqs_f32[freqs_f32.shape[0] // 2])
+    x = 2.0 * (x - x.min()) / jnp.maximum(x.max() - x.min(), 1e-30) - 1.0
+    cols = [jnp.ones_like(x)]
+    if rank > 1:
+        cols.append(x)
+    for _ in range(2, rank):
+        cols.append(2.0 * x * cols[-1] - cols[-2])
+    Q = jnp.stack(cols, axis=1)                           # (C, r)
+    # least-squares projector via QR: normal equations square the
+    # Vandermonde conditioning and lose ~3 digits in f32 (measured
+    # 1.4e-3 engine error); QR keeps it at the f32 eps class
+    q, r = jnp.linalg.qr(Q)
+    pinvQ = q @ jnp.linalg.inv(r).T                       # (C, r)
+    return pinvQ, Q
+
+
 def chebyshev_projection(freqs, rank):
     """Host-precomputed fixed spectral basis: returns (pinvQ (C, r),
     Q (C, r)) f32 for jit-internal factorization P = amps @ pinvQ."""
@@ -588,14 +642,8 @@ def simulate_snapshot_nufft_jit(instrument, sky, Mh, Ml, pch, pcl,
     freqs_f32 = jnp.asarray(instrument.freqs, dtype=jnp.float32)
     amps = _beam_and_flux(sh, sky.flux, freqs_f32, beam_fn)   # (S, C)
     P = amps @ jnp.asarray(pinvQ)                             # (S, r) MXU
-    th = tl = None
-    for i in range(3):
-        ph_, pl_ = tf.df_mul(seh[:, i:i + 1], sel[:, i:i + 1],
-                             instrument.bl_hi[None, :, i],
-                             instrument.bl_lo[None, :, i])
-        th, tl = (ph_, pl_) if th is None else tf.df_add(th, tl, ph_, pl_)
-    ich, icl = [jnp.float32(x) for x in _split_host(1.0 / CNST.c)]
-    th, tl = tf.df_mul(th, tl, ich, icl)
+    th, tl = delays_two_float(seh, sel, instrument.bl_hi,
+                              instrument.bl_lo)
     Qd = jnp.asarray(Q)
     setup = None
     if spread == "sorted":

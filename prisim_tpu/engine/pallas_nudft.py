@@ -167,13 +167,16 @@ def _kernel(seh_ref, sel_ref, blh_ref, bll_ref, amps_ref, scal_ref,
                                              "bl_tile", "interpret",
                                              "k_mode"))
 def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
-                 chan0=0, src_tile=64, bl_tile=256, interpret=False,
+                 chan0=0, src_tile=128, bl_tile=256, interpret=False,
                  k_mode=None):
     """Pallas NUDFT (point sources, no gradient): complex64 (B, C).
 
     Arguments as nudft_visibilities; src_tile/bl_tile pick the VMEM
-    tiling. Defaults (64, 256) measured fastest on v5e at the full
-    bench size (183 GMAC/s vs 119 at (32,128); see BASELINE.md)."""
+    tiling. src_tile must be a multiple of 128: sources ride the lane
+    dim of the (Q, L, src) amps staging layout (the source-major
+    layouts pad L=32 lanes 4x in HBM and OOMed at north-star source
+    counts). (128, 256) measured 179 GMAC/s on v5e at the full bench
+    size — see BASELINE.md."""
     g0h, g0l, gdh, gdl = grid_scalars
     S = seh.shape[0]
     B = blh.shape[0]

@@ -34,7 +34,7 @@ from ..engine.nudft import nudft_visibilities
 from ..engine.observe import df_rotate3
 
 __all__ = ["make_mesh", "pad_to_multiple", "simulate_drift_sharded",
-           "simulate_drift_src_sharded"]
+           "simulate_drift_src_sharded", "simulate_drift_nufft_sharded"]
 
 
 def make_mesh(shape=None, axis_names=("bl", "chan"), devices=None):
@@ -142,6 +142,102 @@ def _sharded_drift(mesh, instrument, sky, observation, beam_fn, src_block,
                            nchan_local=nchan_local, src_block=src_block,
                            has_chan=has_chan, has_src=has_src,
                            use_pallas=use_pallas, interpret=interpret)
+    mapped = jax.jit(shard_map(fn, mesh=mesh, in_specs=in_specs,
+                               out_specs=out_specs, check_vma=False))
+    vis = mapped(jnp.asarray(blh), jnp.asarray(bll),
+                 jnp.asarray(freqs, dtype=jnp.float32),
+                 jnp.asarray(flux, dtype=jnp.float32),
+                 jnp.asarray(seqh), jnp.asarray(seql),
+                 jnp.asarray(Mh), jnp.asarray(Ml), jnp.asarray(pch),
+                 jnp.asarray(pcl))
+    return vis[:, :instrument.nbl, :nchan]
+
+
+def _nufft_drift_core(blh, bll, freqs_f32, flux, seqh, seql, Mh, Ml,
+                      pch, pcl, *, nu0, dnu, nchan_local, rank, K, beta,
+                      has_chan, has_src, beam_fn):
+    """Per-shard NUFFT drift scan (sorted segment-sum spreading).
+
+    The NUFFT is independent per baseline, so 'bl' sharding is natural;
+    'chan' shards run their own sub-band NUFFT with the carrier offset
+    by chan0*dnu*tau cycles (exact in two-float); 'src' shards psum
+    their partial visibilities — the spreading is linear in sources."""
+    from ..engine.nufft_delay import (
+        nufft_delay_visibilities_jax_sorted, fold_delay_bins,
+        _sorted_spread_setup, delays_two_float, chebyshev_basis_jit)
+
+    chan0 = (jax.lax.axis_index("chan") * nchan_local) if has_chan \
+        else None
+    pinvQ, Qb = chebyshev_basis_jit(freqs_f32, rank)
+
+    def step(_, x):
+        mh, ml, ph, pl = x
+        sh, sl = df_rotate3(mh, ml, seqh, seql)
+        seh, sel = tf.df_add(sh, sl, -ph[None, :], -pl[None, :])
+        pb = beam_fn(sh, freqs_f32)
+        amps = jnp.where((sh[:, 2] > 0.0)[:, None], pb * flux, 0.0)
+        P = amps @ pinvQ                                  # (S, r)
+        th, tl = delays_two_float(seh, sel, blh, bll)
+        m0, _, n = fold_delay_bins(th, tl, dnu, nchan_local, beta=beta)
+        setup = _sorted_spread_setup(m0, n)
+        vis = 0.0
+        for i in range(rank):
+            Vi = nufft_delay_visibilities_jax_sorted(
+                th, tl, P[:, i], nu0, dnu, nchan_local, beta=beta, K=K,
+                setup=setup, chan0=chan0)
+            vis = vis + Vi * Qb[:, i][None, :]
+        if has_src:
+            vis = jax.lax.psum(vis, "src")
+        return None, vis
+
+    _, vis = jax.lax.scan(step, None, (Mh, Ml, pch, pcl))
+    return vis
+
+
+def simulate_drift_nufft_sharded(instrument, sky, observation, beam_fn,
+                                 mesh, rank=16, K=13, beta=2.0):
+    """Drift scan through the NUFFT engine, sharded over
+    ('bl', 'chan'[, 'src']) like the direct path. Each chan shard's
+    sub-band frequencies come from the NUFFT carrier offset; padded
+    baselines/sources contribute zeros. Returns (T, B, C) complex64."""
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    n_bl = axis_sizes.get("bl", 1)
+    n_ch = axis_sizes.get("chan", 1)
+    n_src = axis_sizes.get("src", 1)
+    has_src = "src" in axis_sizes and n_src > 1
+
+    blh = pad_to_multiple(np.asarray(instrument.bl_hi), n_bl)
+    bll = pad_to_multiple(np.asarray(instrument.bl_lo), n_bl)
+    nchan = instrument.nchan
+    nchan_pad = -(-nchan // n_ch) * n_ch
+    freqs = instrument.nu0 + instrument.dnu * np.arange(nchan_pad)
+    flux = pad_to_multiple(np.asarray(sky.flux), n_ch, axis=1)
+    seqh = pad_to_multiple(np.asarray(sky.s_eq_hi), n_src)
+    seql = pad_to_multiple(np.asarray(sky.s_eq_lo), n_src)
+    flux = pad_to_multiple(flux, n_src, axis=0)
+    if seqh.shape[0] != sky.s_eq_hi.shape[0]:
+        flux[sky.s_eq_hi.shape[0]:, :] = 0.0
+
+    Mh, Ml = observation.rotations(instrument.latitude)
+    pch, pcl = tf.split_f64(observation.pc_dircos())
+    nchan_local = nchan_pad // n_ch
+
+    bl_p = P("bl", None) if "bl" in axis_sizes else P(None, None)
+    ch_p = P("chan") if "chan" in axis_sizes else P(None)
+    src_p = P("src", None) if has_src else P(None, None)
+    flux_p = P("src" if has_src else None,
+               "chan" if "chan" in axis_sizes else None)
+    in_specs = (bl_p, bl_p, ch_p, flux_p, src_p, src_p,
+                P(), P(), P(), P())
+    out_specs = P(None, "bl" if "bl" in axis_sizes else None,
+                  "chan" if "chan" in axis_sizes else None)
+
+    fn = functools.partial(_nufft_drift_core, nu0=instrument.nu0,
+                           dnu=instrument.dnu, nchan_local=nchan_local,
+                           rank=min(int(rank), nchan_local), K=K,
+                           beta=beta,
+                           has_chan="chan" in axis_sizes,
+                           has_src=has_src, beam_fn=beam_fn)
     mapped = jax.jit(shard_map(fn, mesh=mesh, in_specs=in_specs,
                                out_specs=out_specs, check_vma=False))
     vis = mapped(jnp.asarray(blh), jnp.asarray(bll),

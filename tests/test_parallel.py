@@ -101,3 +101,50 @@ def test_sharded_pallas_matches_xla_path():
                                             interpret=True))
     scale = np.abs(ref).max()
     assert np.abs(got - ref).max() / scale < 5e-6
+
+
+def test_nufft_sharded_matches_single_device():
+    """simulate_drift_nufft_sharded over (bl), (chan), and (src+psum)
+    meshes agrees with the unsharded NUFFT snapshot and with the direct
+    engine at the engine accuracy class, on the 8-device CPU mesh."""
+    import jax
+    import jax.numpy as jnp
+    from prisim_tpu import layouts as lay
+    from prisim_tpu import baselines as bls
+    from prisim_tpu import skymodel as sm
+    from prisim_tpu import twofloat as tf
+    from prisim_tpu.engine import (Instrument, SkySources,
+                                   enu_rotation_from_eq)
+    from prisim_tpu.engine.observe import Observation, simulate_drift
+    from prisim_tpu.beams import airy_beam
+    from prisim_tpu.parallel.mesh import (make_mesh,
+                                          simulate_drift_nufft_sharded)
+
+    layout = lay.preset_layout("HERA-7")
+    bset = bls.build_baselines(layout, redundant=False)
+    nchan = 64
+    freqs = 150e6 + 781250.0 * np.arange(nchan)
+    inst = Instrument.build(bset.vectors, freqs, latitude=-30.72)
+    model = sm.random_point_source_model(48, flux_min=1.0,
+                                         flux_max=10.0, seed=3)
+    sky = SkySources.from_skymodel(model, freqs)
+    obs = Observation(lst_deg=np.asarray([20.0, 20.3]),
+                      jd=2458000.5 + np.asarray([0.0, 1e-3]),
+                      t_acc=np.asarray([10.0, 10.0]),
+                      pointing_altaz=np.asarray([[90.0, 270.0]] * 2))
+
+    def beam_fn(s, f):
+        return airy_beam(s, f, 14.0)
+
+    direct = np.asarray(simulate_drift(inst, sky, obs, beam_fn,
+                                       src_block=64))
+    scale = np.abs(direct).max()
+    for shape, names in [((8, 1), ("bl", "chan")),
+                         ((1, 8), ("bl", "chan")),
+                         ((1, 1, 8), ("bl", "chan", "src"))]:
+        mesh = make_mesh(axis_names=names, shape=shape)
+        vis = np.asarray(simulate_drift_nufft_sharded(
+            inst, sky, obs, beam_fn, mesh, rank=16))
+        assert vis.shape == direct.shape
+        rel = np.abs(vis - direct).max() / scale
+        assert rel < 2e-5, (shape, rel)
