@@ -762,7 +762,8 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
                      or "sorted")
         pinvQ, Q = chebyshev_projection(freqs, min(rank, freqs.size))
         ndev_nufft = len(jax.devices())
-        if ndev_nufft > 1:
+        if ndev_nufft > 1 and ((parms.get("pp") or {}).get("key")
+                               or "freq").lower() != "none":
             # multi-chip NUFFT: same mesh decompositions as the direct
             # engine (bl/chan/src), sorted spreading per shard
             from .parallel.mesh import (make_mesh,
@@ -842,7 +843,9 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
     on_tpu = jax.devices()[0].platform == "tpu"
     pallas_interpret = use_pallas and not on_tpu
     ndev = len(jax.devices())
-    if ndev > 1 and plain:
+    # pp.key: 'none' pins the run to one device even on a multi-chip
+    # host (debugging / golden comparisons without mocking jax.devices)
+    if ndev > 1 and plain and (pp.get("key") or "freq").lower() != "none":
         # multi-chip: the reference's MPI decompositions map onto one
         # jax mesh (SURVEY.md section 2.7; run_prisim.py:1749-2210).
         from .parallel.mesh import (make_mesh, simulate_drift_sharded,

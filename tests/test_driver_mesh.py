@@ -27,15 +27,11 @@ def test_driver_mesh_matches_reference_key(key, axes):
     import jax
     assert len(jax.devices()) == 8
     vs, _ = run_simulation(_parms(key, axes), verbose=False, save=False)
-    # golden: force the single-device path by restricting jax.devices()
-    # to one REAL device (robust if driver code touches device attrs)
+    # golden: pp.key='none' pins the run to the single-device path (a
+    # first-class driver option, no jax.devices mocking)
     parms = _parms(key, axes)
-    parms["pp"]["key"] = "freq"
-    import unittest.mock as mock
-    one = jax.devices()[:1]
-    with mock.patch.object(jax, "devices",
-                           side_effect=lambda *a: list(one)):
-        vs1, _ = run_simulation(parms, verbose=False, save=False)
+    parms["pp"]["key"] = "none"
+    vs1, _ = run_simulation(parms, verbose=False, save=False)
     assert vs.skyvis.shape == vs1.skyvis.shape
     scale = np.abs(vs1.skyvis).max()
     assert np.abs(vs.skyvis - vs1.skyvis).max() / scale < 5e-6
