@@ -96,7 +96,10 @@ def main():
                       "gmacs": macs / t_xla / 1e9}))
 
     for spec in args.tiles:
-        st, bt = (int(x) for x in spec.split("x"))
+        if spec == "auto":
+            st = bt = None
+        else:
+            st, bt = (int(x) for x in spec.split("x"))
 
         @jax.jit
         def pal(seh, sel, amps, _st=st, _bt=bt):
@@ -118,7 +121,7 @@ def main():
                               "rel_vs_xla": rel}))
         except Exception as exc:
             print(json.dumps({"kernel": "pallas", "tiles": spec,
-                              "error": str(exc)[:300]}))
+                              "error": str(exc)[:2000]}))
 
 
 if __name__ == "__main__":

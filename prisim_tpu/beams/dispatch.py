@@ -32,7 +32,7 @@ def _power_from_field(ep, af=None, gp=None):
 
 def primary_beam(dircos, freqs, telescope, pointing_info=None,
                  pointing_center_dircos=None, short_dipole=False,
-                 half_wave=False, key=None):
+                 half_wave=False, key=None, pol="X"):
     """Power pattern (nsrc, nchan) for sources at `dircos` (local ENU
     direction cosines) and frequencies `freqs` (Hz).
 
@@ -41,9 +41,20 @@ def primary_beam(dircos, freqs, telescope, pointing_info=None,
     primary_beams.py:36-115).
     pointing_info: dict with delays / gains / delayerr / gainerr_db / nrand /
     pointing_center_dircos for the beamformer.
+    pol: 'X' (default) or 'Y'. The Y feed is the X feed rotated 90 deg
+    in azimuth — orientation-sensitive beams (dipole/beamformer/feed)
+    change; axisymmetric dishes do not. (The reference is single-pol;
+    this is the dual-pol extension.)
     """
     dircos = jnp.asarray(dircos)
     freqs = jnp.asarray(freqs)
+    if pol not in ("X", "Y", "x", "y"):
+        raise ValueError("pol must be 'X' or 'Y'")
+    if pol in ("Y", "y") and (telescope or {}).get(
+            "orientation_dircos") is not None:
+        ox, oy, oz = telescope["orientation_dircos"]
+        telescope = dict(telescope,
+                         orientation_dircos=(-oy, ox, oz))
     tid = (telescope or {}).get("id", None)
 
     if tid in ("vla",):

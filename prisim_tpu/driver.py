@@ -681,16 +681,47 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
     bm_cfg = parms.get("beam") or {}
     achromatic = (bm_cfg.get("chromatic") is False)
     sel_freq = float(bm_cfg.get("select_freq") or 150e6)
+    pol = str(bm_cfg.get("pol") or "X").upper()
+    if pol in ("XY", "DUAL"):
+        # dual-polarization run (beyond the single-pol reference): X
+        # and Y feeds simulated separately (the Y feed is X rotated 90
+        # deg in azimuth), products per pol, plus combined
+        # two-polarization UVFITS/UVH5 exports from _finalize
+        import copy as _copy
+        outs = []
+        for p in ("X", "Y"):
+            p2 = _copy.deepcopy(parms)
+            p2["beam"]["pol"] = p
+            if p2["dirstruct"].get("simid"):
+                p2["dirstruct"]["simid"] += "_pol" + p
+            outs.append(run_simulation(
+                p2, outdir=None if outdir is None
+                else outdir + "_pol" + p,
+                verbose=verbose, save=save, _sky_override=_sky_override))
+        (vs_x, dir_x), (vs_y, _) = outs
+        if save and dir_x is not None:
+            from .io.uvfits import save_uvfits
+            from .io.uvh5 import save_uvh5
+            base = os.path.join(dir_x, "simdata", "simvis_dualpol")
+            save_uvfits(vs_x, base + ".uvfits", vs_second=vs_y)
+            save_uvh5(vs_x, base + ".uvh5", vs_second=vs_y)
+            if verbose:
+                print("[prisim_tpu] dual-pol exports -> %s.{uvfits,"
+                      "uvh5}" % base)
+        return [vs_x, vs_y], dir_x
+    if pol not in ("X", "Y"):
+        raise ValueError("beam.pol must be X, Y, or XY")
 
     def beam_fn(dircos, f):
         if achromatic:
             import jax.numpy as jnp
             pb1 = primary_beam(dircos, jnp.asarray([sel_freq],
                                                    jnp.float32),
-                               telescope, pointing_info=pointing_info)
+                               telescope, pointing_info=pointing_info,
+                               pol=pol)
             return jnp.broadcast_to(pb1, (dircos.shape[0], f.shape[0]))
         return primary_beam(dircos, f, telescope,
-                            pointing_info=pointing_info)
+                            pointing_info=pointing_info, pol=pol)
 
     bm = parms.get("beam") or {}
     if bm.get("use_external") and bm.get("file"):
@@ -1017,12 +1048,15 @@ def _save_products(vs, parms, outdir=None):
         except Exception as exc:
             print("[prisim_tpu] save_redundant expansion failed (%s); "
                   "writing unique baselines" % exc)
+    # AIPS code for the simulated feed: X -> -5 (XX), Y -> -6 (YY)
+    polcode = (-6,) if str((parms.get("beam") or {}).get("pol")
+                           or "X").upper() == "Y" else (-5,)
     if parms["save_formats"].get("uvfits"):
         from .io.uvfits import save_uvfits
-        save_uvfits(vs_uv, base + ".uvfits")
+        save_uvfits(vs_uv, base + ".uvfits", pols=polcode)
     if parms["save_formats"].get("uvh5"):
         from .io.uvh5 import save_uvh5
-        save_uvh5(vs_uv, base + ".uvh5")
+        save_uvh5(vs_uv, base + ".uvh5", pols=polcode)
     if parms.get("plots"):
         try:
             _save_plots(vs, outdir)

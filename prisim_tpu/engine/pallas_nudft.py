@@ -45,13 +45,16 @@ def pallas_available():
 
 def _kernel(seh_ref, sel_ref, blh_ref, bll_ref, amps_ref, scal_ref,
             vr_ref, vi_ref, wc_ref, ws_ref, cr_ref, ci_ref,
-            *, Q, L, ST, BT, k_mode):
-    # NOTE on scal_ref: the four frequency-grid scalars are passed as
-    # pre-broadcast (4, ST, BT) VMEM tiles, NOT SMEM scalars. SMEM scalar
-    # reads reach the fused arithmetic as compile-time constants, and
-    # constant operands let the compiler collapse the compensated
-    # (two-float) expressions — verified to cost ~3 digits of phase
-    # accuracy. VMEM tiles keep them opaque runtime values.
+            *, Q, L, WB, ST, BT, k_mode, layout):
+    # NOTE on scal_ref: the frequency-grid scalars are passed as
+    # pre-broadcast (7, ST, BT) VMEM tiles, NOT SMEM scalars (and not
+    # (1, 1) VMEM values either). SMEM scalar reads reach the fused
+    # arithmetic as compile-time constants, and constant operands let
+    # the compiler collapse the compensated (two-float) expressions —
+    # verified to cost ~3 digits of phase accuracy; (1, 1) VMEM values
+    # broadcasting against (ST, BT) operands lose ~1 digit the same way
+    # (measured in interpret mode). Full tiles stay opaque runtime
+    # values.
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -107,76 +110,110 @@ def _kernel(seh_ref, sel_ref, blh_ref, bll_ref, amps_ref, scal_ref,
     p0h, p0l = tf.df_frac(*tf.df_add(p0h, p0l, oh, oe + dl * ch0),
                           xp=jnp)
 
-    # W phasor table over the fast channel index r = 0..L-1, built by a
-    # two-float phase recurrence (cycle += d per step, frac-reduced) into
-    # (L, ST, BT) VMEM scratch: per-step math stays 2-D (ST, BT), which
-    # keeps the Mosaic program small (a single 3-D two-float expression
-    # over (ST, L, BT) made the remote compiler OOM). BT=128 rides the
-    # VPU lanes.
-    def w_step(rr, carry):
-        ch, cl = carry
-        wc, ws = tf.df_sincos_cycles(ch, cl, xp=jnp, two_pi=two_pi)
-        wc_ref[rr] = wc
-        ws_ref[rr] = -ws
-        return tf.df_frac(*tf.df_add(ch, cl, dh, dl), xp=jnp)
-
-    jax.lax.fori_loop(0, L, w_step,
-                      (jnp.zeros_like(dh), jnp.zeros_like(dl)))
-    Wc = wc_ref[:]
-    Ws = ws_ref[:]
-
+    # The fast channel index r = 0..L-1 is processed in WB-wide blocks
+    # (static outer loop, L/WB iterations): the W phasor table scratch
+    # is (WB, ST, BT) instead of (L, ST, BT), which is what lets
+    # BT=256 lanes + ST=128 coexist in VMEM (the full-L table at those
+    # tiles is 8 MB and the kernel fails to compile). The W table is
+    # rebuilt per r-block by a two-float phase recurrence (cycle += d,
+    # frac-reduced); per-step math stays 2-D (ST, BT), keeping the
+    # Mosaic program small (a single 3-D two-float expression over
+    # (ST, L, BT) made the remote compiler OOM). The U recurrence is
+    # re-run per r-block: (L/WB - 1)*Q extra sincos per (s, b) — a few
+    # percent of the MAC work.
+    #
     # fori_loop over the Q coarse-channel groups (a static unroll blows
     # up the Mosaic MLIR and OOMs the compiler at Q=32). The output and
-    # amps refs are 3-D (B/S, Q, L) so the per-q store/load is a dynamic
-    # index on a LEADING (non-tiled) dimension, which Mosaic supports.
-    # The U-phasor cycle count is carried as a running two-float
-    # accumulator stepped by L*d per group — L is a power of 2
-    # (choose_ql), so L*dh and L*dl are exact f32 multiplies and the
-    # accumulation stays compensated with no constant-operand products
-    # for the compiler to collapse.
+    # amps refs are 3-D (Q, L, ·) so per-q access is a dynamic index on
+    # a LEADING (non-tiled) dimension (Mosaic-supported); the r-block
+    # slice within each is static. The U-phasor cycle count is carried
+    # as a running two-float accumulator stepped by L*d per group — L
+    # is a power of 2 (choose_ql), so L*dh and L*dl are exact f32
+    # multiplies and the accumulation stays compensated with no
+    # constant-operand products for the compiler to collapse.
     Ldh = dh * jnp.float32(L)
     Ldl = dl * jnp.float32(L)
 
-    def q_step(q, carry):
-        th, tl = carry
-        uc, us_ = tf.df_sincos_cycles(th, tl, xp=jnp, two_pi=two_pi)
-        us = -us_                                        # (ST, BT)
-        AT = amps_ref[q][:, :, None]                     # (L, ST, 1)
-        Er = uc[None] * Wc - us[None] * Ws               # (L, ST, BT)
-        Ei = uc[None] * Ws + us[None] * Wc
-        vr = jnp.sum(AT * Er, axis=1)                    # (L, BT)
-        vi = jnp.sum(AT * Ei, axis=1)
-        # Kahan-compensated accumulation: the plain f32 `+=` quantizes
-        # each of the S/ST sequential grid-step adds at eps*|V| — a
-        # random walk measured at ~3e-6 relative by north-star source
-        # counts (benchmarks/accuracy_northstar.py), over the 1e-6 bar.
-        yr = vr - cr_ref[q]
-        tr = vr_ref[q] + yr
-        cr_ref[q] = (tr - vr_ref[q]) - yr
-        vr_ref[q] = tr
-        yi = vi - ci_ref[q]
-        ti = vi_ref[q] + yi
-        ci_ref[q] = (ti - vi_ref[q]) - yi
-        vi_ref[q] = ti
-        return tf.df_frac(*tf.df_add(th, tl, Ldh, Ldl), xp=jnp)
+    for rb in range(L // WB):
+        r0 = rb * WB
 
-    jax.lax.fori_loop(0, Q, q_step, (p0h, p0l))
+        def w_step(j, carry):
+            ch_, cl_ = carry
+            wc, ws = tf.df_sincos_cycles(ch_, cl_, xp=jnp,
+                                         two_pi=two_pi)
+            wc_ref[j] = wc
+            ws_ref[j] = -ws
+            return tf.df_frac(*tf.df_add(ch_, cl_, dh, dl), xp=jnp)
+
+        # start cycles r0*d in two-float (r0 is a small exact integer
+        # but dh*r0 can exceed the f32 mantissa, e.g. r0=24)
+        r0f = jnp.float32(r0)
+        s_h, s_e = tf.two_prod(dh, r0f)
+        jax.lax.fori_loop(0, WB, w_step,
+                          tf.df_frac(s_h, s_e + dl * r0f, xp=jnp))
+        Wc = wc_ref[:]
+        Ws = ws_ref[:]
+
+        def q_step(q, carry):
+            th, tl = carry
+            uc, us_ = tf.df_sincos_cycles(th, tl, xp=jnp,
+                                          two_pi=two_pi)
+            us = -us_                                    # (ST, BT)
+            if layout == "ls":                           # (Q, L, ST)
+                A = amps_ref[q, r0:r0 + WB]              # (WB, ST)
+            else:                                        # (Q, ST, L)
+                A = jnp.transpose(amps_ref[q, :, r0:r0 + WB])
+            AT = A[:, :, None]                           # (WB, ST, 1)
+            Er = uc[None] * Wc - us[None] * Ws           # (WB, ST, BT)
+            Ei = uc[None] * Ws + us[None] * Wc
+            vr = jnp.sum(AT * Er, axis=1)                # (WB, BT)
+            vi = jnp.sum(AT * Ei, axis=1)
+            # Kahan-compensated accumulation: the plain f32 `+=`
+            # quantizes each of the S/ST sequential grid-step adds at
+            # eps*|V| — a random walk measured at ~3e-6 relative by
+            # north-star source counts
+            # (benchmarks/accuracy_northstar.py), over the 1e-6 bar.
+            vr0 = vr_ref[q, r0:r0 + WB]
+            cr0 = cr_ref[q, r0:r0 + WB]
+            yr = vr - cr0
+            tr = vr0 + yr
+            cr_ref[q, r0:r0 + WB] = (tr - vr0) - yr
+            vr_ref[q, r0:r0 + WB] = tr
+            vi0 = vi_ref[q, r0:r0 + WB]
+            ci0 = ci_ref[q, r0:r0 + WB]
+            yi = vi - ci0
+            ti = vi0 + yi
+            ci_ref[q, r0:r0 + WB] = (ti - vi0) - yi
+            vi_ref[q, r0:r0 + WB] = ti
+            return tf.df_frac(*tf.df_add(th, tl, Ldh, Ldl), xp=jnp)
+
+        jax.lax.fori_loop(0, Q, q_step, (p0h, p0l))
 
 
 @functools.partial(jax.jit, static_argnames=("nchan", "src_tile",
-                                             "bl_tile", "interpret",
-                                             "k_mode"))
+                                             "bl_tile", "w_block",
+                                             "amps_layout",
+                                             "interpret", "k_mode"))
 def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
-                 chan0=0, src_tile=128, bl_tile=256, interpret=False,
-                 k_mode=None):
+                 chan0=0, src_tile=None, bl_tile=None, w_block=None,
+                 amps_layout=None, interpret=False, k_mode=None):
     """Pallas NUDFT (point sources, no gradient): complex64 (B, C).
 
     Arguments as nudft_visibilities; src_tile/bl_tile pick the VMEM
-    tiling. src_tile must be a multiple of 128: sources ride the lane
-    dim of the (Q, L, src) amps staging layout (the source-major
-    layouts pad L=32 lanes 4x in HBM and OOMed at north-star source
-    counts). (128, 256) measured 179 GMAC/s on v5e at the full bench
-    size — see BASELINE.md."""
+    tiling, amps_layout the HBM staging layout of the beam-weighted
+    fluxes:
+
+    * 'sl' — (Q, src, L): L=32 rides the lane dim, which T(8,128) pads
+      4x in HBM. Fastest tiling ((64, 256) measured best on v5e at the
+      bench size; see BASELINE.md) but 4x amps memory — fine up to
+      ~10^5 sources x 1024 chans, OOMs at north-star source counts.
+    * 'ls' — (Q, L, src): sources ride the lane dim, padding-free in
+      HBM (src_tile must then be a multiple of 128; (128, 128) measured
+      best).
+
+    Default: 'sl' when the padded amps stay under ~2 GB, else 'ls'.
+    w_block (default: capped so the W scratch stays <= ~2 MB at large
+    tiles) sets the r-block width of the W phasor table; see _kernel."""
     g0h, g0l, gdh, gdl = grid_scalars
     S = seh.shape[0]
     B = blh.shape[0]
@@ -187,10 +224,23 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
     if amps.shape[1] < C_pad:
         amps = jnp.pad(amps, ((0, 0), (0, C_pad - amps.shape[1])))
 
+    if amps_layout is None:
+        # 4x-padded 'sl' bytes: S * C_pad * 4 B * (128 / L)
+        padded = float(S) * C_pad * 4.0 * max(128 // L, 1)
+        amps_layout = "sl" if padded < 2e9 else "ls"
+    if amps_layout not in ("sl", "ls"):
+        raise ValueError("amps_layout must be 'sl' or 'ls'")
+    if src_tile is None:
+        src_tile = 64 if amps_layout == "sl" else 128
+    if bl_tile is None:
+        bl_tile = 256 if amps_layout == "sl" else 128
     ST, BT = int(src_tile), int(bl_tile)
-    # sources pad to a multiple of lcm(ST, 128): ST for the grid, 128 so
-    # the (Q, L, S) amps layout ends on a full lane tile (padding-free)
-    s_align = int(np.lcm(ST, 128))
+    if amps_layout == "ls":
+        # sources pad to a multiple of lcm(ST, 128): ST for the grid,
+        # 128 so the (Q, L, S) layout ends on a full lane tile
+        s_align = int(np.lcm(ST, 128))
+    else:
+        s_align = ST
     S_pad = -(-S // s_align) * s_align
     B_pad = -(-B // BT) * BT
 
@@ -206,6 +256,10 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
     amps_p = padn(amps, S_pad)
     blh_p = padn(blh, B_pad)
     bll_p = padn(bll, B_pad)
+    # (7, 1, 1) VMEM scalars: each reads as a (1, 1) array that
+    # broadcasts against (ST, BT) operands (a full (ST, BT) tile per
+    # scalar cost ~1.8 MB of VMEM at large tiles, incl. double
+    # buffering)
     scal = jnp.stack([jnp.broadcast_to(jnp.float32(v), (ST, BT))
                       for v in (g0h, g0l, gdh, gdl,
                                 jnp.asarray(chan0, jnp.float32),
@@ -214,9 +268,27 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
 
     if k_mode is None:
         k_mode = "vec3" if interpret else "axis2d"
+    if w_block is None:
+        # largest power-of-2 r-block under a ~14 MB scoped-VMEM model:
+        # W tables + Er/Ei temps (16*WB*ST*BT B), output+compensation
+        # accumulators (16*Q*L*BT), double-buffered amps (8*Q*L*ST),
+        # scalars (56*ST*BT), plus ~4 MB of relayout temps for the 'sl'
+        # in-kernel amps transpose (all coefficients fit measured
+        # compile successes/failures on v5e; the 16 MB scoped limit was
+        # exceeded at 16.2-17.1 MB in the failing configs).
+        slack = 4 * 1024 * 1024 if amps_layout == "sl" else 0
+        WB = L
+        while WB > 1 and (16 * WB * ST * BT + 16 * Q * L * BT
+                          + 8 * Q * L * ST + 56 * ST * BT + slack) \
+                > 14 * 1024 * 1024:
+            WB //= 2
+    else:
+        WB = int(w_block)
+    if L % WB:
+        raise ValueError("w_block must divide L=%d" % L)
     grid = (B_pad // BT, S_pad // ST)
-    kernel = functools.partial(_kernel, Q=Q, L=L, ST=ST, BT=BT,
-                               k_mode=k_mode)
+    kernel = functools.partial(_kernel, Q=Q, L=L, WB=WB, ST=ST, BT=BT,
+                               k_mode=k_mode, layout=amps_layout)
     # (Q, L, S_total): the per-q read indexes the LEADING dim — traced
     # dynamic indexing on non-leading VMEM dims trapped the device at
     # runtime (verified on hardware: kernel ran, then all subsequent
@@ -225,7 +297,14 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
     # 4x expansion that OOMed HBM at north-star source counts (12 GB
     # for the nside-256 sky); S_pad is 128-divisible so (Q, L, S) is
     # padding-free.
-    amps_q = jnp.transpose(amps_p.reshape(S_pad, Q, L), (1, 2, 0))
+    if amps_layout == "ls":
+        amps_q = jnp.transpose(amps_p.reshape(S_pad, Q, L), (1, 2, 0))
+        amps_spec = pl.BlockSpec((Q, L, ST), lambda i, j: (0, 0, j),
+                                 memory_space=pltpu.VMEM)
+    else:
+        amps_q = jnp.transpose(amps_p.reshape(S_pad, Q, L), (1, 0, 2))
+        amps_spec = pl.BlockSpec((Q, ST, L), lambda i, j: (0, j, 0),
+                                 memory_space=pltpu.VMEM)
     out_shape = [jax.ShapeDtypeStruct((Q, L, B_pad), jnp.float32),
                  jax.ShapeDtypeStruct((Q, L, B_pad), jnp.float32)]
     vr, vi = pl.pallas_call(
@@ -240,8 +319,7 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BT, 3), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Q, L, ST), lambda i, j: (0, 0, j),
-                         memory_space=pltpu.VMEM),
+            amps_spec,
             pl.BlockSpec((7, ST, BT), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -252,8 +330,8 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((L, ST, BT), jnp.float32),
-                        pltpu.VMEM((L, ST, BT), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((WB, ST, BT), jnp.float32),
+                        pltpu.VMEM((WB, ST, BT), jnp.float32),
                         pltpu.VMEM((Q, L, BT), jnp.float32),
                         pltpu.VMEM((Q, L, BT), jnp.float32)],
         interpret=interpret,

@@ -124,9 +124,26 @@ def uvdata_arrays(vs, datatype="noiseless"):
         nbl=nbl, nchan=nchan, nacc=nacc, nblts=nblts)
 
 
-def save_uvfits(vs, path, datatype="noiseless"):
-    """Write a VisibilitySet as a UVFITS file."""
+def save_uvfits(vs, path, datatype="noiseless", vs_second=None,
+                pols=None):
+    """Write a VisibilitySet as a UVFITS file.
+
+    vs_second: optional second-polarization VisibilitySet (same
+    layout/axes) -> NAXIS3=2 STOKES axis. pols: AIPS codes along the
+    STOKES axis, contiguous descending per the UVFITS convention
+    (default (-5,) = XX, or (-5, -6) = XX, YY with vs_second)."""
     a = uvdata_arrays(vs, datatype)
+    cubes = [a["data"]]
+    if vs_second is not None:
+        a2 = uvdata_arrays(vs_second, datatype)
+        if a2["data"].shape != a["data"].shape:
+            raise ValueError("second-pol VisibilitySet shape mismatch")
+        cubes.append(a2["data"])
+    if pols is None:
+        pols = (-5, -6)[:len(cubes)]
+    if len(pols) != len(cubes):
+        raise ValueError("pols must match the number of pol cubes")
+    npol = len(cubes)
     nblts, nchan = a["nblts"], a["nchan"]
     freqs = a["freqs"]
     f0 = freqs[0]
@@ -147,10 +164,11 @@ def save_uvfits(vs, path, datatype="noiseless"):
         a["baseline_array"].astype(np.float64),
     ], axis=-1)
 
-    # data: (nblts, DEC=1, RA=1, FREQ, STOKES=1, COMPLEX=3)
-    data = np.zeros((nblts, 1, 1, nchan, 1, 3), dtype=np.float32)
-    data[..., 0] = a["data"].real.reshape(nblts, 1, 1, nchan, 1)
-    data[..., 1] = a["data"].imag.reshape(nblts, 1, 1, nchan, 1)
+    # data: (nblts, DEC=1, RA=1, FREQ, STOKES=npol, COMPLEX=3)
+    data = np.zeros((nblts, 1, 1, nchan, npol, 3), dtype=np.float32)
+    for p, cube in enumerate(cubes):
+        data[..., p, 0] = cube.real.reshape(nblts, 1, 1, nchan)
+        data[..., p, 1] = cube.imag.reshape(nblts, 1, 1, nchan)
     # UVFITS weight convention: >0 good, <=0 flagged. Flags are channels
     # where bandpass x weights vanish (driver flag block; the reference
     # exports its flag_array via pyuvdata, interferometry.py:9528)
@@ -167,7 +185,8 @@ def save_uvfits(vs, path, datatype="noiseless"):
     cards = [
         F.card("SIMPLE", True), F.card("BITPIX", -32),
         F.card("NAXIS", 7),
-        F.card("NAXIS1", 0), F.card("NAXIS2", 3), F.card("NAXIS3", 1),
+        F.card("NAXIS1", 0), F.card("NAXIS2", 3),
+        F.card("NAXIS3", npol),
         F.card("NAXIS4", nchan), F.card("NAXIS5", 1), F.card("NAXIS6", 1),
         F.card("NAXIS7", 1),
         F.card("EXTEND", True), F.card("GROUPS", True),
@@ -180,7 +199,7 @@ def save_uvfits(vs, path, datatype="noiseless"):
         F.card("OBSRA", float(ra_deg)), F.card("OBSDEC", float(dec_deg)),
         F.card("CTYPE2", "COMPLEX"), F.card("CRVAL2", 1.0),
         F.card("CRPIX2", 1.0), F.card("CDELT2", 1.0),
-        F.card("CTYPE3", "STOKES"), F.card("CRVAL3", -5.0),
+        F.card("CTYPE3", "STOKES"), F.card("CRVAL3", float(pols[0])),
         F.card("CRPIX3", 1.0), F.card("CDELT3", -1.0),
         F.card("CTYPE4", "FREQ"), F.card("CRVAL4", float(f0)),
         F.card("CRPIX4", 1.0), F.card("CDELT4", float(df)),
@@ -271,10 +290,13 @@ def load_uvfits(path):
     pars = gh["pars"]
     nblts = hdr["GCOUNT"]
     nchan = hdr["NAXIS4"]
+    npol = int(hdr.get("NAXIS3", 1))
     f0 = float(hdr["CRVAL4"])
     df = float(hdr["CDELT4"])
     freqs = f0 + df * np.arange(nchan)
-    data = gh["data"].reshape(nblts, -1, 3)[:, :nchan, :]
+    # first polarization only (XX by convention; multi-pol files carry
+    # the STOKES axis between FREQ and COMPLEX)
+    data = gh["data"].reshape(nblts, nchan, npol, 3)[:, :, 0, :]
     vis_tm = (data[..., 0] + 1j * data[..., 1])
     blnum = pars[:, 5].astype(np.int64)
     jd = hdr["PZERO4"] + pars[:, 3] + pars[:, 4]

@@ -23,12 +23,29 @@ from .uvfits import uvdata_arrays
 __all__ = ["save_uvh5", "read_uvh5_arrays"]
 
 
-def save_uvh5(vs, path, datatype="noiseless"):
-    """Write a VisibilitySet as a UVH5 file."""
+def save_uvh5(vs, path, datatype="noiseless", vs_second=None,
+              pols=None):
+    """Write a VisibilitySet as a UVH5 file.
+
+    vs_second: optional second-polarization VisibilitySet with the same
+    layout/axes (Npols=2 output, e.g. XX + YY from a beam.pol='XY'
+    run). pols: AIPS polarization codes (default (-5,) = XX, or
+    (-5, -6) with vs_second)."""
     if h5py is None:
         raise ImportError("h5py required")
     a = uvdata_arrays(vs, datatype)
+    cubes = [a["data"]]
+    if vs_second is not None:
+        a2 = uvdata_arrays(vs_second, datatype)
+        if a2["data"].shape != a["data"].shape:
+            raise ValueError("second-pol VisibilitySet shape mismatch")
+        cubes.append(a2["data"])
+    if pols is None:
+        pols = (-5, -6)[:len(cubes)]
+    if len(pols) != len(cubes):
+        raise ValueError("pols must match the number of pol cubes")
     nblts, nchan = a["nblts"], a["nchan"]
+    npol = len(cubes)
     if vs.layout is not None:
         ant_names = np.asarray(vs.layout["labels"], dtype=str)
         ant_nums = np.asarray(vs.layout["ids"], dtype=np.int64)
@@ -69,7 +86,7 @@ def save_uvh5(vs, path, datatype="noiseless"):
         h["Nbls"] = a["nbl"]
         h["Nblts"] = nblts
         h["Nfreqs"] = nchan
-        h["Npols"] = 1
+        h["Npols"] = npol
         h["Ntimes"] = a["nacc"]
         h["Nspws"] = 1
         h["spw_array"] = np.asarray([0], dtype=np.int64)
@@ -82,7 +99,7 @@ def save_uvh5(vs, path, datatype="noiseless"):
         df = float(a["freqs"][1] - a["freqs"][0]) if nchan > 1 else 1.0
         h["channel_width"] = np.full(nchan, df)
         h["flex_spw_id_array"] = np.zeros(nchan, dtype=np.int64)
-        h["polarization_array"] = np.asarray([-5], dtype=np.int64)
+        h["polarization_array"] = np.asarray(pols, dtype=np.int64)
         h["ant_1_array"] = a["ant_1_array"].astype(np.int64)
         h["ant_2_array"] = a["ant_2_array"].astype(np.int64)
         h["time_array"] = a["time_array"]
@@ -92,18 +109,19 @@ def save_uvh5(vs, path, datatype="noiseless"):
         h["vis_units"] = np.bytes_("Jy")
         d = f.create_group("Data")
         d.create_dataset("visdata",
-                         data=a["data"].reshape(nblts, nchan, 1)
+                         data=np.stack(cubes, axis=-1)
                          .astype(np.complex64))
         if vs.bp is not None or vs.bp_wts is not None:
             bp, wts = vs.default_bp()
             bad = (np.asarray(bp) * np.asarray(wts)) == 0
-            flags = np.transpose(bad, (2, 0, 1)).reshape(
-                nblts, nchan, 1)
+            flags = np.broadcast_to(
+                np.transpose(bad, (2, 0, 1)).reshape(nblts, nchan, 1),
+                (nblts, nchan, npol)).copy()
         else:
-            flags = np.zeros((nblts, nchan, 1), dtype=bool)
+            flags = np.zeros((nblts, nchan, npol), dtype=bool)
         d.create_dataset("flags", data=flags)
         d.create_dataset("nsamples",
-                         data=np.ones((nblts, nchan, 1),
+                         data=np.ones((nblts, nchan, npol),
                                       dtype=np.float32))
 
 

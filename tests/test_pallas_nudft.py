@@ -79,3 +79,36 @@ def test_pallas_long_baseline_phase_wraps():
                                   interpret=True))
     want = nudft_reference_f64(se, bl, a_np, freqs)
     assert np.abs(got - want).max() / np.abs(want).max() < 2e-6
+
+
+def test_pallas_amps_layouts_agree():
+    """Both amps staging layouts ('sl' fast / 'ls' memory-safe, chosen
+    automatically by problem size) produce the same visibilities."""
+    import jax.numpy as jnp
+    from prisim_tpu import twofloat as tf
+    from prisim_tpu.engine.nudft import (nudft_reference_f64,
+                                         freq_grid_scalars)
+    from prisim_tpu.engine.pallas_nudft import nudft_pallas
+    rng = np.random.RandomState(2)
+    S, B, C = 300, 10, 64
+    se = rng.uniform(-1, 1, (S, 3))
+    se /= np.linalg.norm(se, axis=1, keepdims=True)
+    se = se - np.array([0.0, 0.0, 1.0])
+    bl = rng.uniform(-250, 250, (B, 3))
+    a_np = rng.uniform(0.1, 10, (S, C)).astype(np.float32)
+    freqs = 100e6 + 97656.25 * np.arange(C)
+    gs = freq_grid_scalars(freqs[0], 97656.25)
+    seh, sel = tf.split_f64(se)
+    blh, bll = tf.split_f64(bl)
+    want = nudft_reference_f64(se, bl, a_np, freqs)
+    scale = np.abs(want).max()
+    outs = {}
+    for layout in ("sl", "ls"):
+        outs[layout] = np.asarray(nudft_pallas(
+            jnp.asarray(seh), jnp.asarray(sel), jnp.asarray(blh),
+            jnp.asarray(bll), jnp.asarray(a_np), gs, C,
+            amps_layout=layout, interpret=True))
+        assert np.abs(outs[layout] - want).max() / scale < 2e-6, layout
+    # identical math either way (layout only changes staging)
+    np.testing.assert_allclose(outs["sl"], outs["ls"], rtol=0,
+                               atol=2e-6 * scale)

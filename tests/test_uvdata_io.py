@@ -1,5 +1,7 @@
 """UVFITS / UVH5 export tests (pure-numpy FITS + h5py UVH5 writers)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -188,3 +190,44 @@ def test_flags_propagate_to_uv_exports(tmp_path):
     gh = next(h for h in read_fits(base + ".uvfits") if "pars" in h)
     w = gh["data"].reshape(gh["header"]["GCOUNT"], -1, 3)[0, :, 2]
     assert ((w < 0) == expect_flag).all()
+
+
+def test_dual_pol_run_and_exports(tmp_path):
+    """beam.pol='XY' simulates both feeds (Y = X rotated 90 deg in
+    azimuth -> different dipole patterns), writes per-pol products and a
+    combined two-polarization UVH5/UVFITS (Npols=2, codes XX=-5,
+    YY=-6)."""
+    import h5py
+    from prisim_tpu.config import load_parms
+    from prisim_tpu.driver import run_simulation
+    from prisim_tpu.io.fitsio import read_fits
+    parms = load_parms({
+        "dirstruct": {"rootdir": str(tmp_path)},
+        "bandpass": {"nchan": 8, "freq": 155e6,
+                     "freq_resolution": 195312.5},
+        "array": {"layout": "HERA-7", "redundant": False},
+        "antenna": {"shape": "dipole", "size": 0.74,
+                    "orientation": [0.0, 90.0], "ocoords": "altaz"},
+        "beam": {"pol": "XY"},
+        "obsparm": {"n_acc": 1, "t_acc": 10.0},
+        "skyparm": {"model": "random", "nsrc": 12},
+        "save_formats": {"uvh5": True, "npz": False},
+        "pp": {"key": "none"}})
+    out, outdir = run_simulation(parms, verbose=False)
+    vs_x, vs_y = out
+    # orientation-sensitive beam: the two pols must differ
+    assert np.abs(np.asarray(vs_x.skyvis)
+                  - np.asarray(vs_y.skyvis)).max() > 1e-6
+    base = os.path.join(outdir, "simdata", "simvis_dualpol")
+    with h5py.File(base + ".uvh5") as f:
+        assert int(f["Header/Npols"][()]) == 2
+        np.testing.assert_array_equal(
+            f["Header/polarization_array"][()], [-5, -6])
+        vd = f["Data/visdata"][()]
+        assert vd.shape[-1] == 2
+        expect_x = np.conj(np.transpose(vs_x.skyvis, (2, 0, 1))
+                           ).reshape(-1, 8)
+        np.testing.assert_allclose(vd[:, :, 0], expect_x, rtol=1e-6)
+    gh = next(h for h in read_fits(base + ".uvfits") if "pars" in h)
+    assert gh["header"]["NAXIS3"] == 2
+    assert gh["header"]["CRVAL3"] == -5.0
