@@ -41,7 +41,8 @@ import numpy as np
 __all__ = ["nufft_delay_visibilities", "nufft_delay_visibilities_spectral",
            "nufft_delay_visibilities_jax",
            "nufft_delay_visibilities_jax_gather",
-           "nufft_delay_visibilities_jax_sorted", "fold_delay_bins",
+           "nufft_delay_visibilities_jax_sorted",
+           "nufft_delay_multirank_sorted", "fold_delay_bins",
            "kb_tap_coeffs", "size_gather_window",
            "simulate_snapshot_nufft", "kb_kernel", "kb_fourier"]
 
@@ -570,6 +571,99 @@ def nufft_delay_visibilities_jax_sorted(tau_h, tau_l, amps, nu0, dnu,
     return Gk * deconv[None, :]
 
 
+def nufft_delay_multirank_sorted(tau_h, tau_l, P, Qc, nu0, dnu, nchan,
+                                 beta=2.0, K=13, alpha=None, chan0=None):
+    """Multi-rank sorted-spread NUFFT: V = sum_r Qc[:, r] * NUFFT[P[:, r]].
+
+    The production form of the sorted spread (see
+    nufft_delay_visibilities_jax_sorted for the algorithm): the
+    rank-INDEPENDENT work — two-float carrier phasors, delay-bin
+    folding, the per-baseline argsort and boundary table, sorted
+    gathers — is hoisted out of the rank loop, and both the spectral
+    rank loop and the K-tap loop run under lax.scan (a static unroll of
+    rank x K cumsum stages produced an HLO large enough to crash the
+    TPU AOT compiler, and recomputed the carrier per rank).
+
+    P: (S, r) spectral source coefficients; Qc: (C, r) basis columns.
+    Returns (B, C) complex64."""
+    import jax
+    import jax.numpy as jnp
+    from .. import twofloat as tf
+
+    if alpha is None:
+        alpha = np.pi * K * (1.0 - 0.5 / beta) - 0.01
+    alpha = float(alpha)
+    n = int(beta * nchan)
+    S, B = tau_h.shape
+    nu_mid = nu0 + (nchan // 2) * dnu
+    nmh, nml = [jnp.float32(x) for x in _split_host(nu_mid)]
+    ch, cl = tf.df_mul(tau_h, tau_l, nmh, nml)
+    if chan0 is not None:
+        dnh, dnl = [jnp.float32(x) for x in _split_host(dnu)]
+        dth, dtl = tf.df_mul(tau_h, tau_l, dnh, dnl)
+        c0 = jnp.asarray(chan0, jnp.float32)
+        oh, oe = tf.two_prod(dth, c0)
+        ch, cl = tf.df_add(ch, cl, oh, oe + dtl * c0)
+    fh, fl = tf.df_frac(ch, cl)
+    cosv, sinv = tf.df_sincos_cycles(fh, fl, xp=jnp)
+    m0, z0, _ = fold_delay_bins(tau_h, tau_l, dnu, nchan, beta=beta)
+    order, starts = _sorted_spread_setup(m0, n)
+    zs = jnp.take_along_axis(z0, order, axis=0)          # (S, B)
+    crs = jnp.take_along_axis(cosv, order, axis=0)
+    cis = jnp.take_along_axis(-sinv, order, axis=0)
+    tap_coeffs = jnp.asarray(kb_tap_coeffs(K, alpha), jnp.float32)
+    tap_shift = jnp.arange(-(K // 2), K // 2 + 1, dtype=jnp.int32)
+    k = np.arange(nchan) - nchan // 2
+    deconv = jnp.asarray(1.0 / kb_fourier(k / n, K, alpha), jnp.float32)
+    Qc = jnp.asarray(Qc, jnp.float32)
+    zpad = jnp.zeros((1, B), jnp.float32)
+
+    def df_cumsum(x):
+        return jax.lax.associative_scan(
+            lambda a, b: tf.df_add(a[0], a[1], b[0], b[1]),
+            (x, jnp.zeros_like(x)), axis=0)
+
+    def bounds(csh, csl):
+        csh = jnp.concatenate([zpad, csh], axis=0)
+        csl = jnp.concatenate([zpad, csl], axis=0)
+        ah = jnp.take_along_axis(csh, starts[1:], axis=0)
+        al = jnp.take_along_axis(csl, starts[1:], axis=0)
+        bh = jnp.take_along_axis(csh, starts[:-1], axis=0)
+        bl = jnp.take_along_axis(csl, starts[:-1], axis=0)
+        th_, tl_ = tf.df_add(ah, al, -bh, -bl)
+        return th_ + tl_                                  # (n, B)
+
+    def one_rank(acc, pq):
+        p_col, q_col = pq                                 # (S,), (C,)
+        ps = p_col[order]                                 # (S, B)
+        vre = ps * crs
+        vim = ps * cis
+
+        def one_tap(grid, tap):
+            co, j = tap                                   # (d+1,), ()
+            w = jnp.full_like(zs, co[0])
+            for ci in range(1, co.shape[0]):
+                w = w * zs + co[ci]
+            tr = bounds(*df_cumsum(w * vre))
+            ti = bounds(*df_cumsum(w * vim))
+            gr, gi = grid
+            return (gr + jnp.roll(tr, j, axis=0),
+                    gi + jnp.roll(ti, j, axis=0)), None
+
+        (gr, gi), _ = jax.lax.scan(
+            one_tap, (jnp.zeros((n, B), jnp.float32),
+                      jnp.zeros((n, B), jnp.float32)),
+            (tap_coeffs, tap_shift))
+        G = jnp.fft.fft(jnp.transpose(gr) + 1j * jnp.transpose(gi),
+                        axis=1)
+        Vi = G[:, k % n] * deconv[None, :]
+        return acc + Vi * q_col[None, :], None
+
+    acc0 = jnp.zeros((B, nchan), jnp.complex64)
+    out, _ = jax.lax.scan(one_rank, acc0, (P.T, Qc.T))
+    return out
+
+
 def delays_two_float(seh, sel, bl_hi, bl_lo):
     """Two-float geometric delays tau = (s_eff . b)/c, (S, B) seconds."""
     import jax.numpy as jnp
@@ -645,22 +739,17 @@ def simulate_snapshot_nufft_jit(instrument, sky, Mh, Ml, pch, pcl,
     th, tl = delays_two_float(seh, sel, instrument.bl_hi,
                               instrument.bl_lo)
     Qd = jnp.asarray(Q)
-    setup = None
     if spread == "sorted":
-        m0, _, n = fold_delay_bins(th, tl, instrument.dnu,
-                                   instrument.nchan, beta=beta)
-        setup = _sorted_spread_setup(m0, n)       # one sort, all ranks
+        # hoisted carrier/sort + lax.scan over ranks and taps
+        return nufft_delay_multirank_sorted(
+            th, tl, P, Qd, instrument.nu0, instrument.dnu,
+            instrument.nchan, beta=beta, K=K)
     out = 0.0
     for i in range(Q.shape[1]):                  # static unroll, r~10
-        if spread == "sorted":
-            Vi = nufft_delay_visibilities_jax_sorted(
-                th, tl, P[:, i], instrument.nu0, instrument.dnu,
-                instrument.nchan, beta=beta, K=K, setup=setup)
-        else:
-            Vi = nufft_delay_visibilities_jax(th, tl, P[:, i],
-                                              instrument.nu0,
-                                              instrument.dnu,
-                                              instrument.nchan,
-                                              beta=beta, K=K)
+        Vi = nufft_delay_visibilities_jax(th, tl, P[:, i],
+                                          instrument.nu0,
+                                          instrument.dnu,
+                                          instrument.nchan,
+                                          beta=beta, K=K)
         out = out + Vi * Qd[:, i][None, :]
     return out

@@ -162,9 +162,9 @@ def _nufft_drift_core(blh, bll, freqs_f32, flux, seqh, seql, Mh, Ml,
     'chan' shards run their own sub-band NUFFT with the carrier offset
     by chan0*dnu*tau cycles (exact in two-float); 'src' shards psum
     their partial visibilities — the spreading is linear in sources."""
-    from ..engine.nufft_delay import (
-        nufft_delay_visibilities_jax_sorted, fold_delay_bins,
-        _sorted_spread_setup, delays_two_float, chebyshev_basis_jit)
+    from ..engine.nufft_delay import (nufft_delay_multirank_sorted,
+                                      delays_two_float,
+                                      chebyshev_basis_jit)
 
     chan0 = (jax.lax.axis_index("chan") * nchan_local) if has_chan \
         else None
@@ -178,14 +178,9 @@ def _nufft_drift_core(blh, bll, freqs_f32, flux, seqh, seql, Mh, Ml,
         amps = jnp.where((sh[:, 2] > 0.0)[:, None], pb * flux, 0.0)
         P = amps @ pinvQ                                  # (S, r)
         th, tl = delays_two_float(seh, sel, blh, bll)
-        m0, _, n = fold_delay_bins(th, tl, dnu, nchan_local, beta=beta)
-        setup = _sorted_spread_setup(m0, n)
-        vis = 0.0
-        for i in range(rank):
-            Vi = nufft_delay_visibilities_jax_sorted(
-                th, tl, P[:, i], nu0, dnu, nchan_local, beta=beta, K=K,
-                setup=setup, chan0=chan0)
-            vis = vis + Vi * Qb[:, i][None, :]
+        vis = nufft_delay_multirank_sorted(th, tl, P, Qb, nu0, dnu,
+                                           nchan_local, beta=beta, K=K,
+                                           chan0=chan0)
         if has_src:
             vis = jax.lax.psum(vis, "src")
         return None, vis
