@@ -577,6 +577,17 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
     import jax
     tp = parms["telescope"]
     lat = float(tp["latitude"])
+
+    def _phase(label, _last=[time.time()]):
+        # wall-clock breakdown of the pipeline stages (verbose runs):
+        # at north-star sizes the host sky build and device transfers
+        # rival the kernel, and this is how a user finds out
+        now = time.time()
+        if verbose:
+            print("[prisim_tpu] ... %s (+%.1f s)" % (label,
+                                                     now - _last[0]))
+        _last[0] = now
+
     layout = build_layout(parms)
     blp = parms.get("baseline") or {}
     bls = build_baselines(layout,
@@ -587,6 +598,7 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
                           direction_deg=blp.get("direction"))
     freqs = build_frequencies(parms)
     obs = build_schedule(parms, lat)
+    _phase("layout/baselines/schedule built")
     sky = _sky_override if _sky_override is not None \
         else build_sky(parms, freqs)
     if _sky_override is None:
@@ -653,7 +665,9 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
                             A_eff=float(tp.get("A_eff") or 154.0),
                             eff_Q=float(tp.get("eff_Q") or 1.0),
                             telescope=telescope)
+    _phase("sky model built (%d sources)" % sky.nsrc)
     sks = SkySources.from_skymodel(sky, freqs)
+    _phase("spectra precomputed")
 
     from .beams.dispatch import primary_beam
 
@@ -902,6 +916,7 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
                                          src_block=src_block,
                                          use_pallas=use_pallas,
                                          interpret=pallas_interpret)
+    _phase("engine dispatched")
     if out is None:
         out = simulate_drift(inst, sks, obs, beam_fn,
                              src_block=src_block, gradient=bool(grad),
@@ -917,6 +932,7 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
         vis_tbc = out
     skyvis = np.ascontiguousarray(
         np.transpose(get_complex(vis_tbc), (1, 2, 0)))
+    _phase("visibilities computed + transferred")
     return _finalize_simulation(parms, vs_inputs=dict(
         bls=bls, freqs=freqs, obs=obs, layout=layout,
         telescope=telescope, skyvis=skyvis, gradients=gradients,
