@@ -86,7 +86,7 @@ DEFAULT_PARMS = {
                    "n_pad": 0, "max_abs_delay": 1.0,
                    "delay_transform": False, "memsave": False,
                    "store_prev_sky": True, "cleanup": 3,
-                   "src_block": 512, "use_pallas": "auto",
+                   "src_block": 512, "use_pallas": "auto", "acc_chunk": None,
                    "engine": "direct", "nufft_rank": 16,
                    "nufft_spread": "sorted",
                    "nufft_crosscheck": True,

@@ -918,10 +918,40 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
                                          interpret=pallas_interpret)
     _phase("engine dispatched")
     if out is None:
-        out = simulate_drift(inst, sks, obs, beam_fn,
-                             src_block=src_block, gradient=bool(grad),
-                             use_pallas=use_pallas,
-                             interpret=pallas_interpret)
+        acc_chunk = parms["processing"].get("acc_chunk")
+        if acc_chunk is None and not grad \
+                and sks.flux.size * 4 > 2e9 and obs.n_acc > 10:
+            # long scans over multi-GB skies: the full lax.scan's
+            # pipelined per-step temporaries (beam + amps + staging,
+            # ~3x the 3.2 GB flux at north-star sizes) spike HBM and
+            # crashed the TPU worker at 100 accumulations. Chunk the
+            # scan at the host level; 10-accumulation chunks are
+            # measured stable at nside-256 x 1024 chans.
+            acc_chunk = 10
+        if acc_chunk and int(acc_chunk) < obs.n_acc and not grad:
+            cs = int(acc_chunk)
+            if verbose:
+                print("[prisim_tpu] scanning %d accumulations in "
+                      "chunks of %d" % (obs.n_acc, cs))
+            parts = []
+            for i0 in range(0, obs.n_acc, cs):
+                sl_ = slice(i0, min(i0 + cs, obs.n_acc))
+                obs_i = Observation(
+                    lst_deg=obs.lst_deg[sl_], jd=obs.jd[sl_],
+                    t_acc=obs.t_acc[sl_],
+                    pointing_altaz=obs.pointing_altaz[sl_],
+                    mode=obs.mode)
+                parts.append(get_complex(simulate_drift(
+                    inst, sks, obs_i, beam_fn, src_block=src_block,
+                    use_pallas=use_pallas,
+                    interpret=pallas_interpret)))
+            out = np.concatenate(parts, axis=0)
+        else:
+            out = simulate_drift(inst, sks, obs, beam_fn,
+                                 src_block=src_block,
+                                 gradient=bool(grad),
+                                 use_pallas=use_pallas,
+                                 interpret=pallas_interpret)
     gradients = None
     if grad:
         vis_tbc, grad_tbc = out
@@ -953,6 +983,13 @@ def _finalize_simulation(parms, vs_inputs, outdir, verbose, save, t0):
     lat = vs_inputs["lat"]
     tp = vs_inputs["tp"]
 
+    def _fphase(label, _last=[time.time()]):
+        now = time.time()
+        if verbose:
+            print("[prisim_tpu] ... %s (+%.1f s)" % (label,
+                                                     now - _last[0]))
+        _last[0] = now
+
     # noise + gains
     tsys = build_tsys(parms, freqs, bls.nbl, obs.n_acc)
     df = float(parms["bandpass"]["freq_resolution"])
@@ -967,7 +1004,9 @@ def _finalize_simulation(parms, vs_inputs, outdir, verbose, save, t0):
         # chunked runs must draw INDEPENDENT noise per chunk while a
         # single-shot run with the same seed stays reproducible
         key = jr.fold_in(key, int(chunk["index"]))
+    _fphase("Tsys + radiometer rms")
     noise = get_complex(generate_noise(key, rms))
+    _fphase("thermal noise drawn")
     gains = 1.0
     if parms["gains"].get("file"):
         gi = GainInfo.read_hdf5(parms["gains"]["file"])
@@ -976,6 +1015,7 @@ def _finalize_simulation(parms, vs_inputs, outdir, verbose, save, t0):
                               kind=parms["gains"].get("interp") or "cubic",
                               smoothness=parms["gains"].get("smoothness"))
     vis = apply_gains(skyvis, gains, noise)
+    _fphase("gains applied")
 
     bp, bp_wts = _bandpass_weights(parms, bls.nbl, freqs, obs.n_acc)
     vs = VisibilitySet(
@@ -1003,6 +1043,7 @@ def _finalize_simulation(parms, vs_inputs, outdir, verbose, save, t0):
             np.asarray(ph["center"], dtype=np.float64)),
             ph.get("coords", "altaz"))
     vs = project_baselines(vs)
+    _fphase("phased + projected")
     if parms["processing"].get("delay_transform"):
         vs = delay_transform(vs, pad=float(
             parms["processing"].get("f_pad") or 1.0))
@@ -1010,6 +1051,7 @@ def _finalize_simulation(parms, vs_inputs, outdir, verbose, save, t0):
     outpath = None
     if save:
         outpath = _save_products(vs, parms, outdir)
+        _fphase("products saved")
     if verbose:
         print("[prisim_tpu] done in %.2f s%s"
               % (time.time() - t0,
@@ -1035,10 +1077,15 @@ def _save_products(vs, parms, outdir=None):
     if parms["save_formats"].get("npz"):
         save_npz(vs, base + ".npz")
     vs_uv = vs
-    if parms.get("save_redundant") and vs.blgroups:
+    wants_uv = bool(parms["save_formats"].get("uvfits")
+                    or parms["save_formats"].get("uvh5"))
+    if wants_uv and parms.get("save_redundant") and vs.blgroups:
         # expand unique baselines onto the full redundant set for the
         # UVData-format exports (run_prisim.py:2289-2328 duplicates
-        # measurements before pyuvdata_write)
+        # measurements before pyuvdata_write). ONLY when a UV format is
+        # actually requested: at HERA-331 scale the expansion is
+        # 630 -> 54,615 baselines (~40 GB of arrays) and building it
+        # unconditionally cost 10 minutes per north-star run.
         try:
             from .baselines import baseline_generator, uniq_baselines
             import dataclasses

@@ -32,6 +32,16 @@ Algorithm reference: standard gridding NUFFT (Dutt & Rokhlin 1993;
 finufft's kb design). The reference implementation evaluates the dense
 phase matrix instead (/root/reference/prisim/interferometry.py:
 6323-6343).
+
+KNOWN LIMITATION (measured, round 2 — see BASELINE.md/ROADMAP.md): on
+REAL TPU hardware the sorted spread's argsort / compensated cumsums /
+boundary gathers run at TPU gather speeds and lose ~4 digits under the
+TPU toolchain: 29.5 s/snapshot at 1.1e-2 relative error vs 0.26 s for
+the direct Pallas kernel at the bench shape. On CPU backends the same
+code is ~2e-6 accurate and ~16x the direct XLA engine. The driver's
+processing.nufft_crosscheck gate detects the TPU failure automatically
+and falls back to the direct engine; the round-3 plan moves the
+spreading onto the MXU as a banded dense matrix.
 """
 
 from __future__ import annotations

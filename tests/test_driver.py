@@ -343,3 +343,22 @@ def test_driver_nufft_engine():
     assert rel < 2e-5, rel
     # noise/gains stages run identically downstream
     assert v1.vis is not None and np.isfinite(v1.vis).all()
+
+
+def test_acc_chunked_scan_matches_full(tmp_path):
+    """processing.acc_chunk splits the drift scan at the host level
+    (the HBM guard for long scans over multi-GB skies) and reproduces
+    the unchunked result exactly."""
+    base = {
+        "bandpass": {"nchan": 8, "freq": 155e6,
+                     "freq_resolution": 195312.5},
+        "array": {"layout": "HERA-7"},
+        "obsparm": {"n_acc": 5, "t_acc": 60.0},
+        "skyparm": {"model": "random", "nsrc": 16},
+        "pp": {"key": "none"}}
+    p1 = load_parms(base)
+    vs1, _ = run_simulation(p1, verbose=False, save=False)
+    p2 = load_parms(dict(base, processing={"acc_chunk": 2}))
+    vs2, _ = run_simulation(p2, verbose=False, save=False)
+    np.testing.assert_allclose(vs2.skyvis, vs1.skyvis, rtol=2e-6,
+                               atol=1e-6 * np.abs(vs1.skyvis).max())
