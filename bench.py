@@ -173,8 +173,15 @@ def _end_to_end_seconds(nchan=256, n_acc=2, nside=64):
     import os
     import shutil
     import tempfile
+    import jax
     from prisim_tpu.config import load_parms
     from prisim_tpu.driver import run_simulation
+    if jax.devices()[0].platform != "tpu":
+        # CPU fallback: the TPU-sized config would grind for many
+        # minutes on one host core (bench smoke tests hit this)
+        nchan, nside = min(nchan, 32), min(nside, 16)
+    nchan = int(os.environ.get("PRISIM_BENCH_E2E_NCHAN", nchan))
+    nside = int(os.environ.get("PRISIM_BENCH_E2E_NSIDE", nside))
     tmp = tempfile.mkdtemp(prefix="prisim_bench_")
     parms = load_parms({
         "dirstruct": {"rootdir": tmp, "project": "bench_e2e"},
