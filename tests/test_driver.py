@@ -362,3 +362,26 @@ def test_acc_chunked_scan_matches_full(tmp_path):
     vs2, _ = run_simulation(p2, verbose=False, save=False)
     np.testing.assert_allclose(vs2.skyvis, vs1.skyvis, rtol=2e-6,
                                atol=1e-6 * np.abs(vs1.skyvis).max())
+
+
+def test_nufft_crosscheck_gate_falls_back(capsys):
+    """A failing NUFFT/direct cross-check falls the WHOLE run back to
+    the direct engine (the safety gate that protects TPU runs where the
+    sorted spread underperforms; forced here with an impossible
+    tolerance)."""
+    base = {
+        "bandpass": {"nchan": 16, "freq": 155e6,
+                     "freq_resolution": 195312.5},
+        "array": {"layout": "HERA-7"},
+        "obsparm": {"n_acc": 1, "t_acc": 10.0},
+        "skyparm": {"model": "random", "nsrc": 16},
+        "pp": {"key": "none"}}
+    p_direct = load_parms(base)
+    vs_direct, _ = run_simulation(p_direct, verbose=False, save=False)
+    p_gated = load_parms(dict(base, processing={
+        "engine": "nufft", "nufft_crosscheck_tol": 1e-30}))
+    vs_gated, _ = run_simulation(p_gated, verbose=True, save=False)
+    out = capsys.readouterr().out
+    assert "cross-check FAILED" in out
+    np.testing.assert_allclose(vs_gated.skyvis, vs_direct.skyvis,
+                               rtol=1e-6)
