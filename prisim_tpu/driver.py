@@ -802,7 +802,14 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
         from .engine.observe import simulate_snapshot
         Mh, Ml = obs.rotations(inst.latitude)
         pch, pcl = _tf.split_f64(obs.pc_dircos())
-        rank = int(parms["processing"].get("nufft_rank") or 16)
+        # default spectral rank is bandwidth-aware: rank 16 reaches the
+        # f32 fit floor for <=40% fractional bandwidth, but chromatic
+        # (Airy) beams over a full octave need ~24 (fit residuals
+        # measured: rank 16 -> 8e-5, rank 24 -> 9e-7 on 100-200 MHz)
+        frac_bw = (freqs[-1] - freqs[0]) / freqs[freqs.size // 2]
+        rank_default = 16 if frac_bw <= 0.4 else 24
+        rank = int(parms["processing"].get("nufft_rank")
+                   or rank_default)
         spread = str(parms["processing"].get("nufft_spread")
                      or "sorted")
         pinvQ, Q = chebyshev_projection(freqs, min(rank, freqs.size))

@@ -35,12 +35,16 @@ phase matrix instead (/root/reference/prisim/interferometry.py:
 
 KNOWN LIMITATION (measured, round 2 — see BASELINE.md/ROADMAP.md): on
 REAL TPU hardware the sorted spread's argsort / compensated cumsums /
-boundary gathers run at TPU gather speeds and lose ~4 digits under the
-TPU toolchain: 29.5 s/snapshot at 1.1e-2 relative error vs 0.26 s for
-the direct Pallas kernel at the bench shape. On CPU backends the same
-code is ~2e-6 accurate and ~16x the direct XLA engine. The driver's
-processing.nufft_crosscheck gate detects the TPU failure automatically
-and falls back to the direct engine; the round-3 plan moves the
+boundary gathers run at TPU gather/cross-lane-scan speeds:
+29.5 s/snapshot vs 0.26 s for the direct Pallas kernel at the bench
+shape. (The 1.1e-2 error first measured alongside it was NOT the
+spread: probing showed the spread itself at 4.8e-7 on TPU and the
+compensated cumsums exact — the error was the spectral projection
+matmul run at the TPU's default bf16 MXU precision, now forced to
+HIGHEST, plus a rank-16 Chebyshev fit over a full-octave band, now
+bandwidth-aware rank 24.) On CPU backends this engine is ~2e-6 and
+~16x the direct XLA engine. The driver's processing.nufft_crosscheck
+gate guards every run; the round-3 plan for TPU speed moves the
 spreading onto the MXU as a banded dense matrix.
 """
 
@@ -707,9 +711,13 @@ def chebyshev_basis_jit(freqs_f32, rank):
     Q = jnp.stack(cols, axis=1)                           # (C, r)
     # least-squares projector via QR: normal equations square the
     # Vandermonde conditioning and lose ~3 digits in f32 (measured
-    # 1.4e-3 engine error); QR keeps it at the f32 eps class
-    q, r = jnp.linalg.qr(Q)
-    pinvQ = q @ jnp.linalg.inv(r).T                       # (C, r)
+    # 1.4e-3 engine error); QR keeps it at the f32 eps class. All
+    # products at HIGHEST precision: TPU matmuls default to bf16 MXU
+    # passes (~4e-3 relative).
+    import jax
+    with jax.default_matmul_precision("highest"):
+        q, r = jnp.linalg.qr(Q)
+        pinvQ = q @ jnp.linalg.inv(r).T                   # (C, r)
     return pinvQ, Q
 
 
@@ -736,6 +744,7 @@ def simulate_snapshot_nufft_jit(instrument, sky, Mh, Ml, pch, pcl,
     spread: 'sorted' (default; scatter-free, occupancy-independent —
     the TPU path, with one argsort shared across all spectral ranks) or
     'scatter' (XLA scatter-add; fast on CPU backends)."""
+    import jax
     import jax.numpy as jnp
     from .. import twofloat as tf
     from .. import constants as CNST
@@ -745,7 +754,11 @@ def simulate_snapshot_nufft_jit(instrument, sky, Mh, Ml, pch, pcl,
     seh, sel = tf.df_add(sh, sl, -pch[None, :], -pcl[None, :])
     freqs_f32 = jnp.asarray(instrument.freqs, dtype=jnp.float32)
     amps = _beam_and_flux(sh, sky.flux, freqs_f32, beam_fn)   # (S, C)
-    P = amps @ jnp.asarray(pinvQ)                             # (S, r) MXU
+    # HIGHEST precision: TPU matmuls default to bf16 MXU passes
+    # (~4e-3 relative), which silently destroyed the spectral
+    # projection on hardware (measured as a 1e-2 engine error)
+    P = jnp.matmul(amps, jnp.asarray(pinvQ),
+                   precision=jax.lax.Precision.HIGHEST)       # (S, r)
     th, tl = delays_two_float(seh, sel, instrument.bl_hi,
                               instrument.bl_lo)
     Qd = jnp.asarray(Q)

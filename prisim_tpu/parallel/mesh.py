@@ -176,7 +176,9 @@ def _nufft_drift_core(blh, bll, freqs_f32, flux, seqh, seql, Mh, Ml,
         seh, sel = tf.df_add(sh, sl, -ph[None, :], -pl[None, :])
         pb = beam_fn(sh, freqs_f32)
         amps = jnp.where((sh[:, 2] > 0.0)[:, None], pb * flux, 0.0)
-        P = amps @ pinvQ                                  # (S, r)
+        # HIGHEST precision: TPU matmuls default to bf16 MXU passes
+        P = jnp.matmul(amps, pinvQ,
+                       precision=jax.lax.Precision.HIGHEST)   # (S, r)
         th, tl = delays_two_float(seh, sel, blh, bll)
         vis = nufft_delay_multirank_sorted(th, tl, P, Qb, nu0, dnu,
                                            nchan_local, beta=beta, K=K,
