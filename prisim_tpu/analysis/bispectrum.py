@@ -521,7 +521,9 @@ def xcpdps_full(ft, twts=None, cohax=(), incohax=(), collapse_axes=(),
             for si, s in enumerate(lst_shifts):
                 r = np.roll(base[:, 0, ...], s, axis=a)
                 sl = [slice(None)] * r.ndim
-                sl[a] = slice(0, s)
+                # mask the wrapped-around samples: leading s for s>=0,
+                # trailing |s| for negative shifts
+                sl[a] = slice(0, s) if s >= 0 else slice(s, None)
                 r[tuple(sl)] = np.nan
                 rolled[:, si, ...] = r
             d2 = rolled

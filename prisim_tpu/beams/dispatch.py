@@ -50,10 +50,14 @@ def primary_beam(dircos, freqs, telescope, pointing_info=None,
     freqs = jnp.asarray(freqs)
     if pol not in ("X", "Y", "x", "y"):
         raise ValueError("pol must be 'X' or 'Y'")
-    if pol in ("Y", "y") and (telescope or {}).get(
-            "orientation_dircos") is not None:
-        ox, oy, oz = telescope["orientation_dircos"]
-        telescope = dict(telescope,
+    if pol in ("Y", "y"):
+        # Resolve the effective orientation BEFORE rotating: the
+        # orientation-sensitive branches below default to (1,0,0) when
+        # orientation_dircos is absent, so a Y feed must rotate that
+        # default too (else Y silently duplicates X).
+        ox, oy, oz = ((telescope or {}).get("orientation_dircos")
+                      or (1.0, 0.0, 0.0))
+        telescope = dict(telescope or {},
                          orientation_dircos=(-oy, ox, oz))
     tid = (telescope or {}).get("id", None)
 

@@ -37,18 +37,21 @@ class ExternalBeam:
 
     @classmethod
     def from_fits(cls, path, **kw):
-        from ..io import fits as fio
+        # io.fitsio.read_fits returns plain dicts: {'header': {...},
+        # 'data': ndarray} for image HDUs (io/fitsio.py:213).
+        from ..io import fitsio as fio
         hdus = fio.read_fits(path)
         data = None
         freqs = None
         for h in hdus:
-            if h.data is None:
+            d = h.get("data")
+            if d is None:
                 continue
-            name = (h.header.get("EXTNAME") or "").strip().upper()
-            if name in ("BEAM", "") and data is None and h.data.ndim >= 1:
-                data = np.asarray(h.data)
+            name = str(h["header"].get("EXTNAME", "")).strip().upper()
             if name in ("FREQS", "FREQUENCIES", "FREQ"):
-                freqs = np.asarray(h.data).ravel()
+                freqs = np.asarray(d, dtype=np.float64).ravel()
+            elif name in ("BEAM", "") and data is None and d.ndim >= 1:
+                data = np.asarray(d, dtype=np.float64)
         if data is None:
             raise ValueError(f"no beam data found in {path}")
         if data.ndim == 1:

@@ -790,6 +790,26 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
     out = None
     pp = parms.get("pp") or {}
     engine = (parms["processing"].get("engine") or "direct").lower()
+    if engine == "nufft" and jax.devices()[0].platform == "tpu":
+        # TPU honesty gate (measured, BASELINE.md round 2): the sorted
+        # XLA spread runs ~100x SLOWER than the direct Pallas kernel on
+        # real TPU hardware (29.5 s vs 0.26 s/snapshot at bench shape) —
+        # argsort/cumsum/gather machinery runs at cross-lane speeds.
+        # Unless the banded Pallas spread is available (or the user
+        # forces it), fall back BEFORE paying 30 s/snapshot.
+        spread_req = str(parms["processing"].get("nufft_spread")
+                        or "auto").lower()
+        from .engine.nufft_banded import banded_spread_available
+        if spread_req in ("auto", "banded") and banded_spread_available():
+            parms["processing"] = dict(parms["processing"],
+                                       nufft_spread="banded")
+        elif not parms["processing"].get("nufft_force"):
+            print("[prisim_tpu] processing.engine: nufft on TPU without "
+                  "the banded Pallas spread would run ~100x slower than "
+                  "the direct engine (measured; BASELINE.md). Using the "
+                  "direct engine. Set processing.nufft_force: true to "
+                  "override.")
+            engine = "direct"
     if engine == "nufft" and not grad and sks.src_shape_sigma is None:
         # EXPERIMENTAL delay-space NUFFT engine (processing.engine:
         # nufft): fully jittable snapshot (fixed Chebyshev spectral

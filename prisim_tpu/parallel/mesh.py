@@ -208,11 +208,20 @@ def simulate_drift_nufft_sharded(instrument, sky, observation, beam_fn,
     nchan = instrument.nchan
     nchan_pad = -(-nchan // n_ch) * n_ch
     freqs = instrument.nu0 + instrument.dnu * np.arange(nchan_pad)
-    flux = pad_to_multiple(np.asarray(sky.flux), n_ch, axis=1)
+    # Channel padding is EDGE-replicated, not zero: the padded columns
+    # land in the last chan shard and enter its Chebyshev spectral fit —
+    # a spectrum that discontinuously drops to zero distorts the fit
+    # across that shard's real channels. Replicated edges keep the fit
+    # smooth; the padded output columns are trimmed on return.
+    flux = np.asarray(sky.flux)
+    if nchan_pad != flux.shape[1]:
+        flux = np.pad(flux, ((0, 0), (0, nchan_pad - flux.shape[1])),
+                      mode="edge")
     seqh = pad_to_multiple(np.asarray(sky.s_eq_hi), n_src)
     seql = pad_to_multiple(np.asarray(sky.s_eq_lo), n_src)
     flux = pad_to_multiple(flux, n_src, axis=0)
     if seqh.shape[0] != sky.s_eq_hi.shape[0]:
+        flux = np.ascontiguousarray(flux)
         flux[sky.s_eq_hi.shape[0]:, :] = 0.0
 
     Mh, Ml = observation.rotations(instrument.latitude)

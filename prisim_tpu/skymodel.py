@@ -98,7 +98,8 @@ class SkyModel:
                 np.asarray(p["freq-ref"])[sel],
                 np.asarray(p["power-law-index"])[sel],
                 np.asarray(p.get("flux-offset", 0.0))[sel]
-                if np.ndim(p.get("flux-offset", 0.0)) else 0.0)
+                if np.ndim(p.get("flux-offset", 0.0))
+                else float(p.get("flux-offset", 0.0)))
         if self.spec_kind == "tanh":
             p = self.spec_parms
             return tanh_eor_spectrum(
