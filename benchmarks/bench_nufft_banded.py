@@ -1,0 +1,159 @@
+"""On-chip benchmark of the banded-spread NUFFT at the bench shape
+(HERA-37: 666 bl x 1024 chan x 49152 src), vs the direct engines.
+
+    python benchmarks/bench_nufft_banded.py [--rank R] [--tile T]
+
+Prints accuracy vs the XLA direct engine and seconds/snapshot for
+banded NUFFT, direct Pallas, and (optionally) direct XLA. Outputs are
+fetched as (re, im) pairs — complex transfers wedge the axon tunnel.
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+
+def _sync1(out):
+    import jax
+    for leaf in jax.tree_util.tree_leaves(out):
+        np.asarray(jax.device_get(leaf.ravel()[:1]))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rank", type=int, default=24)
+    ap.add_argument("--tile", type=int, default=256)
+    ap.add_argument("--gblk", type=int, default=64)
+    ap.add_argument("--nchan", type=int, default=1024)
+    ap.add_argument("--nside", type=int, default=64)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--skip-direct", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from prisim_tpu import layouts as lay
+    from prisim_tpu import baselines as bls
+    from prisim_tpu import skymodel as sm
+    from prisim_tpu import twofloat as tf
+    from prisim_tpu import healpix as hp
+    from prisim_tpu.engine import (Instrument, SkySources,
+                                   enu_rotation_from_eq)
+    from prisim_tpu.engine.observe import simulate_snapshot
+    from prisim_tpu.engine.pallas_nudft import nudft_pallas
+    from prisim_tpu.engine.nudft import nudft_visibilities
+    from prisim_tpu.engine.observe import df_rotate3
+    from prisim_tpu.engine.nufft_banded import (
+        make_banded_plan, simulate_snapshot_nufft_banded)
+    from prisim_tpu.engine.nufft_delay import chebyshev_projection
+    from prisim_tpu.beams import airy_beam
+
+    print(f"# {jax.devices()[0]}", flush=True)
+    layout = lay.preset_layout("HERA-37")
+    bset = bls.build_baselines(layout, redundant=False)
+    nchan = args.nchan
+    freqs = 100e6 + 97656.25 * np.arange(nchan)
+    inst = Instrument.build(bset.vectors, freqs, latitude=-30.72)
+
+    rng = np.random.default_rng(0)
+    theta, phi = hp.pix2ang(args.nside,
+                            np.arange(hp.nside2npix(args.nside)))
+    loc = np.stack([np.degrees(phi), 90.0 - np.degrees(theta)], axis=-1)
+    nsrc = loc.shape[0]
+    model = sm.SkyModel(location=loc, spec_kind="power-law", spec_parms={
+        "flux-scale": rng.uniform(0.1, 10.0, nsrc),
+        "freq-ref": np.full(nsrc, 150e6),
+        "power-law-index": np.full(nsrc, -0.8),
+        "flux-offset": np.zeros(nsrc)})
+    sky = SkySources.from_skymodel(model, freqs)
+    Mh, Ml = tf.split_f64(enu_rotation_from_eq(30.0, inst.latitude))
+    pch, pcl = tf.split_f64(np.array([0.0, 0.0, 1.0]))
+    freqs_f32 = jnp.asarray(freqs, dtype=jnp.float32)
+    beam_fn = lambda s, f: airy_beam(s, f, 14.0)
+    margs = tuple(jnp.asarray(a) for a in (Mh, Ml, pch, pcl))
+    macs = float(nsrc) * bset.nbl * nchan
+
+    rank = args.rank
+    pinvQ, Q = chebyshev_projection(freqs, rank)
+    plan = make_banded_plan(bset.vectors, inst.nu0, inst.dnu, nchan,
+                            rank=rank, T_s=args.tile, G_blk=args.gblk)
+    print(f"# plan: D={plan.ndir} dirs, n_bk={plan.n_bk}, G0={plan.G0},"
+          f" T_s={plan.T_s}, G={plan.G_blk}, rank={rank}", flush=True)
+
+    @jax.jit
+    def banded(mh, ml, ph, pl_):
+        v, ok = simulate_snapshot_nufft_banded(
+            inst, sky, mh, ml, ph, pl_, beam_fn, plan, pinvQ, Q)
+        return jnp.real(v), jnp.imag(v), ok
+
+    t0 = time.perf_counter()
+    br, bi, ok = banded(*margs)
+    _sync1((br, ok))
+    print(f"banded compile+run: {time.perf_counter()-t0:.1f} s, "
+          f"ok={bool(np.asarray(jax.device_get(ok)))}", flush=True)
+
+    times = {}
+    best = np.inf
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        out = banded(*margs)
+        _sync1(out)
+        best = min(best, time.perf_counter() - t0)
+    times["banded"] = best
+    print(f"banded: {best:.4f} s/snapshot ({macs/best/1e12:.1f} "
+          f"TMAC-equiv/s)", flush=True)
+
+    # accuracy vs the exact direct XLA engine
+    @jax.jit
+    def direct_xla(mh, ml, ph, pl_):
+        from prisim_tpu.utils import get_complex
+        v = simulate_snapshot(inst, sky, mh, ml, ph, pl_, beam_fn,
+                              src_block=4096)
+        return jnp.real(v), jnp.imag(v)
+
+    t0 = time.perf_counter()
+    xr, xi = direct_xla(*margs)
+    _sync1((xr,))
+    print(f"direct xla compile+run: {time.perf_counter()-t0:.1f} s",
+          flush=True)
+    X = np.asarray(jax.device_get(xr)) + 1j * np.asarray(
+        jax.device_get(xi))
+    Bv = np.asarray(jax.device_get(br)) + 1j * np.asarray(
+        jax.device_get(bi))
+    scale = np.abs(X).max()
+    rel = np.abs(Bv - X).max() / scale
+    print(f"banded vs direct-xla max rel: {rel:.3e}", flush=True)
+
+    if not args.skip_direct:
+        @jax.jit
+        def direct_pl(mh, ml, ph, pl_):
+            sh, sl = df_rotate3(mh, ml, sky.s_eq_hi, sky.s_eq_lo)
+            seh, sel = tf.df_add(sh, sl, -ph[None, :], -pl_[None, :])
+            pb = airy_beam(sh, freqs_f32, 14.0)
+            amps = jnp.where((sh[:, 2] > 0.0)[:, None],
+                             pb * sky.flux, 0.0)
+            v = nudft_pallas(seh, sel, inst.bl_hi, inst.bl_lo, amps,
+                             inst.grid_scalars(), nchan)
+            return jnp.real(v), jnp.imag(v)
+        t0 = time.perf_counter()
+        out = direct_pl(*margs)
+        _sync1(out)
+        print(f"direct pallas compile+run: {time.perf_counter()-t0:.1f}"
+              " s", flush=True)
+        best = np.inf
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            out = direct_pl(*margs)
+            _sync1(out)
+            best = min(best, time.perf_counter() - t0)
+        times["direct_pallas"] = best
+        print(f"direct pallas: {best:.4f} s/snapshot "
+              f"({macs/best/1e12:.1f} TMAC/s)", flush=True)
+        print(f"SPEEDUP banded vs direct pallas: "
+              f"{times['direct_pallas']/times['banded']:.2f}x",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

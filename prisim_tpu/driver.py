@@ -17,6 +17,7 @@ Pipeline (mirroring run_prisim.py top-to-bottom):
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 
@@ -534,12 +535,37 @@ def _bandpass_weights_full(parms, nbl, freqs, n_acc):
     return bp, wts
 
 
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache (VERDICT round-2 item 2):
+    north-star engine compiles take minutes over the TPU tunnel, and
+    the round-2 e2e run paid them on every invocation. Cached
+    executables on disk bring re-runs/resumes down to seconds.
+    Override the location with PRISIM_COMPILE_CACHE (=0 disables)."""
+    loc = os.environ.get("PRISIM_COMPILE_CACHE", os.path.join(
+        os.path.expanduser("~"), ".cache", "prisim_tpu_xla"))
+    if loc in ("0", "", "off"):
+        return
+    try:
+        import jax
+        if getattr(jax.config, "jax_compilation_cache_dir", None):
+            return
+        os.makedirs(loc, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", loc)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                          -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          2.0)
+    except Exception:                                  # pragma: no cover
+        pass
+
+
 def run_simulation(parms, outdir=None, verbose=True, save=True,
                    _sky_override=None):
     """Run a full simulation from a parameter source (path/str/dict).
 
     Returns (VisibilitySet, output_dir or None)."""
     import jax
+    _enable_compilation_cache()
     if not isinstance(parms, dict) or "telescope" not in parms:
         parms = load_parms(parms)
     t0 = time.time()
@@ -960,19 +986,44 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
             if verbose:
                 print("[prisim_tpu] scanning %d accumulations in "
                       "chunks of %d" % (obs.n_acc, cs))
+            # ONE jitted executable reused for every chunk (fixed cs-
+            # accumulation shape; the last chunk is padded): the
+            # round-2 loop rebuilt the eager scan per chunk, paying a
+            # re-trace/re-stage per 10 accumulations (VERDICT item 2).
+            from .engine.observe import simulate_drift_rotations
+            import jax as _jax
+            from . import twofloat as _tf
+            Mh_a, Ml_a = obs.rotations(inst.latitude)
+            pch_a, pcl_a = _tf.split_f64(obs.pc_dircos())
+            drift_jit = _jax.jit(functools.partial(
+                simulate_drift_rotations, inst, sks,
+                beam_fn=beam_fn, src_block=src_block,
+                use_pallas=use_pallas, interpret=pallas_interpret))
+
+            def chunk_args(i0):
+                sl_ = slice(i0, i0 + cs)
+                mh, ml = Mh_a[sl_], Ml_a[sl_]
+                ph, pl_ = pch_a[sl_], pcl_a[sl_]
+                if mh.shape[0] < cs:                   # pad last chunk
+                    rep = cs - mh.shape[0]
+                    mh = np.concatenate([mh, mh[-1:].repeat(rep, 0)])
+                    ml = np.concatenate([ml, ml[-1:].repeat(rep, 0)])
+                    ph = np.concatenate([ph, ph[-1:].repeat(rep, 0)])
+                    pl_ = np.concatenate([pl_, pl_[-1:].repeat(rep, 0)])
+                return mh, ml, ph, pl_
+
+            # pipeline depth 2: dispatch chunk k+1 before fetching
+            # chunk k, so the device->host transfer of one chunk
+            # overlaps the next chunk's compute (async dispatch)
+            starts = list(range(0, obs.n_acc, cs))
             parts = []
-            for i0 in range(0, obs.n_acc, cs):
-                sl_ = slice(i0, min(i0 + cs, obs.n_acc))
-                obs_i = Observation(
-                    lst_deg=obs.lst_deg[sl_], jd=obs.jd[sl_],
-                    t_acc=obs.t_acc[sl_],
-                    pointing_altaz=obs.pointing_altaz[sl_],
-                    mode=obs.mode)
-                parts.append(get_complex(simulate_drift(
-                    inst, sks, obs_i, beam_fn, src_block=src_block,
-                    use_pallas=use_pallas,
-                    interpret=pallas_interpret)))
-            out = np.concatenate(parts, axis=0)
+            pending = drift_jit(*chunk_args(starts[0]))
+            for i0 in starts[1:]:
+                nxt = drift_jit(*chunk_args(i0))
+                parts.append(get_complex(pending))
+                pending = nxt
+            parts.append(get_complex(pending))
+            out = np.concatenate(parts, axis=0)[:obs.n_acc]
         else:
             out = simulate_drift(inst, sks, obs, beam_fn,
                                  src_block=src_block,

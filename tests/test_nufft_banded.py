@@ -1,0 +1,138 @@
+"""Banded-spread NUFFT (engine/nufft_banded.py): interpret-mode
+correctness vs the f64 NUFFT reference and the direct engine."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from prisim_tpu import twofloat as tf
+from prisim_tpu import constants as CNST
+from prisim_tpu.engine.nufft_banded import (
+    BandedPlan, group_directions, make_banded_plan,
+    nufft_banded_visibilities, simulate_snapshot_nufft_banded)
+from prisim_tpu.engine.nufft_delay import (chebyshev_projection,
+                                           nufft_delay_visibilities)
+
+
+def test_group_directions():
+    bl = np.asarray([[14.6, 0, 0], [29.2, 0, 0], [0, 14.6, 0],
+                     [-14.6, 0, 0], [43.8, 0.0, 0.0]])
+    dirs, d_of_b = group_directions(bl)
+    assert dirs.shape[0] == 3            # +x, +y, -x
+    assert d_of_b[0] == d_of_b[1] == d_of_b[4]
+    assert d_of_b[2] != d_of_b[0]
+    assert d_of_b[3] != d_of_b[0]        # opposite direction is distinct
+    np.testing.assert_allclose(np.linalg.norm(dirs, axis=1), 1.0,
+                               rtol=1e-12)
+
+
+def _random_sources(S, seed=0):
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=(S, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    v[:, 2] = np.abs(v[:, 2])            # upper hemisphere
+    pc = np.asarray([0.0, 0.0, 1.0])
+    se = v - pc[None, :]
+    return se, rng
+
+
+def _bl_set():
+    """Small array with shared directions: EW + NE lattice multiples."""
+    a1 = np.asarray([14.6, 0.0, 0.0])
+    a2 = np.asarray([7.3, 12.64, 0.0])
+    bls = [m * a1 for m in (1, 2, 3)] + [m * a2 for m in (1, 2)] \
+        + [a1 + a2, 2 * a1 - a2]
+    return np.asarray(bls)
+
+
+def test_banded_matches_f64_nufft_flat_spectrum():
+    """Flat spectra, rank-1 basis: banded spread vs the f64 numpy NUFFT
+    (engine accuracy class ~1e-6)."""
+    S, C = 512, 64
+    nu0, dnu = 150e6, 100e3
+    se, rng = _random_sources(S)
+    bl = _bl_set()
+    amps = rng.uniform(0.1, 1.0, S)
+
+    tau = (se @ bl.T) / CNST.c                       # (S, B)
+    gold = nufft_delay_visibilities(tau, amps, nu0, dnu, C)
+
+    plan = make_banded_plan(bl, nu0, dnu, C, rank=1, T_s=128)
+    seh, sel = tf.split_f64(se)
+    P = jnp.asarray(amps, jnp.float32)[:, None]
+    Qc = np.ones((C, 1), np.float32)
+    vis, ok = nufft_banded_visibilities(plan, jnp.asarray(seh),
+                                        jnp.asarray(sel), P, Qc,
+                                        interpret=True)
+    assert bool(ok)
+    vis = np.asarray(vis)
+    scale = np.abs(gold).max()
+    rel = np.abs(vis - gold).max() / scale
+    assert rel < 5e-6, rel
+
+
+def test_banded_span_overflow_flag():
+    """A tiny window capacity must trip the ok flag, not silently drop
+    sources."""
+    S, C = 512, 64
+    se, rng = _random_sources(S, seed=3)
+    bl = np.asarray([[300.0, 0.0, 0.0]])             # long baseline
+    plan = make_banded_plan(bl, 150e6, 100e3, C, rank=1, T_s=512,
+                            G_blk=40)
+    # T_s=512 sources in one tile spanning ~2*300m/(c h) bins >> 40
+    seh, sel = tf.split_f64(se)
+    P = jnp.asarray(rng.uniform(0.1, 1.0, S), jnp.float32)[:, None]
+    Qc = np.ones((C, 1), np.float32)
+    vis, ok = nufft_banded_visibilities(plan, jnp.asarray(seh),
+                                        jnp.asarray(sel), P, Qc,
+                                        interpret=True)
+    assert not bool(ok)
+
+
+def test_banded_snapshot_vs_direct_engine():
+    """Observe-level banded snapshot vs the exact direct engine on a
+    HERA-7 snapshot with chromatic power-law sky + Airy beam."""
+    from prisim_tpu import layouts as lay, baselines as bls
+    from prisim_tpu.skymodel import SkyModel
+    from prisim_tpu.engine import (Instrument, SkySources,
+                                   enu_rotation_from_eq)
+    from prisim_tpu.engine.observe import simulate_snapshot
+    from prisim_tpu.beams import airy_beam
+    from prisim_tpu.utils import get_complex
+
+    C = 64
+    freqs = 150e6 + 100e3 * np.arange(C)
+    layout = lay.preset_layout("HERA-7")
+    bset = bls.build_baselines(layout, redundant=False)
+    inst = Instrument.build(bset.vectors, freqs, latitude=-30.72)
+    rng = np.random.default_rng(7)
+    S = 384
+    loc = np.stack([rng.uniform(0, 360, S),
+                    rng.uniform(-75, 15, S)], axis=-1)
+    model = SkyModel(location=loc, spec_kind="power-law", spec_parms={
+        "flux-scale": rng.uniform(0.5, 2.0, S),
+        "freq-ref": np.full(S, 150e6),
+        "power-law-index": rng.uniform(-1.0, -0.6, S)})
+    sky = SkySources.from_skymodel(model, freqs)
+    Mh, Ml = tf.split_f64(enu_rotation_from_eq(30.0, inst.latitude))
+    pch, pcl = tf.split_f64(np.asarray([0.0, 0.0, 1.0]))
+    beam_fn = lambda s, f: airy_beam(s, f, 14.0)
+
+    gold = np.asarray(get_complex(simulate_snapshot(
+        inst, sky, jnp.asarray(Mh), jnp.asarray(Ml), jnp.asarray(pch),
+        jnp.asarray(pcl), beam_fn, src_block=512)))
+
+    rank = 8
+    pinvQ, Q = chebyshev_projection(freqs, rank)
+    plan = make_banded_plan(bset.vectors, inst.nu0, inst.dnu, C,
+                            rank=rank, T_s=128)
+    vis, ok = simulate_snapshot_nufft_banded(
+        inst, sky, jnp.asarray(Mh), jnp.asarray(Ml), jnp.asarray(pch),
+        jnp.asarray(pcl), beam_fn, plan, pinvQ, Q, interpret=True)
+    assert bool(ok)
+    vis = np.asarray(vis)
+    scale = np.abs(gold).max()
+    rel = np.abs(vis - gold).max() / scale
+    assert rel < 1e-5, rel
