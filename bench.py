@@ -71,6 +71,16 @@ def _tpu_macs_per_sec(nbl=666, nchan=1024, nsrc=49152, repeats=3):
     gs = inst.grid_scalars()
     freqs_f32 = jnp.asarray(freqs, dtype=jnp.float32)
 
+    # tuned kernel configuration, pinned (VERDICT r2 item 10): the
+    # auto-chosen W-block regressed ~5% vs the tile-sweep optimum at
+    # the bench size ('sl' layout, (64, 256) tiles, W-block 16 —
+    # BASELINE.md round-2 sweep). Overridable for sweeps via env.
+    tuned = dict(
+        amps_layout=os.environ.get("PRISIM_BENCH_LAYOUT", "sl"),
+        src_tile=int(os.environ.get("PRISIM_BENCH_SRC_TILE", 64)),
+        bl_tile=int(os.environ.get("PRISIM_BENCH_BL_TILE", 256)),
+        w_block=int(os.environ.get("PRISIM_BENCH_W_BLOCK", 16)))
+
     def make_snapshot(kernel):
         # return (re, im) f32 pair: complex64 device->host transfers are
         # UNIMPLEMENTED on the axon TPU tunnel and wedge the backend
@@ -82,7 +92,7 @@ def _tpu_macs_per_sec(nbl=666, nchan=1024, nsrc=49152, repeats=3):
             amps = jnp.where((sh[:, 2] > 0.0)[:, None], pb * sky.flux, 0.0)
             if kernel == "pallas":
                 v = nudft_pallas(seh, sel, inst.bl_hi, inst.bl_lo,
-                                 amps, gs, nchan)
+                                 amps, gs, nchan, **tuned)
             else:
                 v = nudft_visibilities(seh, sel, inst.bl_hi, inst.bl_lo,
                                        amps, gs, nchan, src_block=2048)
@@ -140,6 +150,7 @@ def _tpu_macs_per_sec(nbl=666, nchan=1024, nsrc=49152, repeats=3):
     macs = float(nsrc) * nbl * nchan
     return macs / dt, dt, dict(nbl=nbl, nchan=nchan, nsrc=nsrc,
                                kernel=best, platform=platform,
+                               kernel_config=tuned,
                                per_kernel_seconds=results)
 
 

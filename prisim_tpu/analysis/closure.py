@@ -15,8 +15,9 @@ from __future__ import annotations
 import numpy as np
 
 
-__all__ = ["unique_triads", "all_triads", "triad_baseline_indices",
-           "closure_phases", "closure_phases_vs", "delay_filter"]
+__all__ = ["unique_triads", "unique_triads_fast", "all_triads",
+           "triad_baseline_indices", "closure_phases",
+           "closure_phases_vs", "delay_filter"]
 
 
 def all_triads(labels):
@@ -53,6 +54,72 @@ def unique_triads(labels, positions, decimals=2):
             seen.add(key)
             out.append(tri)
     return out
+
+
+def unique_triads_fast(labels, positions, decimals=2, max_classes=None):
+    """Vectorized unique-triad enumeration for LARGE arrays.
+
+    One witness triad per GEOMETRIC congruence class of baseline-vector
+    triples (a triad and its orientation reversal — conjugate
+    bispectrum — count as ONE class). unique_triads follows the
+    reference literally (O(N^3) Python loop over label-ordered triads,
+    frozenset of oriented vectors, /root/reference/prisim/
+    interferometry.py:6989-7086), which takes hours at 512 antennas;
+    use that for reference-exact lists, this for scale.
+
+    Implementation detail: all class algebra runs on integer pair-class
+    IDs (np.unique of rounded pair vectors) — deriving third-side /
+    negated vectors arithmetically and re-rounding is unstable at
+    round-half boundaries and splits classes.
+
+    max_classes: keep only the smallest-perimeter classes (triad class
+    counts explode combinatorially at SKA scale)."""
+    labels = np.asarray(labels, dtype=str)
+    pos = np.asarray(positions, dtype=np.float64)
+    n = labels.size
+    ii, jj = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    mask = ii != jj
+    ii, jj = ii[mask], jj[mask]
+    vec = np.round(pos[jj] - pos[ii], decimals)
+    vec[np.abs(vec) < 1e-10] = 0.0
+    uvec, inv = np.unique(vec, axis=0, return_inverse=True)
+    Du = uvec.shape[0]
+    # pair-class table, adjacency, and the negation map — all in IDs
+    PC = np.full((n, n), -1, dtype=np.int64)
+    PC[ii, jj] = inv
+    adj = np.full((Du, n), -1, dtype=np.int64)
+    adj[inv, ii] = jj
+    neg = np.full(Du, -1, dtype=np.int64)
+    neg[inv] = PC[jj, ii]
+    plen = np.linalg.norm(uvec, axis=1)
+
+    found = {}
+    for g1 in range(Du):
+        b = adj[g1]                                  # (n,) a2 per a1
+        a1s = np.nonzero(b >= 0)[0]
+        if a1s.size == 0:
+            continue
+        a2s = b[a1s]
+        c = adj[:, a2s]                              # (Du, nv) a3 ids
+        ok = c >= 0
+        ok[neg[g1], :] = False                       # u2 = -u1: a3 == a1
+        has = ok.any(axis=1)
+        w = np.argmax(ok, axis=1)
+        for g2 in np.nonzero(has)[0]:
+            a1 = int(a1s[w[g2]])
+            a2 = int(a2s[w[g2]])
+            a3 = int(c[g2, w[g2]])
+            g3 = int(PC[a3, a1])                     # b31 = a1 - a3
+            key = min(tuple(sorted((g1, int(g2), g3))),
+                      tuple(sorted((int(neg[g1]), int(neg[g2]),
+                                    int(neg[g3])))))
+            if key not in found:
+                found[key] = (labels[a1], labels[a2], labels[a3])
+    items = list(found.items())
+    if max_classes is not None:
+        items.sort(key=lambda kv: float(plen[list(kv[0])].sum()))
+        items = items[:max_classes]
+    return [tri for _, tri in items]
 
 
 def triad_baseline_indices(vs_labels, ant_triplets, baselines=None,

@@ -165,12 +165,15 @@ def make_banded_plan(bl_vectors, nu0, dnu, nchan, rank, beta=2.0, K=13,
 # Pallas kernel
 # --------------------------------------------------------------------------
 
-def _banded_kernel(dofb_ref, bk_ref, loc_ref, goff_ref,
+def _banded_kernel(dofb_ref, goff_ref,
                    uh_ref, ul_ref, ps_ref, blh_ref, bll_ref, cst_ref,
-                   out_ref, *, T_s, G_win, K, r, tap_np):
+                   out_ref, *, T_s, G_win, G_blk, K, r, tap_np):
     """One (baseline, sorted-source-tile) grid step — see module doc.
 
-    Scalar-prefetch: dofb (B,), bk/loc/goff (B, n_tiles) int32. VMEM:
+    Scalar-prefetch: dofb (B,), goff (B, n_tiles) int32 — bk/loc derive
+    from goff arithmetically both here and in the index maps (three
+    separate (B, n_tiles) prefetch tables blew the 1 MB SMEM budget at
+    bench scale: 3 x 672 KB scoped). VMEM:
     uh/ul (1, T_s) sorted u two-float; ps (1, r, T_s) sorted spectral
     coefficients; blh/bll (1, T_s) |b| broadcast (two-float operands
     stay opaque VMEM tiles — SMEM scalars let the compiler collapse
@@ -187,8 +190,9 @@ def _banded_kernel(dofb_ref, bk_ref, loc_ref, goff_ref,
     i = pl.program_id(0)
     j = pl.program_id(1)
 
-    prev_bk = bk_ref[i, jnp.maximum(j - 1, 0)]
-    is_new = jnp.logical_or(j == 0, bk_ref[i, j] != prev_bk)
+    bk_cur = goff_ref[i, j] // G_blk
+    prev_bk = goff_ref[i, jnp.maximum(j - 1, 0)] // G_blk
+    is_new = jnp.logical_or(j == 0, bk_cur != prev_bk)
 
     @pl.when(is_new)
     def _():
@@ -252,12 +256,12 @@ def _banded_kernel(dofb_ref, bk_ref, loc_ref, goff_ref,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)          # (G_win, 2r)
 
-    loc = loc_ref[i, j]
+    loc = goff_ref[i, j] - bk_cur * G_blk
     cur = out_ref[0, 0, pl.dslice(loc, G_win), :]
     out_ref[0, 0, pl.dslice(loc, G_win), :] = cur + contrib
 
 
-def _banded_spread(plan, u_hs, u_ls, P_s, d_of_b, bk, loc, goff,
+def _banded_spread(plan, u_hs, u_ls, P_s, d_of_b, goff,
                    interpret=False):
     """Run the Pallas spread. Returns (B, n_bk, 2*G_blk, 2r) f32 —
     UNVISITED blocks contain garbage; callers mask with `bk`."""
@@ -294,29 +298,26 @@ def _banded_spread(plan, u_hs, u_ls, P_s, d_of_b, bk, loc, goff,
                                np.float32(0.0))])
 
     kernel = functools.partial(
-        _banded_kernel, T_s=T_s, G_win=G_win, K=plan.K, r=r,
-        tap_np=np.asarray(plan.tap_w, np.float64))
+        _banded_kernel, T_s=T_s, G_win=G_win, G_blk=G_blk, K=plan.K,
+        r=r, tap_np=np.asarray(plan.tap_w, np.float64))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=2,
         grid=(B, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, T_s), lambda i, j, d, bk_, lc, go:
+            pl.BlockSpec((1, T_s), lambda i, j, d, go:
                          (0, d[i] * n_tiles + j)),
-            pl.BlockSpec((1, T_s), lambda i, j, d, bk_, lc, go:
+            pl.BlockSpec((1, T_s), lambda i, j, d, go:
                          (0, d[i] * n_tiles + j)),
-            pl.BlockSpec((r, T_s), lambda i, j, d, bk_, lc, go:
+            pl.BlockSpec((r, T_s), lambda i, j, d, go:
                          (0, d[i] * n_tiles + j)),
-            pl.BlockSpec((1, T_s), lambda i, j, d, bk_, lc, go:
-                         (0, i)),
-            pl.BlockSpec((1, T_s), lambda i, j, d, bk_, lc, go:
-                         (0, i)),
-            pl.BlockSpec((8, T_s), lambda i, j, d, bk_, lc, go:
-                         (0, 0)),
+            pl.BlockSpec((1, T_s), lambda i, j, d, go: (0, i)),
+            pl.BlockSpec((1, T_s), lambda i, j, d, go: (0, i)),
+            pl.BlockSpec((8, T_s), lambda i, j, d, go: (0, 0)),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, 2 * G_blk, 2 * r),
-            lambda i, j, d, bk_, lc, go: (i, bk_[i, j], 0, 0)),
+            lambda i, j, d, go: (i, go[i, j] // G_blk, 0, 0)),
     )
     out_shape = jax.ShapeDtypeStruct((B, plan.n_bk, 2 * G_blk, 2 * r),
                                      jnp.float32)
@@ -330,7 +331,7 @@ def _banded_spread(plan, u_hs, u_ls, P_s, d_of_b, bk, loc, goff,
                                    + 2 * G_win * 2 * r)),
             bytes_accessed=int(B * S_pad * 4 * (r + 2)),
             transcendentals=int(2 * B * S_pad)),
-    )(d_of_b, bk, loc, goff, u_hs, u_ls, P_s, blh_b, bll_b, cst)
+    )(d_of_b, goff, u_hs, u_ls, P_s, blh_b, bll_b, cst)
 
 
 # --------------------------------------------------------------------------
@@ -351,7 +352,7 @@ def _two_float_u(seh, sel, dirs_hi, dirs_lo):
 def _prep(plan, seh, sel, P):
     """Sorted streams + prefetch tables.
 
-    Returns (u_hs, u_ls, P_s (D, r, S_pad), bk, loc, goff (B, n_tiles)
+    Returns (u_hs, u_ls, P_s (D, r, S_pad), bk, goff (B, n_tiles)
     int32, ok). `ok` False => some tile's bin span exceeded the static
     window: results incomplete, caller must fall back."""
     import jax
@@ -404,8 +405,7 @@ def _prep(plan, seh, sel, P):
                      jnp.asarray(hi_bin, jnp.int32) - goff, 0)
     ok = jnp.max(span) < plan.G_win
     bk = goff // plan.G_blk
-    loc = goff - bk * plan.G_blk
-    return u_hs, u_ls, P_s, bk, loc, goff, ok
+    return u_hs, u_ls, P_s, bk, goff, ok
 
 
 def _post(plan, out, Qc):
@@ -448,9 +448,9 @@ def nufft_banded_visibilities(plan, seh, sel, P, Qc, interpret=False):
     Returns ((B, C) complex64, ok bool scalar). ok False => incomplete
     (pathological delay clustering overflowed a window): fall back."""
     import jax.numpy as jnp
-    u_hs, u_ls, P_s, bk, loc, goff, ok = _prep(plan, seh, sel, P)
+    u_hs, u_ls, P_s, bk, goff, ok = _prep(plan, seh, sel, P)
     out = _banded_spread(plan, u_hs, u_ls, P_s,
-                         jnp.asarray(plan.d_of_b), bk, loc, goff,
+                         jnp.asarray(plan.d_of_b), goff,
                          interpret=interpret)
     # mask blocks never visited by any tile (their HBM is undefined)
     visited = jnp.any(bk[:, :, None]
