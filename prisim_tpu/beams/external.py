@@ -71,6 +71,57 @@ class ExternalBeam:
                      else np.asarray([150e6]))
         return cls(maps, freqs, **kw)
 
+    def channel_table(self, channels, chromatic=True, select_freq=None):
+        """Host-precomputed per-channel log10 beam table (npix, nchan)
+        float32 — the frequency interpolation runs ONCE here instead of
+        per snapshot. Feed to `device_evaluate`."""
+        channels = np.asarray(channels, dtype=np.float64)
+        with np.errstate(divide="ignore"):
+            logmaps = np.log10(np.clip(self.maps, 1e-30, None))
+        if not chromatic:
+            idx = int(np.argmin(np.abs(
+                self.freqs - (select_freq or np.median(channels)))))
+            table = np.repeat(logmaps[:, idx:idx + 1], channels.size,
+                              axis=1)
+        elif self.freqs.size == 1:
+            table = np.repeat(logmaps, channels.size, axis=1)
+        else:
+            from scipy.interpolate import make_interp_spline
+            k = {"nearest": 0, "linear": 1, "quadratic": 2,
+                 "cubic": 3}.get(self.spec_interp, 3)
+            k = min(k, self.freqs.size - 1)
+            f = make_interp_spline(self.freqs, logmaps, k=k, axis=1)
+            table = f(channels)
+        return table.astype(np.float32)
+
+    def interp_weights(self, altaz_deg):
+        """Host per-snapshot angular weights: (pix (4, S) int32,
+        wgt (4, S) float32) — O(S) work, the only per-snapshot host
+        cost of the device evaluation path."""
+        theta = np.radians(90.0 - np.asarray(altaz_deg)[:, 0])
+        phi = np.radians(np.asarray(altaz_deg)[:, 1])
+        pix, wgt = hp.get_interp_weights(self.nside, theta, phi)
+        if self.nest:
+            pix = hp.ring2nest(self.nside, pix)
+        return pix.astype(np.int32), wgt.astype(np.float32)
+
+    @staticmethod
+    def device_evaluate(logtable, pix, wgt):
+        """Jit-safe beam power (S, C): 4-neighbor row gather from the
+        device-resident (npix, C) log table, weighted sum in log space,
+        per-channel peak normalization, 10^. Row gathers move C
+        contiguous floats per index — DMA-shaped, unlike the
+        per-element gathers that crawl on TPU (round-2 finding).
+        Replaces the per-snapshot host scipy loop (driver.py round-2,
+        VERDICT item 3)."""
+        import jax.numpy as jnp
+        rows = logtable[pix.reshape(-1)]              # (4S, C)
+        rows = rows.reshape(pix.shape + (logtable.shape[1],))
+        logbeam = jnp.sum(wgt[..., None] * rows, axis=0)   # (S, C)
+        peak = jnp.max(logbeam, axis=0)
+        peak = jnp.where(peak <= 0.0, 0.0, peak)
+        return 10.0 ** (logbeam - peak[None, :])
+
     def evaluate(self, altaz_deg, channels, chromatic=True,
                  select_freq=None):
         """Beam power at source (alt, az) positions for each channel.

@@ -773,11 +773,29 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
                if not str(bm["file"]).endswith((".fits", ".uvbeam"))
                else ExternalBeam.from_fits(bm["file"]))
         vis_list = []
+        import jax
         import jax.numpy as jnp
         from . import twofloat as tf2
         from .engine.observe import df_rotate3, simulate_snapshot
         Mh_all, Ml_all = obs.rotations(lat)
         pch, pcl = tf2.split_f64(obs.pc_dircos())
+        # Device-side beam evaluation (round-2 verdict item 3): the
+        # (npix, nchan) log-beam table is frequency-interpolated ONCE
+        # and uploaded once; per snapshot the host computes only the
+        # O(S) angular interp weights, and the jit step does the
+        # 4-neighbor row gather + 10^ + NUDFT in one compile.
+        logtable = jnp.asarray(ext.channel_table(
+            freqs, chromatic=bool(bm.get("chromatic", True)),
+            select_freq=bm.get("select_freq")))
+        src_block_ext = int(parms["processing"].get("src_block") or 512)
+
+        @jax.jit
+        def ext_snapshot(mh, ml, ph, pl_, pix, wgt):
+            def beam(s, f):
+                return ExternalBeam.device_evaluate(logtable, pix, wgt)
+            return simulate_snapshot(inst, sks, mh, ml, ph, pl_, beam,
+                                     src_block=src_block_ext)
+
         for t in range(obs.n_acc):
             sh, _ = df_rotate3(jnp.asarray(Mh_all[t]),
                                jnp.asarray(Ml_all[t]),
@@ -785,16 +803,11 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
             sh_np = np.asarray(sh, dtype=np.float64)
             altaz = geom.dircos2altaz(
                 np.clip(sh_np, -1.0, 1.0), xp=np)
-            pb = ext.evaluate(altaz, freqs,
-                              chromatic=bool(bm.get("chromatic", True)),
-                              select_freq=bm.get("select_freq"))
-            pb_dev = jnp.asarray(pb, dtype=jnp.float32)
-            vis_list.append(get_complex(simulate_snapshot(
-                inst, sks, jnp.asarray(Mh_all[t]), jnp.asarray(Ml_all[t]),
+            pix, wgt = ext.interp_weights(altaz)
+            vis_list.append(get_complex(ext_snapshot(
+                jnp.asarray(Mh_all[t]), jnp.asarray(Ml_all[t]),
                 jnp.asarray(pch[t]), jnp.asarray(pcl[t]),
-                lambda s, f, pb_dev=pb_dev: pb_dev,
-                src_block=int(parms["processing"].get("src_block")
-                              or 512))))
+                jnp.asarray(pix), jnp.asarray(wgt))))
         skyvis = np.ascontiguousarray(
             np.transpose(np.stack(vis_list), (1, 2, 0)))
         gradients = None

@@ -222,3 +222,28 @@ def test_nufft_sharded_nondivisible_channels():
         jnp.asarray(pch[0]), jnp.asarray(pcl[0]), beam_fn, pinvQ, Q))
     scale = np.abs(gold).max()
     assert np.abs(vis[0] - gold).max() / scale < 2e-4
+
+
+def test_external_beam_device_evaluate_matches_host():
+    # the driver's jit beam path (channel_table + interp_weights +
+    # device_evaluate) must reproduce the host evaluate() reference
+    import jax.numpy as jnp
+    from prisim_tpu import healpix as hp
+    from prisim_tpu.beams.external import ExternalBeam
+
+    nside = 16
+    theta, _ = hp.pix2ang(nside, np.arange(hp.nside2npix(nside)))
+    bfreqs = np.array([150e6, 155e6, 160e6])
+    maps = np.stack([np.exp(-(theta / (0.4 * 150e6 / f)) ** 2)
+                     for f in bfreqs], axis=1)
+    ext = ExternalBeam(maps, bfreqs)
+    rng = np.random.default_rng(0)
+    altaz = np.stack([rng.uniform(5, 90, 200),
+                      rng.uniform(0, 360, 200)], -1)
+    chans = 150e6 + 195312.5 * np.arange(8)
+    host = ext.evaluate(altaz, chans, chromatic=True)
+    table = jnp.asarray(ext.channel_table(chans, chromatic=True))
+    pix, wgt = ext.interp_weights(altaz)
+    dev = np.asarray(ExternalBeam.device_evaluate(
+        table, jnp.asarray(pix), jnp.asarray(wgt)))
+    assert np.abs(dev - host).max() / np.abs(host).max() < 2e-5
