@@ -898,6 +898,41 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
                 rank=min(rank, freqs.size))
             snaps = [get_complex(vis_cube[t])
                      for t in range(obs.n_acc)]
+        elif spread == "banded":
+            # MXU banded spread (engine/nufft_banded.py): sorted-source
+            # tiles through a dense window matrix — the TPU-fast path.
+            # Each snapshot also returns an `ok` span-check flag; any
+            # failure (pathological delay clustering overflowed the
+            # static window) demotes the whole run to the sorted spread.
+            from .engine.nufft_banded import (
+                make_banded_plan, simulate_snapshot_nufft_banded)
+            plan = make_banded_plan(
+                np.asarray(bls.vectors), inst.nu0, inst.dnu,
+                freqs.size, rank=min(rank, freqs.size))
+            interp = jax.devices()[0].platform != "tpu"
+            snap_b = jax.jit(
+                lambda mh, ml, ph, pl: simulate_snapshot_nufft_banded(
+                    inst, sks, mh, ml, ph, pl, beam_fn, plan, pinvQ, Q,
+                    interpret=interp))
+            snaps = []
+            all_ok = True
+            for t in range(obs.n_acc):
+                v, okf = snap_b(
+                    jnp.asarray(Mh[t]), jnp.asarray(Ml[t]),
+                    jnp.asarray(pch[t]), jnp.asarray(pcl[t]))
+                if not bool(np.asarray(okf)):
+                    all_ok = False
+                    break
+                snaps.append(get_complex(v))
+            if not all_ok:
+                print("[prisim_tpu] banded NUFFT span check failed; "
+                      "re-running with the sorted spread")
+                p2 = dict(parms)
+                # on TPU the honesty gate then demotes sorted -> direct
+                p2["processing"] = dict(parms["processing"],
+                                        nufft_spread="sorted")
+                return _run_simulation_inner(p2, outdir, verbose, save,
+                                             _sky_override, t0)
         else:
             snap = jax.jit(
                 lambda mh, ml, ph, pl: simulate_snapshot_nufft_jit(

@@ -136,3 +136,37 @@ def test_banded_snapshot_vs_direct_engine():
     scale = np.abs(gold).max()
     rel = np.abs(vis - gold).max() / scale
     assert rel < 1e-5, rel
+
+
+def test_driver_banded_engine_end_to_end():
+    # processing.nufft_spread: banded routes through the Pallas spread
+    # (interpret mode off-TPU); the built-in cross-check gate validates
+    # snapshot 0 against the direct engine at 1e-4
+    from prisim_tpu.config import load_parms
+    from prisim_tpu.driver import run_simulation
+
+    p = load_parms({
+        "bandpass": {"nchan": 16, "freq": 150e6,
+                     "freq_resolution": 195312.5},
+        "array": {"layout": "HERA-7"},
+        "obsparm": {"n_acc": 2, "t_acc": 60.0},
+        "skyparm": {"model": "random", "nsrc": 64, "seed": 5},
+        "pp": {"key": "none"},
+        "processing": {"engine": "nufft", "nufft_spread": "banded",
+                       "nufft_rank": 8}})
+    vs, _ = run_simulation(p, verbose=True, save=False)
+    vis = np.asarray(vs.skyvis)
+    assert np.isfinite(vis).all() and np.abs(vis).max() > 0
+
+    p2 = load_parms({
+        "bandpass": {"nchan": 16, "freq": 150e6,
+                     "freq_resolution": 195312.5},
+        "array": {"layout": "HERA-7"},
+        "obsparm": {"n_acc": 2, "t_acc": 60.0},
+        "skyparm": {"model": "random", "nsrc": 64, "seed": 5},
+        "pp": {"key": "none"},
+        "processing": {"engine": "direct"}})
+    vs2, _ = run_simulation(p2, verbose=False, save=False)
+    gold = np.asarray(vs2.skyvis)
+    rel = np.abs(vis - gold).max() / np.abs(gold).max()
+    assert rel < 1e-4, rel
