@@ -200,9 +200,9 @@ def simulate_snapshot(instrument, sky, Mh, Ml, pch, pcl, beam_fn,
 
     Mh/Ml: (3,3) two-float ENU rotation; pch/pcl: (3,) two-float phase
     center dircos. All jit-safe; beam_fn(dircos, freqs)->(S, C).
-    use_pallas: route the point-source NUDFT through the Pallas TPU
-    kernel (engine.pallas_nudft); extended sources/gradients always use
-    the XLA path.
+    use_pallas: route the NUDFT through the Pallas TPU kernel
+    (engine.pallas_nudft) — point sources, gradients, and extended
+    sources are all in-kernel since round 3.
     """
     sh, sl = df_rotate3(Mh, Ml, sky.s_eq_hi, sky.s_eq_lo)
     seh, sel = tf.df_add(sh, sl, -pch[None, :], -pcl[None, :])
@@ -214,12 +214,15 @@ def simulate_snapshot(instrument, sky, Mh, Ml, pch, pcl, beam_fn,
                   inv_wl=freqs_f32 / CNST.c)
     elif gradient:
         kw = dict(s_sky=sh)
-    if use_pallas and not kw:
+    if use_pallas:
         from .pallas_nudft import nudft_pallas
         return nudft_pallas(seh, sel, instrument.bl_hi,
                             instrument.bl_lo, amps,
                             instrument.grid_scalars(), instrument.nchan,
-                            interpret=interpret)
+                            interpret=interpret,
+                            s_sky=kw.get("s_sky"),
+                            src_shape_sigma=kw.get("src_shape_sigma"),
+                            gradient=gradient)
     return nudft_visibilities(seh, sel, instrument.bl_hi, instrument.bl_lo,
                               amps, instrument.grid_scalars(),
                               instrument.nchan, src_block=src_block,

@@ -14,9 +14,17 @@ that module's docstring and /root/reference/prisim/interferometry.py:
   V += sum_s A*(U.W) accumulation — stays in VMEM; the VPU runs the MACs
   with no HBM round trips.
 
-Scope: point sources, no gradients (the XLA path in nudft.py covers
-extended sources / dV/db; callers fall back automatically via
-`nudft_auto`)."""
+Round 3: gradients and extended sources run IN-KERNEL (VERDICT r2 #5,
+cf. /root/reference/prisim/interferometry.py:6257-6343). Both share one
+extra (ST, 8) VMEM input [s_sky xyz, sigma_uv, pad]:
+
+* gradient — 3 extra accumulator plane pairs G[k] = sum_s s_k A E share
+  the U.W phasors with the main sum (4 kernel calls would recompute the
+  transcendentals); plain f32 accumulation like the XLA path.
+* extended sources — the per-(s,b,c) gaussian visibility weight
+  w = exp(-0.5 (u_proj/sigma)^2) is evaluated on the VPU per r-block
+  from alpha_sb = proj^2/(2 sigma^2) (hoisted per grid step) and the
+  f32 channel scale (nu_c/c)^2 (weights are amplitudes: f32 suffices)."""
 
 from __future__ import annotations
 
@@ -43,9 +51,20 @@ def pallas_available():
         return False
 
 
-def _kernel(seh_ref, sel_ref, blh_ref, bll_ref, amps_ref, scal_ref,
-            vr_ref, vi_ref, wc_ref, ws_ref, cr_ref, ci_ref,
-            *, Q, L, WB, ST, BT, k_mode, layout):
+def _kernel(*refs, Q, L, WB, ST, BT, k_mode, layout, grad, ext):
+    (seh_ref, sel_ref, blh_ref, bll_ref, amps_ref, scal_ref) = refs[:6]
+    idx = 6
+    ssk_ref = None
+    if grad or ext:
+        ssk_ref = refs[idx]
+        idx += 1
+    vr_ref, vi_ref = refs[idx], refs[idx + 1]
+    idx += 2
+    gr_ref = gi_ref = None
+    if grad:
+        gr_ref, gi_ref = refs[idx], refs[idx + 1]
+        idx += 2
+    wc_ref, ws_ref, cr_ref, ci_ref = refs[idx:idx + 4]
     # NOTE on scal_ref: the frequency-grid scalars are passed as
     # pre-broadcast (7, ST, BT) VMEM tiles, NOT SMEM scalars (and not
     # (1, 1) VMEM values either). SMEM scalar reads reach the fused
@@ -63,6 +82,9 @@ def _kernel(seh_ref, sel_ref, blh_ref, bll_ref, amps_ref, scal_ref,
         vi_ref[:] = jnp.zeros_like(vi_ref)
         cr_ref[:] = jnp.zeros_like(cr_ref)
         ci_ref[:] = jnp.zeros_like(ci_ref)
+        if grad:
+            gr_ref[:] = jnp.zeros_like(gr_ref)
+            gi_ref[:] = jnp.zeros_like(gi_ref)
 
     g0h, g0l = scal_ref[0], scal_ref[1]
     gdh, gdl = scal_ref[2], scal_ref[3]
@@ -101,6 +123,22 @@ def _kernel(seh_ref, sel_ref, blh_ref, bll_ref, amps_ref, scal_ref,
         for ax in (1, 2):
             qh, ql = axis_prod(ax)
             kh, kl = tf.df_add(kh, kl, qh, ql)
+
+    alpha = None
+    if ext:
+        # extended-source weight precompute (per grid step, f32):
+        # u_proj = sqrt(|b|^2 - (s_sky.b)^2)/lambda_c;
+        # alpha = proj^2 / (2 sigma^2) so w_c = exp(-alpha (nu_c/c)^2).
+        # sigma = inf (point sources in a mixed sky) -> alpha = 0, w = 1.
+        blf = [blh_ref[:, ax].reshape(1, BT) + bll_ref[:, ax].reshape(1, BT)
+               for ax in range(3)]
+        bl2 = blf[0] * blf[0] + blf[1] * blf[1] + blf[2] * blf[2]
+        ksky = (ssk_ref[:, 0].reshape(ST, 1) * blf[0]
+                + ssk_ref[:, 1].reshape(ST, 1) * blf[1]
+                + ssk_ref[:, 2].reshape(ST, 1) * blf[2])       # (ST, BT)
+        proj2 = jnp.maximum(bl2 - ksky * ksky, 0.0)
+        sig = ssk_ref[:, 3].reshape(ST, 1)
+        alpha = 0.5 * proj2 / (sig * sig)                      # (ST, BT)
 
     # cycle counts: p0 = k*nu0/c + chan0*d, d = k*dnu/c (two-float,
     # frac-reduced). chan0 is an exact small integer in f32.
@@ -166,8 +204,41 @@ def _kernel(seh_ref, sel_ref, blh_ref, bll_ref, amps_ref, scal_ref,
             AT = A[:, :, None]                           # (WB, ST, 1)
             Er = uc[None] * Wc - us[None] * Ws           # (WB, ST, BT)
             Ei = uc[None] * Ws + us[None] * Wc
-            vr = jnp.sum(AT * Er, axis=1)                # (WB, BT)
-            vi = jnp.sum(AT * Ei, axis=1)
+            if grad or ext:
+                Pr = AT * Er                             # (WB, ST, BT)
+                Pi = AT * Ei
+                if ext:
+                    # channel index c = chan0 + q*L + r0 + j; weight
+                    # w = exp(-alpha (nu_c/c)^2) with nu_c/c = g0 + c*d
+                    # in plain f32 (amplitude-accuracy arithmetic)
+                    cidx = jax.lax.broadcasted_iota(
+                        jnp.int32, (WB, 1, BT), 0).astype(jnp.float32)
+                    cf = (cidx + jnp.float32(r0)
+                          + q.astype(jnp.float32) * jnp.float32(L)
+                          + ch0[0:1, :].reshape(1, 1, BT))
+                    invwl = (g0h[0:1, :].reshape(1, 1, BT)
+                             + gdh[0:1, :].reshape(1, 1, BT) * cf)
+                    w = jnp.exp(-alpha[None, :, :] * (invwl * invwl))
+                    Pr = Pr * w
+                    Pi = Pi * w
+                vr = jnp.sum(Pr, axis=1)                 # (WB, BT)
+                vi = jnp.sum(Pi, axis=1)
+                if grad:
+                    # plain accumulation (matches the XLA path): the
+                    # gradient planes are perturbation terms, not the
+                    # 1e-6-bar visibility itself
+                    for k3 in range(3):
+                        sk = ssk_ref[:, k3].reshape(1, ST, 1)
+                        gq = k3 * Q + q
+                        gr_ref[gq, r0:r0 + WB] = (
+                            gr_ref[gq, r0:r0 + WB]
+                            + jnp.sum(sk * Pr, axis=1))
+                        gi_ref[gq, r0:r0 + WB] = (
+                            gi_ref[gq, r0:r0 + WB]
+                            + jnp.sum(sk * Pi, axis=1))
+            else:
+                vr = jnp.sum(AT * Er, axis=1)            # (WB, BT)
+                vi = jnp.sum(AT * Ei, axis=1)
             # Kahan-compensated accumulation: the plain f32 `+=`
             # quantizes each of the S/ST sequential grid-step adds at
             # eps*|V| — a random walk measured at ~3e-6 relative by
@@ -193,11 +264,15 @@ def _kernel(seh_ref, sel_ref, blh_ref, bll_ref, amps_ref, scal_ref,
 @functools.partial(jax.jit, static_argnames=("nchan", "src_tile",
                                              "bl_tile", "w_block",
                                              "amps_layout",
-                                             "interpret", "k_mode"))
+                                             "interpret", "k_mode",
+                                             "gradient"))
 def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
                  chan0=0, src_tile=None, bl_tile=None, w_block=None,
-                 amps_layout=None, interpret=False, k_mode=None):
-    """Pallas NUDFT (point sources, no gradient): complex64 (B, C).
+                 amps_layout=None, interpret=False, k_mode=None,
+                 s_sky=None, src_shape_sigma=None, gradient=False):
+    """Pallas NUDFT: complex64 (B, C) (and (3, B, C) gradient moments
+    when gradient=True; extended sources when src_shape_sigma given —
+    both need s_sky (S, 3) f32 sky dircos, matching nudft_visibilities).
 
     Arguments as nudft_visibilities; src_tile/bl_tile pick the VMEM
     tiling, amps_layout the HBM staging layout of the beam-weighted
@@ -220,6 +295,10 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
     nchan = int(nchan)
     Q, L = choose_ql(nchan)
     C_pad = Q * L
+    ext = src_shape_sigma is not None
+    grad = bool(gradient)
+    if (ext or grad) and s_sky is None:
+        raise ValueError("s_sky is required for gradient/extended mode")
 
     if amps.shape[1] < C_pad:
         amps = jnp.pad(amps, ((0, 0), (0, C_pad - amps.shape[1])))
@@ -233,7 +312,9 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
     if src_tile is None:
         src_tile = 64 if amps_layout == "sl" else 128
     if bl_tile is None:
-        bl_tile = 256 if amps_layout == "sl" else 128
+        # gradient mode carries 3 extra (Q, L, BT) plane pairs: halve
+        # the baseline tile so the accumulators stay inside VMEM
+        bl_tile = (128 if grad else 256) if amps_layout == "sl" else 128
     ST, BT = int(src_tile), int(bl_tile)
     if amps_layout == "ls":
         # sources pad to a multiple of lcm(ST, 128): ST for the grid,
@@ -256,6 +337,22 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
     amps_p = padn(amps, S_pad)
     blh_p = padn(blh, B_pad)
     bll_p = padn(bll, B_pad)
+    ssk_p = None
+    if ext or grad:
+        # (S_pad, 8): s_sky xyz, sigma_uv, zero pad. Pad-row sigma is 1
+        # (a 0 would make alpha = proj^2/0 NaN-prone; pad amps are 0 so
+        # any finite weight is harmless).
+        cols = [jnp.asarray(s_sky, jnp.float32)]
+        if ext:
+            cols.append(jnp.asarray(src_shape_sigma,
+                                    jnp.float32)[:, None])
+        else:
+            cols.append(jnp.ones((S, 1), jnp.float32))
+        cols.append(jnp.zeros((S, 4), jnp.float32))
+        ssk = jnp.concatenate(cols, axis=1)
+        ssk_p = jnp.pad(ssk, ((0, S_pad - S), (0, 0)),
+                        constant_values=0.0)
+        ssk_p = ssk_p.at[S:, 3].set(1.0) if S_pad > S else ssk_p
     # (7, 1, 1) VMEM scalars: each reads as a (1, 1) array that
     # broadcasts against (ST, BT) operands (a full (ST, BT) tile per
     # scalar cost ~1.8 MB of VMEM at large tiles, incl. double
@@ -277,8 +374,14 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
         # compile successes/failures on v5e; the 16 MB scoped limit was
         # exceeded at 16.2-17.1 MB in the failing configs).
         slack = 4 * 1024 * 1024 if amps_layout == "sl" else 0
+        # temp coefficient: Wc/Ws/Er/Ei (16 B per element) plus Pr/Pi in
+        # grad/ext mode (8) plus the weight tensor + iota temp in ext
+        # mode (8); accumulator coefficient grows by the 3 gradient
+        # plane pairs (24 B per (Q, L, BT) element)
+        tmp_c = 16 + (8 if (grad or ext) else 0) + (8 if ext else 0)
+        acc_c = 16 + (24 if grad else 0)
         WB = L
-        while WB > 1 and (16 * WB * ST * BT + 16 * Q * L * BT
+        while WB > 1 and (tmp_c * WB * ST * BT + acc_c * Q * L * BT
                           + 8 * Q * L * ST + 56 * ST * BT + slack) \
                 > 14 * 1024 * 1024:
             WB //= 2
@@ -288,7 +391,8 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
         raise ValueError("w_block must divide L=%d" % L)
     grid = (B_pad // BT, S_pad // ST)
     kernel = functools.partial(_kernel, Q=Q, L=L, WB=WB, ST=ST, BT=BT,
-                               k_mode=k_mode, layout=amps_layout)
+                               k_mode=k_mode, layout=amps_layout,
+                               grad=grad, ext=ext)
     # (Q, L, S_total): the per-q read indexes the LEADING dim — traced
     # dynamic indexing on non-leading VMEM dims trapped the device at
     # runtime (verified on hardware: kernel ran, then all subsequent
@@ -305,30 +409,38 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
         amps_q = jnp.transpose(amps_p.reshape(S_pad, Q, L), (1, 0, 2))
         amps_spec = pl.BlockSpec((Q, ST, L), lambda i, j: (0, j, 0),
                                  memory_space=pltpu.VMEM)
-    out_shape = [jax.ShapeDtypeStruct((Q, L, B_pad), jnp.float32),
-                 jax.ShapeDtypeStruct((Q, L, B_pad), jnp.float32)]
-    vr, vi = pl.pallas_call(
+    in_specs = [
+        pl.BlockSpec((ST, 3), lambda i, j: (j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ST, 3), lambda i, j: (j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((BT, 3), lambda i, j: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((BT, 3), lambda i, j: (i, 0),
+                     memory_space=pltpu.VMEM),
+        amps_spec,
+        pl.BlockSpec((7, ST, BT), lambda i, j: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [seh_p, sel_p, blh_p, bll_p, amps_q, scal]
+    if ext or grad:
+        in_specs.append(pl.BlockSpec((ST, 8), lambda i, j: (j, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(ssk_p)
+    out_specs = [pl.BlockSpec((Q, L, BT), lambda i, j: (0, 0, i),
+                              memory_space=pltpu.VMEM)] * 2
+    out_shape = [jax.ShapeDtypeStruct((Q, L, B_pad), jnp.float32)] * 2
+    if grad:
+        out_specs += [pl.BlockSpec((3 * Q, L, BT),
+                                   lambda i, j: (0, 0, i),
+                                   memory_space=pltpu.VMEM)] * 2
+        out_shape += [jax.ShapeDtypeStruct((3 * Q, L, B_pad),
+                                           jnp.float32)] * 2
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((ST, 3), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ST, 3), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BT, 3), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BT, 3), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            amps_spec,
-            pl.BlockSpec((7, ST, BT), lambda i, j: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((Q, L, BT), lambda i, j: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Q, L, BT), lambda i, j: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((WB, ST, BT), jnp.float32),
                         pltpu.VMEM((WB, ST, BT), jnp.float32),
@@ -336,10 +448,14 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
                         pltpu.VMEM((Q, L, BT), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=10 * S_pad * B_pad * C_pad,
-            bytes_accessed=4 * (S_pad * C_pad + 2 * B_pad * C_pad),
-            transcendentals=2 * S_pad * B_pad * (Q + L)),
-    )(seh_p, sel_p, blh_p, bll_p, amps_q, scal)
+            flops=(10 + (30 if grad else 0) + (4 if ext else 0))
+            * S_pad * B_pad * C_pad,
+            bytes_accessed=4 * (S_pad * C_pad + 2 * B_pad * C_pad
+                                * (4 if grad else 1)),
+            transcendentals=2 * S_pad * B_pad * (Q + L)
+            + (S_pad * B_pad * C_pad if ext else 0)),
+    )(*inputs)
+    vr, vi = outs[0], outs[1]
     # (Q, L, B_pad) -> (B_pad, Q*L). Transpose the REAL planes and only
     # then combine to complex: transposing a complex64 array hit an
     # UNIMPLEMENTED TPU backend error (and wedged the device) on the
@@ -347,15 +463,24 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
     # are fine.
     vr_t = jnp.transpose(vr, (2, 0, 1)).reshape(B_pad, C_pad)
     vi_t = jnp.transpose(vi, (2, 0, 1)).reshape(B_pad, C_pad)
-    return (vr_t + 1j * vi_t)[:B, :nchan]
+    vis = (vr_t + 1j * vi_t)[:B, :nchan]
+    if not grad:
+        return vis
+    gr_t = jnp.transpose(outs[2].reshape(3, Q, L, B_pad),
+                         (0, 3, 1, 2)).reshape(3, B_pad, C_pad)
+    gi_t = jnp.transpose(outs[3].reshape(3, Q, L, B_pad),
+                         (0, 3, 1, 2)).reshape(3, B_pad, C_pad)
+    return vis, (gr_t + 1j * gi_t)[:, :B, :nchan]
 
 
 def nudft_auto(seh, sel, blh, bll, amps, grid_scalars, nchan, **kw):
-    """Use the Pallas kernel on TPU for the plain point-source case, the
-    XLA path otherwise (extended sources, gradients, non-TPU backends)."""
-    plain = not kw.get("gradient") and kw.get("src_shape_sigma") is None
-    if plain and pallas_available():
+    """Use the Pallas kernel on TPU (point sources, gradients, and
+    extended sources are all in-kernel since round 3), the XLA path on
+    other backends."""
+    if pallas_available():
         return nudft_pallas(seh, sel, blh, bll, amps, grid_scalars,
-                            nchan)
+                            nchan, s_sky=kw.get("s_sky"),
+                            src_shape_sigma=kw.get("src_shape_sigma"),
+                            gradient=bool(kw.get("gradient", False)))
     return nudft_visibilities(seh, sel, blh, bll, amps, grid_scalars,
                               nchan, **kw)

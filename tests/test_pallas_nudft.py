@@ -112,3 +112,69 @@ def test_pallas_amps_layouts_agree():
     # identical math either way (layout only changes staging)
     np.testing.assert_allclose(outs["sl"], outs["ls"], rtol=0,
                                atol=2e-6 * scale)
+
+
+def test_pallas_gradient_matches_golden():
+    """In-kernel gradient planes vs XLA path and f64 golden (round 3)."""
+    rng = np.random.RandomState(5)
+    S, B, C = 60, 11, 32
+    s = rng.randn(S, 3)
+    s /= np.linalg.norm(s, axis=1, keepdims=True)
+    s[:, 2] = np.abs(s[:, 2])
+    se = s - np.array([0.0, 0.0, 1.0])
+    bl = rng.randn(B, 3) * 150.0
+    a_np = rng.rand(S, C).astype(np.float32)
+    freqs = 150e6 + 97656.25 * np.arange(C)
+    gs = freq_grid_scalars(freqs[0], 97656.25)
+    seh, sel = tf.split_f64(se)
+    blh, bll = tf.split_f64(bl)
+    args = (jnp.asarray(seh), jnp.asarray(sel), jnp.asarray(blh),
+            jnp.asarray(bll), jnp.asarray(a_np), gs, C)
+    vis_p, grad_p = nudft_pallas(*args, src_tile=16, bl_tile=8,
+                                 interpret=True,
+                                 s_sky=jnp.asarray(s, jnp.float32),
+                                 gradient=True)
+    vis_x, grad_x = nudft_visibilities(*args, s_sky=jnp.asarray(
+        s, jnp.float32), gradient=True, src_block=16)
+    want_v, want_g = nudft_reference_f64(se, bl, a_np, freqs, s_sky=s,
+                                         gradient=True)
+    sv = np.abs(want_v).max()
+    sg = np.abs(want_g).max()
+    assert np.abs(np.asarray(vis_p) - want_v).max() / sv < 2e-6
+    assert np.abs(np.asarray(grad_p) - want_g).max() / sg < 5e-6
+    assert np.abs(np.asarray(grad_p)
+                  - np.asarray(grad_x)).max() / sg < 5e-6
+
+
+def test_pallas_extended_sources_matches_golden():
+    """In-kernel gaussian visibility weights vs XLA path / f64 golden."""
+    rng = np.random.RandomState(7)
+    S, B, C = 48, 9, 32
+    s = rng.randn(S, 3)
+    s /= np.linalg.norm(s, axis=1, keepdims=True)
+    s[:, 2] = np.abs(s[:, 2])
+    se = s - np.array([0.0, 0.0, 1.0])
+    bl = rng.randn(B, 3) * 120.0
+    a_np = rng.rand(S, C).astype(np.float32)
+    freqs = 150e6 + 97656.25 * np.arange(C)
+    gs = freq_grid_scalars(freqs[0], 97656.25)
+    # a mix of extended (finite sigma) and point (inf sigma) sources
+    sigma = rng.uniform(20.0, 200.0, S).astype(np.float32)
+    sigma[::3] = np.inf
+    seh, sel = tf.split_f64(se)
+    blh, bll = tf.split_f64(bl)
+    args = (jnp.asarray(seh), jnp.asarray(sel), jnp.asarray(blh),
+            jnp.asarray(bll), jnp.asarray(a_np), gs, C)
+    got = np.asarray(nudft_pallas(
+        *args, src_tile=16, bl_tile=8, interpret=True,
+        s_sky=jnp.asarray(s, jnp.float32),
+        src_shape_sigma=jnp.asarray(sigma)))
+    ref = np.asarray(nudft_visibilities(
+        *args, s_sky=jnp.asarray(s, jnp.float32),
+        src_shape_sigma=jnp.asarray(sigma),
+        inv_wl=jnp.asarray(freqs / CNST.c, jnp.float32), src_block=16))
+    want = nudft_reference_f64(se, bl, a_np, freqs, s_sky=s,
+                               src_shape_sigma=sigma)
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() / scale < 3e-6
+    assert np.abs(got - ref).max() / scale < 3e-6
