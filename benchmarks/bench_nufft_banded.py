@@ -45,7 +45,7 @@ def main():
     from prisim_tpu.engine.nudft import nudft_visibilities
     from prisim_tpu.engine.observe import df_rotate3
     from prisim_tpu.engine.nufft_banded import (
-        make_banded_plan, simulate_snapshot_nufft_banded)
+        make_banded_plan, make_banded_snapshot_fns)
     from prisim_tpu.engine.nufft_delay import chebyshev_projection
     from prisim_tpu.beams import airy_beam
 
@@ -81,10 +81,13 @@ def main():
     print(f"# plan: D={plan.ndir} dirs, n_bk={plan.n_bk}, G0={plan.G0},"
           f" T_s={plan.T_s}, G={plan.G_blk}, rank={rank}", flush=True)
 
-    @jax.jit
+    # three split-jit stages (the fused jit compile is pathological at
+    # this scale; make_banded_snapshot_fns docstring)
+    run_banded = make_banded_snapshot_fns(inst, sky, beam_fn, plan,
+                                          pinvQ, Q)
+
     def banded(mh, ml, ph, pl_):
-        v, ok = simulate_snapshot_nufft_banded(
-            inst, sky, mh, ml, ph, pl_, beam_fn, plan, pinvQ, Q)
+        v, ok = run_banded(mh, ml, ph, pl_)
         return jnp.real(v), jnp.imag(v), ok
 
     t0 = time.perf_counter()

@@ -905,15 +905,16 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
             # failure (pathological delay clustering overflowed the
             # static window) demotes the whole run to the sorted spread.
             from .engine.nufft_banded import (
-                make_banded_plan, simulate_snapshot_nufft_banded)
+                make_banded_plan, make_banded_snapshot_fns)
             plan = make_banded_plan(
                 np.asarray(bls.vectors), inst.nu0, inst.dnu,
                 freqs.size, rank=min(rank, freqs.size))
             interp = jax.devices()[0].platform != "tpu"
-            snap_b = jax.jit(
-                lambda mh, ml, ph, pl: simulate_snapshot_nufft_banded(
-                    inst, sks, mh, ml, ph, pl, beam_fn, plan, pinvQ, Q,
-                    interpret=interp))
+            # three separately-jitted stages: the fused jit hits a
+            # pathological Mosaic/XLA compile at scale (nufft_banded.py
+            # make_banded_snapshot_fns docstring)
+            snap_b = make_banded_snapshot_fns(
+                inst, sks, beam_fn, plan, pinvQ, Q, interpret=interp)
             snaps = []
             all_ok = True
             for t in range(obs.n_acc):

@@ -44,7 +44,7 @@ from .nufft_delay import kb_fourier, kb_tap_coeffs
 
 __all__ = ["banded_spread_available", "make_banded_plan", "BandedPlan",
            "group_directions", "nufft_banded_visibilities",
-           "simulate_snapshot_nufft_banded"]
+           "simulate_snapshot_nufft_banded", "make_banded_snapshot_fns"]
 
 _PAD_U = 3.0          # sorts after any physical u (|s_eff · b̂| <= 2)
 
@@ -479,3 +479,58 @@ def simulate_snapshot_nufft_banded(instrument, sky, Mh, Ml, pch, pcl,
                    precision=jax.lax.Precision.HIGHEST)       # (S, r)
     return nufft_banded_visibilities(plan, seh, sel, P, Q,
                                      interpret=interpret)
+
+
+def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
+                             interpret=False):
+    """Three separately-jitted stages for one banded snapshot.
+
+    The FUSED jit of (prep -> Pallas spread -> post) sends the XLA TPU
+    pipeline into a pathological >25 min compile at bench scale, while
+    the three stages compile in ~16 s total and run at full speed with
+    device-resident intermediates (measured round 3; see
+    benchmarks/probe_banded_chain.py). Per-snapshot host dispatch
+    overhead is three jit calls — microseconds against a >100 ms
+    snapshot.
+
+    Returns run(Mh, Ml, pch, pcl) -> ((B, C) complex64, ok) where every
+    intermediate stays on device.
+    """
+    import jax
+    import jax.numpy as jnp
+    from .. import twofloat as tf
+    from .observe import df_rotate3, _beam_and_flux
+
+    freqs_f32 = jnp.asarray(instrument.freqs, dtype=jnp.float32)
+    pinvQ_j = jnp.asarray(pinvQ)
+    Q_j = jnp.asarray(Q, jnp.float32)
+    dofb = jnp.asarray(plan.d_of_b)
+
+    @jax.jit
+    def stage_prep(Mh, Ml, pch, pcl):
+        sh, sl = df_rotate3(Mh, Ml, sky.s_eq_hi, sky.s_eq_lo)
+        seh, sel = tf.df_add(sh, sl, -pch[None, :], -pcl[None, :])
+        amps = _beam_and_flux(sh, sky.flux, freqs_f32, beam_fn)
+        P = jnp.matmul(amps, pinvQ_j,
+                       precision=jax.lax.Precision.HIGHEST)
+        return _prep(plan, seh, sel, P)
+
+    @jax.jit
+    def stage_spread(u_hs, u_ls, P_s, goff):
+        return _banded_spread(plan, u_hs, u_ls, P_s, dofb, goff,
+                              interpret=interpret)
+
+    @jax.jit
+    def stage_post(out, bk):
+        visited = jnp.any(bk[:, :, None]
+                          == jnp.arange(plan.n_bk)[None, None, :],
+                          axis=1)
+        out = jnp.where(visited[:, :, None, None], out, 0.0)
+        return _post(plan, out, Q_j)
+
+    def run(Mh, Ml, pch, pcl):
+        u_hs, u_ls, P_s, bk, goff, ok = stage_prep(Mh, Ml, pch, pcl)
+        out = stage_spread(u_hs, u_ls, P_s, goff)
+        return stage_post(out, bk), ok
+
+    return run
