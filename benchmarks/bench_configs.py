@@ -48,10 +48,10 @@ def config2(small=False):
     import tempfile
     cat = tempfile.NamedTemporaryFile(suffix=".txt", delete=False,
                                       mode="w")
-    cat.write("ra dec flux freq spindex\n")
+    cat.write("# ra dec flux spindex\n")
     for i in range(nsrc):
         cat.write(f"{loc[i,0]:.6f} {loc[i,1]:.6f} {flux[i]:.4f} "
-                  f"150e6 {spindex[i]:.4f}\n")
+                  f"{spindex[i]:.4f}\n")
     cat.close()
     parms = load_parms({
         "dirstruct": {"rootdir": "/tmp", "project": "bench_cfg2"},
@@ -64,7 +64,8 @@ def config2(small=False):
                      "nchan": nchan},
         "obsparm": {"obs_mode": "drift", "n_acc": n_acc, "t_acc": 112.0},
         "pointing": {"lst_init": 0.0},
-        "skyparm": {"model": "custom", "custom_file": cat.name},
+        "skyparm": {"model": "custom"},
+        "catalog": {"custom_file": cat.name},
         "save_formats": {"fmt": "HDF5", "npz": False},
     })
     t0 = time.perf_counter()
@@ -77,31 +78,28 @@ def config2(small=False):
 
 
 def config5(small=False):
-    """512-antenna closure-phase pipeline at scale: redundant-triad
-    closure phases -> NPZ layout -> day binning -> cpds FT -> xcpdps."""
-    import jax
+    """512-antenna closure-phase pipeline at scale (BASELINE config #5):
+    fully-redundant 16x32 grid (HIRAX/SKA-low-core analog), unique-
+    baseline simulation, redundant-triad enumeration, closure phases,
+    day binning (median), subband delay transform, xcpdps covariance."""
     import jax.numpy as jnp
     from prisim_tpu import layouts as lay, baselines as bls
-    from prisim_tpu import twofloat as tf
     from prisim_tpu.skymodel import SkyModel
-    from prisim_tpu.engine import (Instrument, SkySources,
-                                   enu_rotation_from_eq)
-    from prisim_tpu.engine.observe import simulate_drift
-    from prisim_tpu.analysis.closure import (three_point_combinations,
+    from prisim_tpu.engine import (Instrument, SkySources)
+    from prisim_tpu.engine.observe import simulate_drift, Observation
+    from prisim_tpu.analysis.closure import (unique_triads_fast,
+                                             triad_baseline_indices,
                                              closure_phases)
-    from prisim_tpu.analysis.bispectrum import (cpds_ft, xcpdps_full,
-                                                smooth_in_tbins_arrays)
+    from prisim_tpu.analysis.bispectrum import (ClosurePhaseData,
+                                                cpds_ft, xcpdps_full)
     from prisim_tpu.utils import get_complex
-    from prisim_tpu.layouts import hexagon_generator
 
-    # 512-antenna-scale hex (joined): hexagon 331 + outriggers is the
-    # SKA-low analog; use HERA-briggs hex 469 + ring pad to 512? keep
-    # hex 469 (closest hex number <= 512 keeps full redundancy).
-    nside_hex = 13 if not small else 4     # 469 / 37 antennas
-    layout = lay.preset_layout(f"HERA-{3*nside_hex*(nside_hex-1)+1}")
+    grid = [4, 8] if small else [16, 32]           # 32 / 512 antennas
+    layout = lay.ArrayLayout(*_grid_positions(grid, spacing=7.0))
     bset = bls.build_baselines(layout, redundant=True)
     nchan = 16 if small else 128
     n_acc = 2 if small else 8
+    max_classes = 64 if small else 512
     freqs = 150e6 + 100e3 * np.arange(nchan)
     inst = Instrument.build(bset.vectors, freqs, latitude=-30.72)
     rng = np.random.default_rng(1)
@@ -115,48 +113,44 @@ def config5(small=False):
     sky = SkySources.from_skymodel(model, freqs)
 
     t0 = time.perf_counter()
-
-    class Obs:
-        pass
-
-    from prisim_tpu.engine.observe import Observation
     lsts = (np.arange(n_acc) * 60.0 / 240.0) % 360.0
     obs = Observation(lst_deg=lsts, jd=np.full(n_acc, 2458000.0),
                       t_acc=np.full(n_acc, 60.0),
                       pointing_altaz=np.stack(
                           [np.full(n_acc, 90.0), np.zeros(n_acc)], -1),
                       mode="drift")
-    import jax.numpy as jnp
     beam_fn = lambda s, f: jnp.ones((s.shape[0], f.shape[0]),
                                     jnp.float32)
-    vis = get_complex(simulate_drift(inst, sky, obs, beam_fn,
-                                     src_block=1024))
+    vis = np.asarray(get_complex(simulate_drift(inst, sky, obs, beam_fn,
+                                                src_block=1024)))
     t_sim = time.perf_counter() - t0
 
-    # closure phases over unique redundant triads
+    # redundant-triad enumeration + closure phases over unique classes
     t0 = time.perf_counter()
-    triads, blidx, conj = three_point_combinations(
-        layout.positions, bset)
-    vis_bct = np.ascontiguousarray(np.transpose(np.asarray(vis),
-                                                (1, 2, 0)))
-    cp = closure_phases(vis_bct, blidx, conj)        # (ntri, nchan, nacc)
+    triads = unique_triads_fast(layout.labels, layout.positions,
+                                max_classes=max_classes)
+    idx, conj = triad_baseline_indices(
+        bset.labels, triads, baselines=bset.vectors,
+        ant_positions=layout.positions, ant_labels=layout.labels)
+    vis_bct = np.ascontiguousarray(np.transpose(vis, (1, 2, 0)))
+    cp, _ = closure_phases(vis_bct, idx, conj)   # (ntri, nchan, nacc)
     t_cp = time.perf_counter() - t0
 
     # bispectrum-phase pipeline: (nlst, ndays, ntriads, nchan)
     t0 = time.perf_counter()
     ntri = cp.shape[0]
-    eicp = np.exp(1j * np.transpose(cp, (2, 0, 1)))[:, None, :, :]
+    cp4 = np.transpose(cp, (2, 0, 1))[:, None, :, :]     # (nlst,1,t,c)
     ndays = 4
-    eicp = np.repeat(eicp, ndays, axis=1)
-    eicp *= np.exp(1j * 0.01 * np.random.default_rng(2).normal(
-        size=eicp.shape))
-    wts = np.ones(eicp.shape)
-    sm_e, sm_w, lst_out, days_out = smooth_in_tbins_arrays(
-        eicp, wts, lst=lsts[:eicp.shape[0]] / 15.0,
-        days=np.arange(ndays, dtype=float), daybinsize=2.0,
-        stat="median")
-    ft = cpds_ft(sm_e, sm_w, freqs, freq_center=[152e6], bw_eff=2e6,
-                 pad=1.0)
+    cp4 = np.repeat(cp4, ndays, axis=1)
+    cp4 = cp4 + 0.01 * np.random.default_rng(2).normal(size=cp4.shape)
+    cpd = ClosurePhaseData(cp=cp4, wts=np.ones(cp4.shape), freqs=freqs,
+                           lst=lsts / 15.0,
+                           days=2458000.0 + np.arange(ndays,
+                                                      dtype=float),
+                           triads=np.asarray(triads))
+    sm_cpd = cpd.smooth_in_tbins(daybinsize=2.0, stat="median")
+    ft = cpds_ft(sm_cpd.eicp * sm_cpd.wts, sm_cpd.wts, freqs,
+                 freq_center=[152e6], bw_eff=2e6, pad=1.0)
     ps = xcpdps_full(ft, cohax=(2,), incohax=(1, 3),
                      collapse_axes=(3,), lst_shifts=np.arange(2))
     t_ps = time.perf_counter() - t0
@@ -165,6 +159,16 @@ def config5(small=False):
                 n_acc=n_acc, sim_seconds=t_sim, closure_seconds=t_cp,
                 xcpdps_seconds=t_ps,
                 P_shape=list(np.asarray(ps["P"]).shape))
+
+
+def _grid_positions(shape, spacing=7.0):
+    ny, nx = shape
+    xs, ys = np.meshgrid(np.arange(nx), np.arange(ny))
+    pos = np.zeros((nx * ny, 3))
+    pos[:, 0] = xs.ravel() * spacing
+    pos[:, 1] = ys.ravel() * spacing
+    labels = np.asarray([str(i) for i in range(nx * ny)])
+    return pos, labels
 
 
 def main():

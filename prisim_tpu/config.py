@@ -30,6 +30,7 @@ DEFAULT_PARMS = {
         "Tant_ref": 200.0, "Tsys": None},
     "array": {
         "redundant": True, "layout": "HERA-19", "file": None,
+        "layout_positions": None, "layout_labels": None,
         "filepathtype": "default",
         "parser": {"comment": None, "delimiter": None, "data_start": 3,
                    "data_end": None, "header_start": 0, "label": None,

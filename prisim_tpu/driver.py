@@ -48,7 +48,20 @@ def build_layout(parms):
     /root/reference/prisim/interferometry.py:1465-1851), including seeded
     position perturbations (:1686-1694)."""
     ap = parms["array"]
-    if ap.get("file"):
+    if ap.get("layout_positions") is not None:
+        # inline ENU positions (meters): programmatic configs and
+        # layouts whose data files the reference leaves unbundled
+        pos = np.asarray(ap["layout_positions"], dtype=np.float64)
+        if pos.ndim != 2 or pos.shape[1] not in (2, 3):
+            raise ValueError("array.layout_positions must be (N, 2|3)")
+        if pos.shape[1] == 2:
+            pos = np.concatenate([pos, np.zeros((pos.shape[0], 1))], 1)
+        labels = ap.get("layout_labels")
+        labels = (np.asarray([str(l) for l in labels])
+                  if labels is not None else
+                  np.asarray([str(i) for i in range(pos.shape[0])]))
+        layout = ArrayLayout(pos, labels)
+    elif ap.get("file"):
         pp = ap.get("parser") or {}
         layout = parse_layout_file(ap["file"],
                                    comment=pp.get("comment") or "#",
