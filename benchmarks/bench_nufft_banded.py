@@ -90,11 +90,27 @@ def main():
         v, ok = run_banded(mh, ml, ph, pl_)
         return jnp.real(v), jnp.imag(v), ok
 
+    # first call stage-by-stage with syncs: isolates compile/upload
+    # stalls per stage (tunnel uploads of the closed-over sky arrays
+    # dominate the first prep call)
+    stage_prep, stage_spread, stage_post = run_banded.stages
     t0 = time.perf_counter()
-    br, bi, ok = banded(*margs)
-    _sync1((br, ok))
-    print(f"banded compile+run: {time.perf_counter()-t0:.1f} s, "
+    pre = stage_prep(*margs)
+    _sync1(pre)
+    print(f"stage prep first: {time.perf_counter()-t0:.1f} s",
+          flush=True)
+    u_hs, u_ls, P_s, bk, goff, ok = pre
+    t0 = time.perf_counter()
+    out = stage_spread(u_hs, u_ls, P_s, goff)
+    _sync1(out)
+    print(f"stage spread first: {time.perf_counter()-t0:.1f} s",
+          flush=True)
+    t0 = time.perf_counter()
+    vb = stage_post(out, bk)
+    _sync1(vb)
+    print(f"stage post first: {time.perf_counter()-t0:.1f} s, "
           f"ok={bool(np.asarray(jax.device_get(ok)))}", flush=True)
+    br, bi = jnp.real(vb), jnp.imag(vb)
 
     times = {}
     best = np.inf

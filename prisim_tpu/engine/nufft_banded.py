@@ -533,4 +533,5 @@ def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
         out = stage_spread(u_hs, u_ls, P_s, goff)
         return stage_post(out, bk), ok
 
+    run.stages = (stage_prep, stage_spread, stage_post)
     return run

@@ -240,57 +240,204 @@ def grep_sims(project_dir, **param_values):
     return hits
 
 
-def feko_to_healpix(infile, outfile, nside=64, scheme="ring",
-                    col_theta=0, col_phi=1, col_gain_db=None,
-                    col_etheta=(2, 3), col_ephi=(4, 5)):
-    """Convert a FEKO far-field text export (theta phi Re(Etheta)
-    Im(Etheta) Re(Ephi) Im(Ephi) ... rows) to a HEALPix power map
-    (FEKO_beam_to_healpix.py:50-283), nearest-neighbour sampled onto
-    pixel centers, peak-normalized, written as HDF5."""
-    rows = []
+def read_feko(infile):
+    """Parse a FEKO far-field text export with per-frequency blocks.
+
+    The format (FEKO_beam_to_healpix.py:14-48): '#Frequency: <Hz>'
+    starts a block, '... Theta Samples: N' / '... Phi Samples: N'
+    declare the grid, data rows are 'theta phi ... gain_dB' with the
+    gain in the LAST column. Phi is rotated by +90 deg into the
+    HEALPix spherical convention (same as the reference).
+
+    Returns (freqs (F,), theta_deg (T,), phi_deg (P,),
+             gain_db (F, T, P)) for gridded data, where theta/phi are
+    the regular grid axes. Raises ValueError if no frequency blocks
+    are found (caller falls back to the generic table path)."""
+    freqs, gaindb = [], []
+    theta_list, phi_list = [], []
+    ntheta = nphi = None
     with open(infile) as f:
         for ln in f:
-            ln = ln.strip()
-            if not ln or ln.startswith(("#", "*", '"')):
+            words = ln.split()
+            if "Frequency" in ln and words:
+                freqs.append(float(words[-1]))
+                gaindb.append([])
                 continue
-            parts = ln.split()
+            if ntheta is None and "Theta Samples" in ln:
+                ntheta = int(float(words[-1]))
+                continue
+            if nphi is None and "Phi Samples" in ln:
+                nphi = int(float(words[-1]))
+                continue
+            if not words or ln[0] in "#*\"":
+                continue
             try:
-                rows.append([float(x) for x in parts])
+                row = [float(x) for x in words]
             except ValueError:
                 continue
-    data = np.asarray(rows)
-    theta = np.radians(data[:, col_theta])
-    phi = np.radians(data[:, col_phi])
-    if col_gain_db is not None:
-        power = 10.0 ** (data[:, col_gain_db] / 10.0)
-    else:
-        et = data[:, col_etheta[0]] + 1j * data[:, col_etheta[1]]
-        ep = data[:, col_ephi[0]] + 1j * data[:, col_ephi[1]]
-        power = np.abs(et) ** 2 + np.abs(ep) ** 2
+            if not freqs:
+                continue
+            gaindb[-1].append(row[-1])
+            if len(gaindb) == 1:
+                theta_list.append(row[0])
+                phi_list.append(row[1])
+    if not freqs:
+        raise ValueError(f"no FEKO frequency blocks in {infile}")
+    theta_list = np.asarray(theta_list)
+    phi_list = np.asarray(phi_list) + 90.0   # HEALPix phi convention
+    gaindb = np.asarray(gaindb, dtype=np.float64)
+    if ntheta is None or nphi is None:
+        ntheta = np.unique(theta_list).size
+        nphi = np.unique(phi_list).size
+    theta = np.linspace(theta_list.min(), theta_list.max(), ntheta)
+    phi = np.linspace(phi_list.min(), phi_list.max(), nphi)
+    # rows iterate theta fastest within each phi column
+    # (reference: reshape(F, nphi, ntheta) -> transpose to (F, T, P))
+    gaindb = np.transpose(gaindb.reshape(len(freqs), nphi, ntheta),
+                          (0, 2, 1))
+    return np.asarray(freqs), theta, phi, gaindb
+
+
+def _feko_spline_map(theta_deg, phi_deg, gain_db, nside):
+    """One frequency -> HEALPix map by bivariate spline on the gridded
+    dB beam (FEKO_beam_to_healpix.py:80-127). Phi is handled
+    periodically by wrap-padding the grid one full turn on each side
+    (equivalent to the reference's three-branch boundary evaluation).
+    Out-of-theta-range pixels get zero power (below the sampled
+    hemisphere). Returns peak-normalized POWER (npix,)."""
+    from scipy.interpolate import RectBivariateSpline
+    th = np.radians(theta_deg)
+    ph = np.radians(phi_deg)
+    # grids that close the circle (last col == first col + 2pi) would
+    # produce duplicate knots under wrap-padding: drop the closing col
+    if ph[-1] - ph[0] >= 2 * np.pi - 1e-9:
+        ph = ph[:-1]
+        gain_db = gain_db[:, :-1]
+    # periodic wrap-pad in phi: copy the grid shifted by +-2pi
+    ph_ext = np.concatenate([ph - 2 * np.pi, ph, ph + 2 * np.pi])
+    g_ext = np.concatenate([gain_db] * 3, axis=1)
+    spl = RectBivariateSpline(th, ph_ext, g_ext, kx=3, ky=3)
     npix = hp.nside2npix(nside)
-    pix_t, pix_p = hp.pix2ang(nside, np.arange(npix))
-    # nearest sample per pixel (FEKO grids are dense regular theta/phi)
-    vt = np.stack([np.sin(pix_t) * np.cos(pix_p),
-                   np.sin(pix_t) * np.sin(pix_p),
-                   np.cos(pix_t)], axis=-1)
-    vs_ = np.stack([np.sin(theta) * np.cos(phi),
-                    np.sin(theta) * np.sin(phi),
-                    np.cos(theta)], axis=-1)
-    # chunked nearest-neighbour to bound memory
-    best = np.empty(npix, dtype=np.int64)
-    chunk = 4096
-    for lo in range(0, npix, chunk):
-        dots = vt[lo:lo + chunk] @ vs_.T
-        best[lo:lo + chunk] = dots.argmax(axis=1)
-    hmap = power[best]
-    hmap = hmap / hmap.max()
+    pt, pp = hp.pix2ang(nside, np.arange(npix))
+    # map pixel phi into the padded grid's central period
+    pp = ph[0] + np.mod(pp - ph[0], 2 * np.pi)
+    hmap_db = np.full(npix, -np.inf)
+    inb = (pt >= th.min()) & (pt <= th.max())
+    hmap_db[inb] = spl.ev(pt[inb], pp[inb])
+    hmap_db -= hmap_db[inb].max()
+    out = np.zeros(npix)
+    out[inb] = 10.0 ** (hmap_db[inb] / 10.0)
+    return out
+
+
+def _feko_scatter_map(theta, phi, power, nside, interp):
+    """One frequency of scattered (theta, phi, power) samples ->
+    HEALPix map: 'healpix' = 4-neighbor bilinear weights binned per
+    pixel (FEKO_beam_to_healpix.py:139-146), 'nearest' = per-pixel
+    nearest sample. Returns peak-normalized power (npix,)."""
+    npix = hp.nside2npix(nside)
+    if interp == "healpix":
+        pix, wts = hp.get_interp_weights(nside, theta, phi)
+        wmap = np.bincount(pix.ravel(), weights=wts.ravel(),
+                           minlength=npix)
+        hmap = np.bincount(pix.ravel(),
+                           weights=(wts * power[None, :]).ravel(),
+                           minlength=npix)
+        good = wmap > 1e-12
+        hmap[good] /= wmap[good]
+        hmap[~good] = 0.0
+    else:
+        pix_t, pix_p = hp.pix2ang(nside, np.arange(npix))
+        vt = np.stack([np.sin(pix_t) * np.cos(pix_p),
+                       np.sin(pix_t) * np.sin(pix_p),
+                       np.cos(pix_t)], axis=-1)
+        vs_ = np.stack([np.sin(theta) * np.cos(phi),
+                        np.sin(theta) * np.sin(phi),
+                        np.cos(theta)], axis=-1)
+        best = np.empty(npix, dtype=np.int64)
+        chunk = 4096
+        for lo in range(0, npix, chunk):
+            dots = vt[lo:lo + chunk] @ vs_.T
+            best[lo:lo + chunk] = dots.argmax(axis=1)
+        hmap = power[best]
+    return hmap / hmap.max()
+
+
+def feko_to_healpix(infile, outfile, nside=64, scheme="ring",
+                    interp="spline", col_theta=0, col_phi=1,
+                    col_gain_db=None, col_etheta=(2, 3),
+                    col_ephi=(4, 5), extra_pol_files=()):
+    """Convert FEKO far-field text beams to a chromatic HEALPix HDF5
+    beam (FEKO_beam_to_healpix.py:14-283).
+
+    Native FEKO exports (per-frequency '#Frequency:' blocks, gain dB
+    in the last column) are parsed with all frequency blocks stacked
+    into a (npix, nfreq) chromatic beam; `interp` picks 'spline'
+    (bivariate spline on the gridded dB map, the reference default),
+    'healpix' (bilinear pixel weights), or 'nearest'. Plain tables
+    (theta phi Re/Im field components or an explicit gain column, no
+    block headers) fall back to a single-map nearest/healpix path.
+    `extra_pol_files` adds more polarizations, stored under 'pols/P<i>'
+    (the reference's P1/P2 pair). The output is consumable by
+    ExternalBeam.from_hdf5 ('beam' + 'freqs' datasets)."""
+    try:
+        freqs, theta, phi, gaindb = read_feko(infile)
+        is_feko = True
+    except ValueError:
+        is_feko = False
+    if is_feko:
+        if interp == "spline":
+            maps = np.stack([_feko_spline_map(theta, phi, gaindb[i],
+                                              nside)
+                             for i in range(freqs.size)], axis=-1)
+        else:
+            pt = np.radians(np.repeat(theta, phi.size))
+            pp = np.radians(np.tile(phi, theta.size))
+            maps = np.stack(
+                [_feko_scatter_map(pt, pp,
+                                   10.0 ** (gaindb[i].ravel() / 10.0),
+                                   nside, interp)
+                 for i in range(freqs.size)], axis=-1)
+    else:
+        # generic table: no FEKO blocks; single (achromatic) map
+        rows = []
+        with open(infile) as f:
+            for ln in f:
+                ln = ln.strip()
+                if not ln or ln.startswith(("#", "*", '"')):
+                    continue
+                try:
+                    rows.append([float(x) for x in ln.split()])
+                except ValueError:
+                    continue
+        data = np.asarray(rows)
+        theta_s = np.radians(data[:, col_theta])
+        phi_s = np.radians(data[:, col_phi])
+        if col_gain_db is not None:
+            power = 10.0 ** (data[:, col_gain_db] / 10.0)
+        else:
+            et = data[:, col_etheta[0]] + 1j * data[:, col_etheta[1]]
+            ep = data[:, col_ephi[0]] + 1j * data[:, col_ephi[1]]
+            power = np.abs(et) ** 2 + np.abs(ep) ** 2
+        itp = interp if interp in ("healpix", "nearest") else "nearest"
+        maps = _feko_scatter_map(theta_s, phi_s, power, nside,
+                                 itp)[:, None]
+        freqs = np.asarray([150e6])
     import h5py
     with h5py.File(outfile, "w") as f:
-        f["beam"] = hmap
+        f["beam"] = maps
         f["beam"].attrs["nside"] = nside
         f["beam"].attrs["scheme"] = scheme
+        f["beam"].attrs["interp"] = interp
+        f["freqs"] = freqs
+        f["freqs"].attrs["units"] = "Hz"
         f["source"] = os.path.basename(infile)
-    return hmap
+        for i, pf in enumerate(extra_pol_files):
+            pfreqs, pth, pph, pdb = read_feko(pf)
+            pmaps = np.stack([_feko_spline_map(pth, pph, pdb[j], nside)
+                              for j in range(pfreqs.size)], axis=-1)
+            f[f"pols/P{i + 2}"] = pmaps
+    return maps
 
 
 def delay_ps(infile, outfile, pad=1.0, nside_beam=32, clean=False,
@@ -617,6 +764,10 @@ def main(argv=None):
     f.add_argument("outfile")
     f.add_argument("--nside", type=int, default=64)
     f.add_argument("--gain-db-col", type=int, default=None)
+    f.add_argument("--interp", default="spline",
+                   choices=["spline", "healpix", "nearest"])
+    f.add_argument("--pol2", default=None,
+                   help="second-polarization FEKO file (ref P2)")
 
     a = p.parse_args(argv)
     if a.cmd == "convert":
@@ -668,7 +819,8 @@ def main(argv=None):
         raise SystemExit(0 if mesh_check(a.n_devices) else 1)
     elif a.cmd == "feko2hpx":
         feko_to_healpix(a.infile, a.outfile, nside=a.nside,
-                        col_gain_db=a.gain_db_col)
+                        col_gain_db=a.gain_db_col, interp=a.interp,
+                        extra_pol_files=([a.pol2] if a.pol2 else ()))
         print("wrote %s" % a.outfile)
 
 

@@ -247,3 +247,94 @@ def test_external_beam_device_evaluate_matches_host():
     dev = np.asarray(ExternalBeam.device_evaluate(
         table, jnp.asarray(pix), jnp.asarray(wgt)))
     assert np.abs(dev - host).max() / np.abs(host).max() < 2e-5
+
+
+def _write_feko_file(path, freqs_mhz, ntheta=19, nphi=13, sigma=25.0):
+    """Synthetic FEKO far-field export: per-frequency blocks, regular
+    (theta, phi) grid, gaussian beam in dB whose width shrinks with
+    frequency (chromatic)."""
+    th = np.linspace(0.0, 90.0, ntheta)
+    ph = np.linspace(0.0, 360.0, nphi)
+    with open(path, "w") as f:
+        for fm in freqs_mhz:
+            f.write(f"#Frequency: {fm * 1e6:.1f}\n")
+            f.write(f'"" Theta Samples: {ntheta}\n')
+            f.write(f'"" Phi Samples: {nphi}\n')
+            sig = sigma * 150.0 / fm
+            for p in ph:
+                for t in th:
+                    g_db = -10.0 * (t / sig) ** 2
+                    f.write(f"{t:.4f} {p:.4f} 0.0 0.0 {g_db:.6f}\n")
+
+
+def test_feko_converter_chromatic_spline(tmp_path):
+    import h5py
+    from prisim_tpu.tools import feko_to_healpix
+    from prisim_tpu.beams.external import ExternalBeam
+    from prisim_tpu import healpix as hp
+    infile = str(tmp_path / "beam.ffe")
+    out = str(tmp_path / "beam.hdf5")
+    _write_feko_file(infile, [140.0, 150.0, 160.0])
+    maps = feko_to_healpix(infile, out, nside=16, interp="spline")
+    assert maps.shape == (hp.nside2npix(16), 3)
+    with h5py.File(out, "r") as f:
+        assert f["beam"].shape == maps.shape
+        np.testing.assert_allclose(np.asarray(f["freqs"]),
+                                   [140e6, 150e6, 160e6])
+    # spline map matches the analytic gaussian away from boundaries
+    t, _ = hp.pix2ang(16, np.arange(hp.nside2npix(16)))
+    up = np.degrees(t) < 60.0
+    for i, fm in enumerate([140.0, 150.0, 160.0]):
+        sig = 25.0 * 150.0 / fm
+        expect = 10.0 ** (-(np.degrees(t[up]) / sig) ** 2)
+        expect /= expect.max()   # converter normalizes at pixel centers
+        np.testing.assert_allclose(maps[up, i], expect, atol=5e-3)
+    # chromatic: higher frequency -> narrower beam
+    mid = (np.degrees(t) > 20) & (np.degrees(t) < 40)
+    assert maps[mid, 2].mean() < maps[mid, 0].mean()
+    # consumable by ExternalBeam and the driver
+    eb = ExternalBeam.from_hdf5(out)
+    bp = eb.evaluate(np.stack([90.0 - np.degrees(t[:8]),
+                               np.zeros(8)], -1),
+                     np.asarray([145e6, 155e6]))
+    assert bp.shape == (8, 2) and np.isfinite(bp).all()
+
+
+def test_feko_converter_healpix_and_generic(tmp_path):
+    from prisim_tpu.tools import feko_to_healpix
+    from prisim_tpu import healpix as hp
+    infile = str(tmp_path / "beam.ffe")
+    _write_feko_file(infile, [150.0], ntheta=46, nphi=25)
+    out = str(tmp_path / "b2.hdf5")
+    maps = feko_to_healpix(infile, out, nside=8, interp="healpix")
+    t, _ = hp.pix2ang(8, np.arange(hp.nside2npix(8)))
+    up = np.degrees(t) < 60.0
+    expect = 10.0 ** (-(np.degrees(t[up]) / 25.0) ** 2)
+    np.testing.assert_allclose(maps[up, 0], expect, atol=0.15)
+    # generic table fallback (no FEKO headers): Re/Im field columns
+    gen = str(tmp_path / "plain.txt")
+    rng = np.random.default_rng(0)
+    with open(gen, "w") as f:
+        for _ in range(4000):
+            th = rng.uniform(0, np.pi / 2)
+            phi = rng.uniform(0, 2 * np.pi)
+            e = np.exp(-(np.degrees(th) / 25.0) ** 2 / 2)
+            f.write(f"{np.degrees(th):.4f} {np.degrees(phi):.4f} "
+                    f"{e:.6f} 0.0 0.0 0.0\n")
+    out2 = str(tmp_path / "b3.hdf5")
+    maps2 = feko_to_healpix(gen, out2, nside=8)
+    assert maps2.shape == (hp.nside2npix(8), 1)
+    assert abs(maps2.max() - 1.0) < 1e-12
+
+
+def test_feko_beam_drives_simulation(tmp_path):
+    from prisim_tpu.tools import feko_to_healpix
+    infile = str(tmp_path / "beam.ffe")
+    out = str(tmp_path / "beam.hdf5")
+    _write_feko_file(infile, [145.0, 155.0])
+    feko_to_healpix(infile, out, nside=16, interp="spline")
+    p = _base_parms({"beam": {"use_external": True, "file": out,
+                              "chromatic": True}})
+    vs, _ = run_simulation(p, verbose=False, save=False)
+    assert np.isfinite(vs.skyvis).all()
+    assert np.abs(vs.skyvis).max() > 0
