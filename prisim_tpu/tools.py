@@ -672,6 +672,108 @@ def mesh_check(n_devices=8):
     return ok
 
 
+def mesh_bench(n_devices=8, per_bl=32, nchan=64, nside=16, repeats=3,
+               use_pallas=False, platform="auto"):
+    """Weak-scaling harness over the sharded drift engine: FIXED
+    per-device work (per_bl baselines per device, full sky and band on
+    every shard), meshes of 1, 2, 4, ..., n_devices over the 'bl' axis,
+    per-device rates as JSON lines. On virtual CPU devices this
+    validates the scaling path end-to-end; pointed at a real TPU mesh
+    (same entry, no code changes) it produces the ICI weak-scaling row
+    (the reference's MPI strong/weak-scaling analog:
+    run_prisim.py:1791-1860 bl/freq splits).
+
+    Returns the list of per-mesh result dicts."""
+    import os
+    import time
+    os.environ.setdefault(
+        "XLA_FLAGS",
+        "--xla_force_host_platform_device_count=%d" % n_devices)
+    # The axon tunnel exposes ONE chip and ignores JAX_PLATFORMS=cpu;
+    # a >1-device bench there must run on virtual CPU devices (the
+    # conftest recipe). A real multi-chip TPU slice (JAX_PLATFORMS
+    # unset/tpu) runs natively with zero code changes.
+    force_cpu = platform == "cpu" or (
+        platform == "auto" and n_devices > 1
+        and os.environ.get("JAX_PLATFORMS", "").startswith("axon"))
+    if force_cpu:
+        os.environ.pop("JAX_PLATFORMS", None)
+    import jax
+    if force_cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from . import baselines as bls
+    from . import layouts as lay
+    from . import skymodel as sm
+    from . import healpix as hp
+    from .engine import Instrument, SkySources
+    from .engine.observe import Observation
+    from .beams import airy_beam
+    from .parallel.mesh import make_mesh, simulate_drift_sharded
+
+    devs = jax.devices()
+    sizes = []
+    d = 1
+    while d <= min(n_devices, len(devs)):
+        sizes.append(d)
+        d *= 2
+    rng = np.random.default_rng(7)
+    theta, phi = hp.pix2ang(nside, np.arange(hp.nside2npix(nside)))
+    loc = np.stack([np.degrees(phi), 90.0 - np.degrees(theta)],
+                   axis=-1)
+    nsrc = loc.shape[0]
+    model = sm.SkyModel(
+        location=loc, spec_kind="power-law", spec_parms={
+            "flux-scale": rng.uniform(0.1, 10.0, nsrc),
+            "freq-ref": np.full(nsrc, 150e6),
+            "power-law-index": np.full(nsrc, -0.8),
+            "flux-offset": np.zeros(nsrc)})
+    freqs = 100e6 + 97656.25 * np.arange(nchan)
+    sky = SkySources.from_skymodel(model, freqs)
+    beam_fn = lambda s, f: airy_beam(s, f, 14.0)
+    obs = Observation(lst_deg=np.asarray([30.0]),
+                      jd=np.asarray([2458000.5]),
+                      t_acc=np.asarray([10.0]),
+                      pointing_altaz=np.asarray([[90.0, 0.0]]))
+
+    # one big reproducible baseline pool, sliced per mesh size so every
+    # device always owns exactly per_bl baselines (weak scaling)
+    pool = rng.uniform(-300.0, 300.0, (per_bl * sizes[-1], 3))
+    pool[:, 2] = 0.0
+
+    results = []
+    base_rate = None
+    for nd in sizes:
+        nbl = per_bl * nd
+        inst = Instrument.build(pool[:nbl], freqs, latitude=-30.72)
+        mesh = make_mesh(axis_names=("bl",), shape=(nd,),
+                         devices=np.asarray(devs[:nd]))
+        interpret = use_pallas and devs[0].platform != "tpu"
+        run = lambda: simulate_drift_sharded(
+            inst, sky, obs, beam_fn, mesh, use_pallas=use_pallas,
+            interpret=interpret)
+        jax.block_until_ready(run())              # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            out = run()
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / repeats
+        gmacs = nsrc * nbl * nchan / dt / 1e9
+        per_dev = gmacs / nd
+        if base_rate is None:
+            base_rate = per_dev
+        row = {"devices": nd, "platform": devs[0].platform,
+               "nbl": nbl, "nchan": nchan, "nsrc": nsrc,
+               "seconds_per_snapshot": round(dt, 4),
+               "gmacs_total": round(gmacs, 3),
+               "gmacs_per_device": round(per_dev, 3),
+               "weak_scaling_efficiency": round(per_dev / base_rate, 3)}
+        results.append(row)
+        import json as _json
+        print(_json.dumps(row), flush=True)
+    return results
+
+
 def main(argv=None):
     import argparse
     import json
@@ -758,6 +860,15 @@ def main(argv=None):
 
     m = sub.add_parser("mesh-check")
     m.add_argument("-n", "--n-devices", type=int, default=8)
+    m.add_argument("--bench", action="store_true",
+                   help="weak-scaling bench: per-device rates on "
+                        "1..n-device meshes")
+    m.add_argument("--per-bl", type=int, default=32)
+    m.add_argument("--nchan", type=int, default=64)
+    m.add_argument("--nside", type=int, default=16)
+    m.add_argument("--pallas", action="store_true")
+    m.add_argument("--platform", default="auto",
+                   choices=["auto", "cpu", "native"])
 
     f = sub.add_parser("feko2hpx")
     f.add_argument("infile")
@@ -816,6 +927,11 @@ def main(argv=None):
         figdir = plot_sim(a.infile, a.outdir)
         print("wrote figures to %s" % figdir)
     elif a.cmd == "mesh-check":
+        if a.bench:
+            mesh_bench(a.n_devices, per_bl=a.per_bl, nchan=a.nchan,
+                       nside=a.nside, use_pallas=a.pallas,
+                       platform=a.platform)
+            raise SystemExit(0)
         raise SystemExit(0 if mesh_check(a.n_devices) else 1)
     elif a.cmd == "feko2hpx":
         feko_to_healpix(a.infile, a.outfile, nside=a.nside,

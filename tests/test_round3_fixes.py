@@ -338,3 +338,17 @@ def test_feko_beam_drives_simulation(tmp_path):
     vs, _ = run_simulation(p, verbose=False, save=False)
     assert np.isfinite(vs.skyvis).all()
     assert np.abs(vs.skyvis).max() > 0
+
+
+def test_mesh_bench_weak_scaling():
+    """tools mesh-check --bench: fixed per-device work across mesh
+    sizes, per-device rates + efficiency reported (VERDICT r2 item 9)."""
+    from prisim_tpu.tools import mesh_bench
+    rows = mesh_bench(n_devices=2, per_bl=4, nchan=8, nside=4,
+                      repeats=1)
+    assert [r["devices"] for r in rows] == [1, 2]
+    for r in rows:
+        assert r["nbl"] == 4 * r["devices"]
+        assert r["gmacs_per_device"] >= 0
+        assert "weak_scaling_efficiency" in r
+    assert rows[0]["weak_scaling_efficiency"] == 1.0
