@@ -79,7 +79,8 @@ def _tpu_macs_per_sec(nbl=666, nchan=1024, nsrc=49152, repeats=3):
         amps_layout=os.environ.get("PRISIM_BENCH_LAYOUT", "sl"),
         src_tile=int(os.environ.get("PRISIM_BENCH_SRC_TILE", 64)),
         bl_tile=int(os.environ.get("PRISIM_BENCH_BL_TILE", 256)),
-        w_block=int(os.environ.get("PRISIM_BENCH_W_BLOCK", 16)))
+        w_block=int(os.environ.get("PRISIM_BENCH_W_BLOCK", 16)),
+        recur=os.environ.get("PRISIM_BENCH_RECUR", "df"))
 
     def make_snapshot(kernel):
         # return (re, im) f32 pair: complex64 device->host transfers are

@@ -51,7 +51,8 @@ def pallas_available():
         return False
 
 
-def _kernel(*refs, Q, L, WB, ST, BT, k_mode, layout, grad, ext):
+def _kernel(*refs, Q, L, WB, ST, BT, k_mode, layout, grad, ext, recur,
+            aq):
     (seh_ref, sel_ref, blh_ref, bll_ref, amps_ref, scal_ref) = refs[:6]
     idx = 6
     ssk_ref = None
@@ -172,31 +173,68 @@ def _kernel(*refs, Q, L, WB, ST, BT, k_mode, layout, grad, ext):
     Ldh = dh * jnp.float32(L)
     Ldl = dl * jnp.float32(L)
 
+    if recur == "rot":
+        # Anchored rotation recurrences (throughput mode, VERDICT r2
+        # item 4): the per-step two-float sincos + frac/add machinery
+        # (~96 evaluations per C=1024 output channels, each ~30-40
+        # VPU flops) is replaced by a complex multiply with a
+        # renormalized per-channel-step rotation factor (6 flops).
+        # Exact two-float anchors bound the drift: W re-anchors at
+        # every r-block start (<= WB-1 rotations), U every `aq` coarse
+        # channels (<= aq rotations). Each rotation adds ~1 ulp of
+        # phase/amplitude rounding with sign set by d = k*dnu/c, which
+        # varies randomly across (s, b); accuracy vs the f64 golden is
+        # measured at the north-star shape by
+        # benchmarks/accuracy_northstar.py (BASELINE.md round 3).
+        rc, rs_ = tf.df_sincos_cycles(dh, dl, xp=jnp, two_pi=two_pi)
+        rn = 1.5 - 0.5 * (rc * rc + rs_ * rs_)   # |R| -> 1 + O(ulp^2)
+        rc, rs = rc * rn, rs_ * rn
+        Lfh, Lfl = tf.df_frac(Ldh, Ldl, xp=jnp)
+        rLc_, rLs_ = tf.df_sincos_cycles(Lfh, Lfl, xp=jnp,
+                                         two_pi=two_pi)
+        rLn = 1.5 - 0.5 * (rLc_ * rLc_ + rLs_ * rLs_)
+        rLc, rLs = rLc_ * rLn, rLs_ * rLn
+        # cycles step per U anchor group: aq*L*d via two_prod (aq need
+        # not be a power of 2, so the hi scaling must carry its
+        # rounding error into the lo part)
+        aqf = jnp.float32(aq)
+        ALdh, _e = tf.two_prod(Ldh, aqf)
+        ALdl = _e + Ldl * aqf
+
     for rb in range(L // WB):
         r0 = rb * WB
-
-        def w_step(j, carry):
-            ch_, cl_ = carry
-            wc, ws = tf.df_sincos_cycles(ch_, cl_, xp=jnp,
-                                         two_pi=two_pi)
-            wc_ref[j] = wc
-            ws_ref[j] = -ws
-            return tf.df_frac(*tf.df_add(ch_, cl_, dh, dl), xp=jnp)
 
         # start cycles r0*d in two-float (r0 is a small exact integer
         # but dh*r0 can exceed the f32 mantissa, e.g. r0=24)
         r0f = jnp.float32(r0)
         s_h, s_e = tf.two_prod(dh, r0f)
-        jax.lax.fori_loop(0, WB, w_step,
-                          tf.df_frac(s_h, s_e + dl * r0f, xp=jnp))
+        w_start = tf.df_frac(s_h, s_e + dl * r0f, xp=jnp)
+        if recur == "rot":
+            wc0, ws0 = tf.df_sincos_cycles(*w_start, xp=jnp,
+                                           two_pi=two_pi)
+
+            def w_rot(j, ph):
+                wc, wsn = ph
+                wc_ref[j] = wc
+                ws_ref[j] = wsn
+                return (wc * rc + wsn * rs, wsn * rc - wc * rs)
+
+            jax.lax.fori_loop(0, WB, w_rot, (wc0, -ws0))
+        else:
+            def w_step(j, carry):
+                ch_, cl_ = carry
+                wc, ws = tf.df_sincos_cycles(ch_, cl_, xp=jnp,
+                                             two_pi=two_pi)
+                wc_ref[j] = wc
+                ws_ref[j] = -ws
+                return tf.df_frac(*tf.df_add(ch_, cl_, dh, dl), xp=jnp)
+
+            jax.lax.fori_loop(0, WB, w_step, w_start)
         Wc = wc_ref[:]
         Ws = ws_ref[:]
 
-        def q_step(q, carry):
-            th, tl = carry
-            uc, us_ = tf.df_sincos_cycles(th, tl, xp=jnp,
-                                          two_pi=two_pi)
-            us = -us_                                    # (ST, BT)
+        def q_body(q, uc, us):
+            # us is the NEGATED sine plane (phasor e^{-i theta})
             if layout == "ls":                           # (Q, L, ST)
                 A = amps_ref[q, r0:r0 + WB]              # (WB, ST)
             else:                                        # (Q, ST, L)
@@ -256,20 +294,46 @@ def _kernel(*refs, Q, L, WB, ST, BT, k_mode, layout, grad, ext):
             ti = vi0 + yi
             ci_ref[q, r0:r0 + WB] = (ti - vi0) - yi
             vi_ref[q, r0:r0 + WB] = ti
-            return tf.df_frac(*tf.df_add(th, tl, Ldh, Ldl), xp=jnp)
 
-        jax.lax.fori_loop(0, Q, q_step, (p0h, p0l))
+        if recur == "rot":
+            def qa_step(qa, carry):
+                th, tl = carry
+                uc0, us0 = tf.df_sincos_cycles(th, tl, xp=jnp,
+                                               two_pi=two_pi)
+
+                def q_rot(i, ph):
+                    uc, usn = ph
+                    q_body(qa * aq + i, uc, usn)
+                    return (uc * rLc + usn * rLs,
+                            usn * rLc - uc * rLs)
+
+                jax.lax.fori_loop(0, aq, q_rot, (uc0, -us0))
+                return tf.df_frac(*tf.df_add(th, tl, ALdh, ALdl),
+                                  xp=jnp)
+
+            jax.lax.fori_loop(0, Q // aq, qa_step, (p0h, p0l))
+        else:
+            def q_step(q, carry):
+                th, tl = carry
+                uc, us_ = tf.df_sincos_cycles(th, tl, xp=jnp,
+                                              two_pi=two_pi)
+                q_body(q, uc, -us_)
+                return tf.df_frac(*tf.df_add(th, tl, Ldh, Ldl), xp=jnp)
+
+            jax.lax.fori_loop(0, Q, q_step, (p0h, p0l))
 
 
 @functools.partial(jax.jit, static_argnames=("nchan", "src_tile",
                                              "bl_tile", "w_block",
                                              "amps_layout",
                                              "interpret", "k_mode",
-                                             "gradient"))
+                                             "gradient", "recur",
+                                             "anchor_q"))
 def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
                  chan0=0, src_tile=None, bl_tile=None, w_block=None,
                  amps_layout=None, interpret=False, k_mode=None,
-                 s_sky=None, src_shape_sigma=None, gradient=False):
+                 s_sky=None, src_shape_sigma=None, gradient=False,
+                 recur=None, anchor_q=8):
     """Pallas NUDFT: complex64 (B, C) (and (3, B, C) gradient moments
     when gradient=True; extended sources when src_shape_sigma given —
     both need s_sky (S, 3) f32 sky dircos, matching nudft_visibilities).
@@ -288,7 +352,12 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
 
     Default: 'sl' when the padded amps stay under ~2 GB, else 'ls'.
     w_block (default: capped so the W scratch stays <= ~2 MB at large
-    tiles) sets the r-block width of the W phasor table; see _kernel."""
+    tiles) sets the r-block width of the W phasor table; see _kernel.
+
+    recur: 'df' evaluates every grid phasor with the two-float sincos
+    (round-2 behavior); 'rot' uses anchored rotation recurrences (see
+    _kernel; accuracy/throughput measured in BASELINE.md round 3).
+    Default 'df'; anchor_q sets the U re-anchor period in 'rot'."""
     g0h, g0l, gdh, gdl = grid_scalars
     S = seh.shape[0]
     B = blh.shape[0]
@@ -389,10 +458,19 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
         WB = int(w_block)
     if L % WB:
         raise ValueError("w_block must divide L=%d" % L)
+    if recur is None:
+        recur = "df"
+    if recur not in ("df", "rot"):
+        raise ValueError("recur must be 'df' or 'rot'")
+    # largest divisor of Q not exceeding anchor_q (Q need not be a
+    # power of 2: choose_ql gives Q=6 at C=48)
+    aq = min(int(anchor_q), Q)
+    while Q % aq:
+        aq -= 1
     grid = (B_pad // BT, S_pad // ST)
     kernel = functools.partial(_kernel, Q=Q, L=L, WB=WB, ST=ST, BT=BT,
                                k_mode=k_mode, layout=amps_layout,
-                               grad=grad, ext=ext)
+                               grad=grad, ext=ext, recur=recur, aq=aq)
     # (Q, L, S_total): the per-q read indexes the LEADING dim — traced
     # dynamic indexing on non-leading VMEM dims trapped the device at
     # runtime (verified on hardware: kernel ran, then all subsequent

@@ -178,3 +178,24 @@ def test_pallas_extended_sources_matches_golden():
     scale = np.abs(want).max()
     assert np.abs(got - want).max() / scale < 3e-6
     assert np.abs(got - ref).max() / scale < 3e-6
+
+
+def test_pallas_rot_recurrence_matches_golden():
+    """recur='rot' (anchored rotation recurrences, the round-3
+    throughput mode) stays in the engine accuracy class vs f64 and
+    agrees with recur='df' — including long wrapping baselines and a
+    non-divisible anchor layout (C=48 -> Q=8 with anchor_q=4)."""
+    for seed, C, blscale in ((0, 48, 200.0), (5, 64, 4000.0)):
+        seh, sel, blh, bll, amps, gs, C_, se, bl, a_np, freqs = \
+            _problem(S=96, B=17, C=C, seed=seed)
+        bl = bl * (blscale / 200.0)   # re-split AFTER scaling: scaling
+        blh, bll = map(jnp.asarray, tf.split_f64(bl))  # hi/lo parts
+        want = nudft_reference_f64(se, bl, a_np, freqs)  # breaks the
+        # two-float invariant (the hi rounding is lost) and is NOT a
+        # kernel error
+        got = np.asarray(nudft_pallas(seh, sel, blh, bll, amps, gs, C,
+                                      src_tile=16, bl_tile=8,
+                                      interpret=True, recur="rot",
+                                      anchor_q=4))
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() / scale < 2e-6
