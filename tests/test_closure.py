@@ -358,3 +358,50 @@ def test_day_binning():
     # combined lst + day binning
     out5 = cpd.smooth_in_tbins(lstbinsize=0.25, daybinsize=2.0)
     assert out5.cp.shape[0] < cpd.cp.shape[0] and out5.cp.shape[1] == 2
+
+
+def test_xcpdps_full_lazy_collapse_matches_standard(monkeypatch):
+    """The lazy (factor-side) covariance collapse used at 512-antenna
+    scale produces the same P / diagoffsets / diagweights / axesmap as
+    the materialized (N, N) block + _array_trace path, across axis
+    combinations, weights, and avgcov."""
+    from prisim_tpu.analysis import bispectrum as bsp
+    cpd = _random_cpd(nlst=5, ndays=3, ntri=7, nchan=32, seed=7)
+    ft = bsp.cpds_ft(cpd.eicp, cpd.wts, cpd.freqs, freq_center=[152e6],
+                     bw_eff=2e6)
+    ntri = 7
+    cases = [
+        dict(incohax=(3,), collapse_axes=(3,)),
+        dict(incohax=(1, 3), collapse_axes=(3,),
+             lst_shifts=np.arange(3)),
+        dict(incohax=(1, 3), collapse_axes=(1, 3)),
+        dict(cohax=(2,), incohax=(1, 3), collapse_axes=(3, 1)),
+        dict(incohax=(2, 3), collapse_axes=(2, 3)),
+        dict(incohax=(3,), collapse_axes=(3,), avgcov=True),
+        dict(incohax=(3,), collapse_axes=(3,),
+             preX={3: np.linspace(0.5, 1.5, ntri)},
+             postX={3: np.linspace(1.0, 2.0, 2 * ntri - 1)},
+             preXnorm=True, postXnorm=True),
+    ]
+    for kw in cases:
+        monkeypatch.setattr(bsp, "_LAZY_COLLAPSE_BYTES", 1e30)
+        ref = bsp.xcpdps_full(ft, **kw)
+        monkeypatch.setattr(bsp, "_LAZY_COLLAPSE_BYTES", 0.0)
+        out = bsp.xcpdps_full(ft, **kw)
+        assert out["P"].shape == ref["P"].shape, kw
+        np.testing.assert_allclose(out["P"], ref["P"], rtol=1e-10,
+                                   atol=1e-12, err_msg=str(kw))
+        for ax in ref["diagoffsets"]:
+            np.testing.assert_array_equal(out["diagoffsets"][ax],
+                                          ref["diagoffsets"][ax])
+            np.testing.assert_array_equal(out["diagweights"][ax],
+                                          ref["diagweights"][ax])
+        assert out["axesmap"] == ref["axesmap"], kw
+    # median stat must never take the lazy path (means don't commute)
+    monkeypatch.setattr(bsp, "_LAZY_COLLAPSE_BYTES", 0.0)
+    med = bsp.xcpdps_full(ft, incohax=(3,), collapse_axes=(3,),
+                          stat="median")
+    monkeypatch.setattr(bsp, "_LAZY_COLLAPSE_BYTES", 1e30)
+    med_ref = bsp.xcpdps_full(ft, incohax=(3,), collapse_axes=(3,),
+                              stat="median")
+    np.testing.assert_allclose(med["P"], med_ref["P"], rtol=1e-10)
