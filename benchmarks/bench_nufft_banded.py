@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--skip-direct", action="store_true")
     args = ap.parse_args()
 
+    from prisim_tpu.driver import _enable_compilation_cache
+    _enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     from prisim_tpu import layouts as lay
