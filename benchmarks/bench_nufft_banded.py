@@ -25,6 +25,7 @@ def main():
     ap.add_argument("--rank", type=int, default=24)
     ap.add_argument("--tile", type=int, default=256)
     ap.add_argument("--gblk", type=int, default=64)
+    ap.add_argument("--ktaps", type=int, default=13)
     ap.add_argument("--nchan", type=int, default=1024)
     ap.add_argument("--nside", type=int, default=64)
     ap.add_argument("--repeats", type=int, default=3)
@@ -79,12 +80,12 @@ def main():
     rank = args.rank
     pinvQ, Q = chebyshev_projection(freqs, rank)
     plan = make_banded_plan(bset.vectors, inst.nu0, inst.dnu, nchan,
-                            rank=rank, T_s=args.tile, G_blk=args.gblk)
-    print(f"# plan: D={plan.ndir} dirs, n_bk={plan.n_bk}, G0={plan.G0},"
-          f" T_s={plan.T_s}, G={plan.G_blk}, rank={rank}", flush=True)
+                            rank=rank, T_s=args.tile, G_blk=args.gblk,
+                            K=args.ktaps)
+    print(f"# plan: D={plan.ndir} dirs, n_blk_max={plan.n_blk_max}, "
+          f"R={plan.R_max}, T_s={plan.T_s}, G={plan.G_blk}, "
+          f"K={plan.K}, rank={rank}", flush=True)
 
-    # three split-jit stages (the fused jit compile is pathological at
-    # this scale; make_banded_snapshot_fns docstring)
     run_banded = make_banded_snapshot_fns(inst, sky, beam_fn, plan,
                                           pinvQ, Q)
 
@@ -101,18 +102,30 @@ def main():
     _sync1(pre)
     print(f"stage prep first: {time.perf_counter()-t0:.1f} s",
           flush=True)
-    u_hs, u_ls, P_s, bk, goff, ok = pre
+    u_h, u_l, P_r, ok = pre
     t0 = time.perf_counter()
-    out = stage_spread(u_hs, u_ls, P_s, goff)
+    out = stage_spread(u_h, u_l, P_r)
     _sync1(out)
     print(f"stage spread first: {time.perf_counter()-t0:.1f} s",
           flush=True)
     t0 = time.perf_counter()
-    vb = stage_post(out, bk)
+    vb = stage_post(out)
     _sync1(vb)
     print(f"stage post first: {time.perf_counter()-t0:.1f} s, "
           f"ok={bool(np.asarray(jax.device_get(ok)))}", flush=True)
     br, bi = jnp.real(vb), jnp.imag(vb)
+
+    # per-stage steady-state timings
+    for name, fn, a in (("prep", stage_prep, margs),
+                        ("spread", stage_spread, (u_h, u_l, P_r)),
+                        ("post", stage_post, (out,))):
+        best = np.inf
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            o = fn(*a)
+            _sync1(o)
+            best = min(best, time.perf_counter() - t0)
+        print(f"stage {name}: {best:.4f} s", flush=True)
 
     times = {}
     best = np.inf

@@ -915,17 +915,27 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
             # MXU banded spread (engine/nufft_banded.py): sorted-source
             # tiles through a dense window matrix — the TPU-fast path.
             # Each snapshot also returns an `ok` span-check flag; any
-            # failure (pathological delay clustering overflowed the
-            # static window) demotes the whole run to the sorted spread.
+            # failure (non-unit source vectors whose bins could fall
+            # outside the static block range) demotes the whole run to
+            # the sorted spread; a plan that cannot keep one baseline's
+            # delay rows in VMEM raises at build time and demotes too.
             from .engine.nufft_banded import (
                 make_banded_plan, make_banded_snapshot_fns)
-            plan = make_banded_plan(
-                np.asarray(bls.vectors), inst.nu0, inst.dnu,
-                freqs.size, rank=min(rank, freqs.size))
+            try:
+                plan = make_banded_plan(
+                    np.asarray(bls.vectors), inst.nu0, inst.dnu,
+                    freqs.size, rank=min(rank, freqs.size))
+            except ValueError as exc:
+                print("[prisim_tpu] banded NUFFT plan rejected (%s); "
+                      "re-running with the sorted spread" % exc)
+                p2 = dict(parms)
+                p2["processing"] = dict(parms["processing"],
+                                        nufft_spread="sorted")
+                return _run_simulation_inner(p2, outdir, verbose, save,
+                                             _sky_override, t0)
             interp = jax.devices()[0].platform != "tpu"
-            # three separately-jitted stages: the fused jit hits a
-            # pathological Mosaic/XLA compile at scale (nufft_banded.py
-            # make_banded_snapshot_fns docstring)
+            # three separately-jitted stages (isolates tunnel upload
+            # stalls per stage; executables reused across snapshots)
             snap_b = make_banded_snapshot_fns(
                 inst, sks, beam_fn, plan, pinvQ, Q, interpret=interp)
             snaps = []
@@ -939,7 +949,8 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
                     break
                 snaps.append(get_complex(v))
             if not all_ok:
-                print("[prisim_tpu] banded NUFFT span check failed; "
+                print("[prisim_tpu] banded NUFFT unit-source check "
+                      "failed; "
                       "re-running with the sorted spread")
                 p2 = dict(parms)
                 # on TPU the honesty gate then demotes sorted -> direct

@@ -1,32 +1,47 @@
-"""Banded-spread NUFFT: the MXU-resident TPU spreading kernel (round 3).
+"""Banded block-sweep NUFFT: the MXU-resident TPU spreading kernel.
 
 The round-2 sorted segment-sum spread (nufft_delay) is exact but runs at
 TPU gather/cross-lane-scan speeds on hardware — ~100x slower than the
-direct Pallas kernel (BASELINE.md). This module rebuilds the delay-space
-type-3 NUFFT spreading as dense banded work:
+direct Pallas kernel (BASELINE.md). A first round-3 redesign sorted each
+direction's source stream with a multi-operand `lax.sort` carrying the
+rank-r spectral payload; measured on the chip, that sort is itself the
+bottleneck (the 26-operand sort at bench scale stalls XLA's TPU
+compiler for >8 minutes and would run at cross-lane speeds). This
+module removes EVERY data-dependent reorder: no sort, no gather, no
+scatter, no per-snapshot prefetch tables.
 
 * Baselines are grouped by DIRECTION on the host: τ_sb = |b| · u_sd / c
   with u_sd = s_eff · b̂_d, so all baselines sharing a direction share
-  one sorted source stream. One multi-operand `lax.sort` per direction
-  delivers (u two-float, spectral coefficients P) sorted by delay — the
-  ONLY cross-lane op in the pipeline; no gathers, no cumulative sums.
-* A Pallas kernel walks fixed-size tiles of each direction's sorted
-  stream once per baseline. Sorted sources make each tile's occupied
-  delay-bin range contiguous and small, so the tile's spreading is a
-  dense (G_win × T_s) window matrix — built on the VPU with per-tap
-  row-match selects and Horner tap weights — applied to the (T_s × 2r)
-  carrier-phased coefficients with ONE MXU dot. Window placement is
-  scalar-prefetched (g_off is monotone per baseline because u is
-  sorted), windows land in an expanded block-aligned output that XLA
-  overlap-adds, wraps mod n, FFTs and deconvolves.
+  one (unsorted) source stream. Per snapshot the device computes only
+  elementwise two-float u and the (S, r) spectral projection.
+* The grid's occupied delay-bin range per baseline is STATIC: |u| ≤ 2
+  for unit sources, so bins live in ±2|b|/(c·h). The plan precomputes,
+  per baseline, the first occupied G_blk-aligned block (`blk_lo`) and
+  the number of blocks (`n_blk`) — host constants, scalar-prefetched.
+* A Pallas kernel walks (baseline, source-tile) grid steps. Each step
+  evaluates the tile's phases/carrier once, then sweeps the baseline's
+  `n_blk` blocks with a dynamic-bound fori: for each block a dense
+  (G_win × T_s) window matrix is built on the VPU with per-tap
+  row-match selects (a source is OWNED by the block containing its
+  first tap row, so no tap is double-counted), and applied to the
+  (T_s × 2r) carrier-phased coefficients with ONE MXU dot accumulated
+  into the baseline's VMEM-resident output rows. Unsorted tiles
+  scatter across all of a baseline's blocks, so the sweep costs
+  ~n_blk× the VPU work of a sorted tile — but n_blk is small (span/
+  G_blk), adapts per baseline, and buys the removal of the sort whose
+  cost scaled with D·S·r.
+* Output rows are per-baseline contiguous (row p ↔ absolute bin
+  blk_lo·G_blk + p). Post wraps rows mod n by a reshape-sum, FFTs, and
+  applies the per-baseline integer bin offset as an EXACT host-computed
+  FFT phase ramp (roll theorem) — no per-baseline roll/gather.
 
-Cost per (source, baseline): ~2·K·G_win VPU ops + 2·G_win·2r MXU flops
-(vs the direct engine's ~10·C VPU ops per source·baseline·channel) —
-independent of channel count. Correctness guards: tile delay-bin spans
-are checked in XLA against the static window capacity (`ok` flag;
-sources never land silently outside a window — the kernel's row-match
-drops them and the flag reports it), and the driver's nufft cross-check
-gate validates snapshot 0 against the direct engine.
+Cost per (source, baseline): ~2·K·G_win·n̄_blk/T_s... amortized per
+tile: 2·K·G_win·T_s VPU ops + 2·G_win·T_s·2r MXU flops per swept
+block — independent of channel count. Exactness is constructional
+(every source's bin lies inside its baseline's static block range);
+the `ok` flag only guards non-unit source vectors, and the driver's
+nufft cross-check gate still validates snapshot 0 against the direct
+engine.
 
 Algorithm reference: gridding type-3 NUFFT (Dutt & Rokhlin 1993); the
 reference implementation evaluates the dense phase matrix instead
@@ -46,7 +61,8 @@ __all__ = ["banded_spread_available", "make_banded_plan", "BandedPlan",
            "group_directions", "nufft_banded_visibilities",
            "simulate_snapshot_nufft_banded", "make_banded_snapshot_fns"]
 
-_PAD_U = 3.0          # sorts after any physical u (|s_eff · b̂| <= 2)
+_PAD_U = 3.0          # outside any physical u (|s_eff · b̂| <= 2)
+_VMEM_OUT_BYTES = 8 << 20
 
 
 def banded_spread_available():
@@ -64,8 +80,8 @@ def banded_spread_available():
 
 def group_directions(bl_vectors, decimals=9):
     """Group baselines by unit direction: (dirs (D, 3) f64, d_of_b (B,)
-    int32). Opposite directions are distinct groups (the kernel needs
-    φ = |b|·u ascending along each sorted stream)."""
+    int32). Opposite directions are distinct groups (φ = |b|·u keeps
+    one sign convention per stream)."""
     bl = np.asarray(bl_vectors, dtype=np.float64)
     norm = np.linalg.norm(bl, axis=1)
     if np.any(norm == 0):
@@ -91,18 +107,21 @@ class BandedPlan:
     alpha: float
     n: int                     # oversampled FFT length
     h: float                   # delay grid step (s)
-    T_s: int                   # sorted-source tile
-    G_blk: int                 # output block granularity (rows)
-    G_win: int                 # tile window rows (== G_blk)
-    n_bk: int                  # number of output blocks (expanded grid)
-    G0: int                    # shift making all bins non-negative
+    T_s: int                   # source tile
+    G_blk: int                 # block granularity (rows, mult of 8)
+    G_win: int                 # per-block window rows (G_blk + taps)
+    n_blk_max: int             # max blocks over baselines
+    R_max: int                 # output rows per baseline
     dirs_hi: np.ndarray        # (D, 3) f32 two-float direction split
     dirs_lo: np.ndarray
     d_of_b: np.ndarray         # (B,) int32
+    blk_lo: np.ndarray         # (B,) int32 first block (bin/G_blk, signed)
+    n_blk: np.ndarray          # (B,) int32 blocks to sweep
     blen_hi: np.ndarray        # (B,) f32 two-float |b|
     blen_lo: np.ndarray
     tap_w: np.ndarray          # (K, deg+1) f64 per-tap poly (polyval)
     deconv: np.ndarray         # (C,) f32 1/what(k/n)
+    ramp: np.ndarray           # (B, C) c64 exact bin-offset phase ramp
     consts: dict = field(default_factory=dict)
 
     @property
@@ -123,9 +142,15 @@ def _split(x):
 def make_banded_plan(bl_vectors, nu0, dnu, nchan, rank, beta=2.0, K=13,
                      T_s=256, G_blk=None):
     """Build the static plan for a set of baseline vectors (meters) and
-    a uniform frequency grid. Exact for arbitrary (3-D) baselines."""
+    a uniform frequency grid. Exact for arbitrary (3-D) baselines.
+
+    Raises ValueError when the longest baseline's per-baseline output
+    rows would blow the VMEM budget (callers fall back to the sorted /
+    direct engines)."""
     from .. import constants as CNST
     bl = np.asarray(bl_vectors, dtype=np.float64)
+    if K % 2 == 0:
+        raise ValueError("K must be odd (tap rows -half..+half)")
     alpha = np.pi * K * (1.0 - 0.5 / beta) - 0.01
     n = int(beta * nchan)
     h = 1.0 / (n * dnu)
@@ -134,14 +159,24 @@ def make_banded_plan(bl_vectors, nu0, dnu, nchan, rank, beta=2.0, K=13,
     inv_ch = 1.0 / (CNST.c * h)
     if G_blk is None:
         G_blk = 64
-    if G_blk < K + 24:
-        raise ValueError("G_blk too small for K=%d" % K)
-    G_win = G_blk
-    # expanded grid: φ' = |b| u/(c h) + G0 with |u| <= 2 (s_eff)
-    phi_max = float(blen.max()) * 2.0 * inv_ch
-    G0 = int(G_blk * np.ceil((phi_max + K) / G_blk))
-    n_bk = int(np.ceil((G0 + phi_max + K + 16) / G_blk)) + 1
-    assert (n_bk - 1) * G_blk >= G0 + phi_max + K + 8
+    if G_blk % 8:
+        raise ValueError("G_blk must be a multiple of 8")
+    half = K // 2
+    G_win = int(-(-(G_blk + K - 1) // 8) * 8)
+    # static per-baseline occupied range: bins in ±(phimax + 1)
+    phimax = blen * 2.0 * inv_ch
+    blk_lo = np.floor((-phimax - half - 2.0) / G_blk).astype(np.int32)
+    hi_own = phimax + 2.0 - half          # max first-tap (ownership) row
+    n_blk = (np.floor(hi_own / G_blk).astype(np.int64)
+             - blk_lo.astype(np.int64) + 1).astype(np.int32)
+    n_blk_max = int(n_blk.max())
+    R_max = n_blk_max * G_blk + (G_win - G_blk)
+    R_max = int(-(-R_max // 8) * 8)
+    if R_max * 2 * rank * 4 > _VMEM_OUT_BYTES:
+        raise ValueError(
+            "banded plan: per-baseline output rows (%d x %d) exceed the"
+            " VMEM budget; longest baseline %.0f m spans too many delay"
+            " bins at nchan=%d" % (R_max, 2 * rank, blen.max(), nchan))
     k = np.arange(nchan) - nchan // 2
     deconv = (1.0 / kb_fourier(k / n, K, alpha)).astype(np.float32)
     dh, dl = zip(*[_split(v) for v in dirs.ravel()])
@@ -149,15 +184,27 @@ def make_banded_plan(bl_vectors, nu0, dnu, nchan, rank, beta=2.0, K=13,
     dirs_lo = np.asarray(dl, np.float32).reshape(dirs.shape)
     bh, blo = zip(*[_split(v) for v in blen])
     numid = nu0 + (nchan // 2) * dnu
+    # exact roll-theorem ramp for the per-baseline bin offset
+    # off_b = blk_lo_b * G_blk: row p holds bin off_b + p, and
+    # FFT(grid)[k] = FFT(rows)[k] * e^{-2πi k off_b / n} at the kept
+    # FFT indices k (f64 host trig on exact integer args)
+    k_idx = np.concatenate([np.arange(n - nchan // 2, n),
+                            np.arange(0, nchan - nchan // 2)])
+    off = (blk_lo.astype(np.int64) * G_blk) % n
+    m = (k_idx[None, :] * off[:, None]) % n
+    ang = 2.0 * np.pi * m / n
+    ramp = (np.cos(ang) - 1j * np.sin(ang)).astype(np.complex64)
     return BandedPlan(
         nu0=float(nu0), dnu=float(dnu), nchan=int(nchan), rank=int(rank),
         beta=float(beta), K=int(K), alpha=float(alpha), n=n, h=h,
-        T_s=int(T_s), G_blk=int(G_blk), G_win=int(G_win), n_bk=int(n_bk),
-        G0=G0, dirs_hi=dirs_hi, dirs_lo=dirs_lo, d_of_b=d_of_b,
+        T_s=int(T_s), G_blk=int(G_blk), G_win=G_win,
+        n_blk_max=n_blk_max, R_max=R_max,
+        dirs_hi=dirs_hi, dirs_lo=dirs_lo, d_of_b=d_of_b,
+        blk_lo=blk_lo, n_blk=n_blk,
         blen_hi=np.asarray(bh, np.float32),
         blen_lo=np.asarray(blo, np.float32),
         tap_w=kb_tap_coeffs(K, alpha, degree=10),
-        deconv=deconv,
+        deconv=deconv, ramp=ramp,
         consts=dict(inv_ch=inv_ch, numid_c=numid / CNST.c))
 
 
@@ -165,23 +212,20 @@ def make_banded_plan(bl_vectors, nu0, dnu, nchan, rank, beta=2.0, K=13,
 # Pallas kernel
 # --------------------------------------------------------------------------
 
-def _banded_kernel(dofb_ref, goff_ref,
-                   uh_ref, ul_ref, ps_ref, blh_ref, bll_ref, cst_ref,
-                   out_ref, *, T_s, G_win, G_blk, K, r, tap_np):
-    """One (baseline, sorted-source-tile) grid step — see module doc.
+def _sweep_kernel(dofb_ref, blo_ref, nblk_ref,
+                  uh_ref, ul_ref, ps_ref, blh_ref, bll_ref, cst_ref,
+                  out_ref, *, T_s, G_win, G_blk, K, r, tap_np):
+    """One (baseline, source-tile) grid step — see module doc.
 
-    Scalar-prefetch: dofb (B,), goff (B, n_tiles) int32 — bk/loc derive
-    from goff arithmetically both here and in the index maps (three
-    separate (B, n_tiles) prefetch tables blew the 1 MB SMEM budget at
-    bench scale: 3 x 672 KB scoped). VMEM:
-    uh/ul (1, T_s) sorted u two-float; ps (1, r, T_s) sorted spectral
-    coefficients; blh/bll (1, T_s) |b| broadcast (two-float operands
-    stay opaque VMEM tiles — SMEM scalars let the compiler collapse
-    compensated products; round-2 finding, pallas_nudft.py); cst
-    (8, T_s) grid constants. Output block (1, 1, 2*G_blk, 2r): the
-    window accumulates at the prefetched 8-aligned local offset;
-    revisits of one output block are consecutive because g_off is
-    monotone per baseline (u sorted, |b| > 0)."""
+    Scalar-prefetch: dofb/blk_lo/n_blk, all (B,) int32 — tiny SMEM (the
+    earlier sorted design's (B, n_tiles) tables blew the 1 MB budget).
+    VMEM: uh/ul (1, T_s) unsorted u two-float; ps (r, T_s) spectral
+    coefficients (SHARED across baselines — no per-direction payload);
+    blh/bll (1, T_s) |b| broadcast (two-float operands stay opaque VMEM
+    tiles — SMEM scalars let the compiler collapse compensated
+    products; round-2 finding, pallas_nudft.py); cst (8, T_s) grid
+    constants. Output block (1, R_max, 2r): the whole per-baseline row
+    range stays VMEM-resident while j sweeps the tiles."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -190,11 +234,7 @@ def _banded_kernel(dofb_ref, goff_ref,
     i = pl.program_id(0)
     j = pl.program_id(1)
 
-    bk_cur = goff_ref[i, j] // G_blk
-    prev_bk = goff_ref[i, jnp.maximum(j - 1, 0)] // G_blk
-    is_new = jnp.logical_or(j == 0, bk_cur != prev_bk)
-
-    @pl.when(is_new)
+    @pl.when(j == 0)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
@@ -205,27 +245,26 @@ def _banded_kernel(dofb_ref, goff_ref,
     inv_h, inv_l = cst_ref[0], cst_ref[1]             # 1/(c h) two-float
     nmh, nml = cst_ref[2], cst_ref[3]                 # nu_mid/c two-float
     two_pi = (cst_ref[4], cst_ref[5])
-    g0f = cst_ref[6]                                  # G0 as f32
 
     # t = |b| * u  (two-float)
     th, tl = tf.df_mul(blh, bll, uh, ul)
-    # φ' = t/(c h) + G0  (shifted grid coordinate)
+    # φ = t/(c h): signed grid bin
     ph_h, ph_l = tf.df_mul(th, tl, inv_h, inv_l)
-    ph_h, ph_l = tf.df_add(ph_h, ph_l, g0f, jnp.zeros_like(g0f))
 
     # carrier cycles = (nu_mid/c) * t, frac-reduced; e^{-2πi·}
     ch_, cl_ = tf.df_mul(th, tl, nmh, nml)
     fh, fl = tf.df_frac(ch_, cl_, xp=jnp)
     cosv, sinv = tf.df_sincos_cycles(fh, fl, xp=jnp, two_pi=two_pi)
 
-    # m0 = rint(φ'), z0 = φ' - m0 in [-1/2, 1/2]
+    # m0 = rint(φ), z0 = φ - m0 in [-1/2, 1/2]; rows relative to the
+    # baseline's first block (blk_lo * G_blk, exact small-int f32)
     m0 = jnp.rint(ph_h)
     z0 = (ph_h - m0) + ph_l                           # (T_s,) f32
-    goff = goff_ref[i, j].astype(jnp.float32)
-    mrel = m0 - goff                                  # tile-local row
+    half = K // 2
+    base0 = (blo_ref[i] * G_blk).astype(jnp.float32)
+    mown0 = m0 - np.float32(half) - base0             # first-tap row
 
     # per-source tap weights w_j(z0) (host-fit Horner, kb_tap_coeffs)
-    half = K // 2
     ws = []
     for t_idx in range(K):
         co = tap_np[t_idx]
@@ -234,104 +273,106 @@ def _banded_kernel(dofb_ref, goff_ref,
             w = w * z0 + np.float32(c)
         ws.append(w)
 
-    # dense window W[g, s] = w_j(z0_s) at g == mrel_s + j; taps hit
-    # distinct rows so plain selects chain; sources whose rows fall
-    # outside [0, G_win) (pad sources, span overflow) match no row and
-    # are dropped — the XLA span check reports overflow via `ok`.
-    # int iota then cast: Mosaic's tpu.iota is integer-only
-    rows = jax.lax.broadcasted_iota(jnp.int32, (G_win, T_s),
-                                    0).astype(jnp.float32)
-    W = jnp.zeros((G_win, T_s), jnp.float32)
-    for t_idx in range(K):
-        tgt = mrel + np.float32(t_idx - half)         # (T_s,)
-        W = jnp.where(rows == tgt[None, :], ws[t_idx][None, :], W)
-
     # carrier-phased coefficients (2r, T_s): e^{-2πi·} = cos - i·sin
     P = ps_ref[:]                                     # (r, T_s)
     V = jnp.concatenate([P * cosv[None, :],
                          P * (-sinv)[None, :]], axis=0)
 
-    contrib = jax.lax.dot_general(
-        W, V, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)          # (G_win, 2r)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (G_win, T_s),
+                                    0).astype(jnp.float32)
 
-    loc = goff_ref[i, j] - bk_cur * G_blk
-    cur = out_ref[0, 0, pl.dslice(loc, G_win), :]
-    out_ref[0, 0, pl.dslice(loc, G_win), :] = cur + contrib
+    def body(blk, _):
+        rowbase = blk * G_blk
+        mown = mown0 - rowbase.astype(jnp.float32)    # (T_s,)
+        # ownership: the block containing the source's first tap row
+        # (pad sources at u=_PAD_U fall past every block and drop out)
+        member = jnp.logical_and(mown >= 0.0,
+                                 mown < np.float32(G_blk))
+        owned = jnp.where(member, mown, np.float32(-1.0))
+        W = jnp.zeros((G_win, T_s), jnp.float32)
+        for t_idx in range(K):
+            tgt = owned + np.float32(t_idx)
+            W = jnp.where(rows == tgt[None, :], ws[t_idx][None, :], W)
+        contrib = jax.lax.dot_general(
+            W, V, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)      # (G_win, 2r)
+        cur = out_ref[0, pl.dslice(rowbase, G_win), :]
+        out_ref[0, pl.dslice(rowbase, G_win), :] = cur + contrib
+        return 0
+
+    jax.lax.fori_loop(0, nblk_ref[i], body, 0)
 
 
-def _banded_spread(plan, u_hs, u_ls, P_s, d_of_b, goff,
-                   interpret=False):
-    """Run the Pallas spread. Returns (B, n_bk, 2*G_blk, 2r) f32 —
-    UNVISITED blocks contain garbage; callers mask with `bk`."""
+def _banded_spread(plan, u_flat_h, u_flat_l, P_r, interpret=False):
+    """Run the Pallas block sweep. Returns (B, R_max, 2r) f32 rows
+    (row p of baseline b holds bin blk_lo_b*G_blk + p)."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
-    from .. import twofloat as tf
 
     B = plan.nbl
     r = plan.rank
     T_s, G_blk, G_win = plan.T_s, plan.G_blk, plan.G_win
-    S_pad = u_hs.shape[1]
+    S_pad = P_r.shape[1]
     n_tiles = S_pad // T_s
 
     # Mosaic requires the trailing two block dims to be (8k, 128k) or
     # the full array dims — single-row blocks of a (D, S) array are
-    # rejected. Flatten to (1, D*S) / (r, D*S) / (1, B*T_s) so every
-    # block is (full, lane-multiple).
-    u_hs = u_hs.reshape(1, -1)
-    u_ls = u_ls.reshape(1, -1)
-    P_s = jnp.transpose(P_s, (1, 0, 2)).reshape(r, -1)  # (r, D*S)
+    # rejected. u stays flattened (1, D*S_pad); P is (r, S_pad) full-row.
     blh_b = jnp.broadcast_to(jnp.asarray(plan.blen_hi)[:, None],
                              (B, T_s)).reshape(1, -1)
     bll_b = jnp.broadcast_to(jnp.asarray(plan.blen_lo)[:, None],
                              (B, T_s)).reshape(1, -1)
     ivh, ivl = _split(plan.consts["inv_ch"])
     nmh, nml = _split(plan.consts["numid_c"])
+    from .. import twofloat as tf
     cst = jnp.stack([jnp.broadcast_to(jnp.float32(v), (T_s,))
                      for v in (ivh, ivl, nmh, nml,
                                np.float32(tf.TWO_PI_HI),
                                np.float32(tf.TWO_PI_LO),
-                               np.float32(plan.G0),
+                               np.float32(0.0),
                                np.float32(0.0))])
 
     kernel = functools.partial(
-        _banded_kernel, T_s=T_s, G_win=G_win, G_blk=G_blk, K=plan.K,
+        _sweep_kernel, T_s=T_s, G_win=G_win, G_blk=G_blk, K=plan.K,
         r=r, tap_np=np.asarray(plan.tap_w, np.float64))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, T_s), lambda i, j, d, go:
+            pl.BlockSpec((1, T_s), lambda i, j, d, bl, nb:
                          (0, d[i] * n_tiles + j)),
-            pl.BlockSpec((1, T_s), lambda i, j, d, go:
+            pl.BlockSpec((1, T_s), lambda i, j, d, bl, nb:
                          (0, d[i] * n_tiles + j)),
-            pl.BlockSpec((r, T_s), lambda i, j, d, go:
-                         (0, d[i] * n_tiles + j)),
-            pl.BlockSpec((1, T_s), lambda i, j, d, go: (0, i)),
-            pl.BlockSpec((1, T_s), lambda i, j, d, go: (0, i)),
-            pl.BlockSpec((8, T_s), lambda i, j, d, go: (0, 0)),
+            pl.BlockSpec((r, T_s), lambda i, j, d, bl, nb: (0, j)),
+            pl.BlockSpec((1, T_s), lambda i, j, d, bl, nb: (0, i)),
+            pl.BlockSpec((1, T_s), lambda i, j, d, bl, nb: (0, i)),
+            pl.BlockSpec((8, T_s), lambda i, j, d, bl, nb: (0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, 2 * G_blk, 2 * r),
-            lambda i, j, d, go: (i, go[i, j] // G_blk, 0, 0)),
+            (1, plan.R_max, 2 * r),
+            lambda i, j, d, bl, nb: (i, 0, 0)),
     )
-    out_shape = jax.ShapeDtypeStruct((B, plan.n_bk, 2 * G_blk, 2 * r),
+    out_shape = jax.ShapeDtypeStruct((B, plan.R_max, 2 * r),
                                      jnp.float32)
+    nbar = max(1.0, float(np.mean(plan.n_blk)))
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=int(B * S_pad * (2 * plan.K * G_win
-                                   + 2 * G_win * 2 * r)),
+            flops=int(B * n_tiles * nbar
+                      * (2 * plan.K * G_win * T_s
+                         + 2 * G_win * T_s * 2 * r)),
             bytes_accessed=int(B * S_pad * 4 * (r + 2)),
             transcendentals=int(2 * B * S_pad)),
-    )(d_of_b, goff, u_hs, u_ls, P_s, blh_b, bll_b, cst)
+    )(jnp.asarray(plan.d_of_b), jnp.asarray(plan.blk_lo),
+      jnp.asarray(plan.n_blk), u_flat_h, u_flat_l, P_r, blh_b, bll_b,
+      cst)
 
 
 # --------------------------------------------------------------------------
@@ -350,90 +391,49 @@ def _two_float_u(seh, sel, dirs_hi, dirs_lo):
 
 
 def _prep(plan, seh, sel, P):
-    """Sorted streams + prefetch tables.
+    """Unsorted streams: elementwise u per direction + the spectral
+    payload transposed — NO sort, NO gather, NO prefetch tables.
 
-    Returns (u_hs, u_ls, P_s (D, r, S_pad), bk, goff (B, n_tiles)
-    int32, ok). `ok` False => some tile's bin span exceeded the static
-    window: results incomplete, caller must fall back."""
-    import jax
+    Returns (u_h (1, D*S_pad), u_l (1, D*S_pad), P_r (r, S_pad), ok).
+    ok guards non-unit source vectors (|u| must stay ≤ 2 for the static
+    block range to cover every bin)."""
     import jax.numpy as jnp
     S = seh.shape[0]
     T_s = plan.T_s
     S_pad = -(-S // T_s) * T_s
-    D = plan.ndir
     r = plan.rank
 
     uh, ul = _two_float_u(seh, sel, jnp.asarray(plan.dirs_hi),
                           jnp.asarray(plan.dirs_lo))          # (D, S)
+    ok = jnp.max(jnp.abs(uh)) <= np.float32(2.0 + 1e-4)
     if S_pad != S:
         pad = ((0, 0), (0, S_pad - S))
         uh = jnp.pad(uh, pad, constant_values=np.float32(_PAD_U))
         ul = jnp.pad(ul, pad)
         P = jnp.pad(P, ((0, S_pad - S), (0, 0)))
-    P = jnp.asarray(P, jnp.float32)
-
-    ops = (uh, ul) + tuple(
-        jnp.broadcast_to(P[:, q], (D, S_pad)) for q in range(r))
-    sorted_ops = jax.lax.sort(ops, dimension=1, num_keys=1)
-    u_hs, u_ls = sorted_ops[0], sorted_ops[1]
-    P_s = jnp.stack(sorted_ops[2:], axis=1)                   # (D, r, S)
-
-    n_tiles = S_pad // T_s
-    u0 = u_hs[:, ::T_s]                                       # (D, nt)
-    u1 = u_hs[:, T_s - 1::T_s]
-    # pad sources sort to the stream tail at u == _PAD_U; the true max
-    # physical u is the last REAL sorted entry (static index S-1)
-    u_real_max = u_hs[:, S - 1][:, None]                      # (D, 1)
-    u1 = jnp.minimum(u1, u_real_max)
-
-    blen = (plan.blen_hi.astype(np.float64)
-            + plan.blen_lo.astype(np.float64))
-    blen_j = jnp.asarray(blen, jnp.float32)[:, None]          # (B, 1)
-    inv = np.float32(plan.consts["inv_ch"])
-    K = plan.K
-    dmap = jnp.asarray(plan.d_of_b)
-    lo_bin = (jnp.floor(blen_j * u0[dmap] * inv)
-              - (K // 2 + 1) + plan.G0)
-    hi_bin = (jnp.ceil(blen_j * u1[dmap] * inv)
-              + (K // 2 + 1) + plan.G0)
-    goff = jnp.asarray(lo_bin, jnp.int32) & ~7                # 8-aligned
-    max_goff = (plan.n_bk - 1) * plan.G_blk - 8
-    goff = jnp.clip(goff, 0, max_goff)
-    # span check only where the tile contains real sources
-    has_real = (u0 <= np.float32(2.0))[dmap]
-    span = jnp.where(has_real,
-                     jnp.asarray(hi_bin, jnp.int32) - goff, 0)
-    ok = jnp.max(span) < plan.G_win
-    bk = goff // plan.G_blk
-    return u_hs, u_ls, P_s, bk, goff, ok
+    P_r = jnp.transpose(jnp.asarray(P, jnp.float32))          # (r, S_pad)
+    return uh.reshape(1, -1), ul.reshape(1, -1), P_r, ok
 
 
 def _post(plan, out, Qc):
-    """Overlap-add + wrap mod n + FFT + deconvolve + rank combine.
-    out: (B, n_bk, 2G, 2r) with unvisited blocks ALREADY masked;
-    Qc: (C, r). Returns (B, C) complex64."""
+    """Wrap rows mod n (reshape-sum) + exact ramp for the per-baseline
+    bin offset + FFT + deconvolve + rank combine.
+    out: (B, R_max, 2r); Qc: (C, r). Returns (B, C) complex64."""
     import jax.numpy as jnp
     B = out.shape[0]
-    G = plan.G_blk
     r = plan.rank
     n = plan.n
-    n_bk = plan.n_bk
-    A = out[:, :, :G, :].reshape(B, n_bk * G, 2 * r)
-    Bp = out[:, :, G:, :].reshape(B, n_bk * G, 2 * r)
-    L = n_bk * G + G
-    gu = (jnp.pad(A, ((0, 0), (0, G), (0, 0)))
-          + jnp.pad(Bp, ((0, 0), (G, 0), (0, 0))))            # (B, L, 2r)
-    m = -(-L // n)
-    gu = jnp.pad(gu, ((0, 0), (0, m * n - L), (0, 0)))
-    gw = gu.reshape(B, m, n, 2 * r).sum(axis=1)
-    # expanded row p holds bin (p - G0) mod n -> roll so index == bin
-    gw = jnp.roll(gw, -(plan.G0 % n), axis=1)
+    R = plan.R_max
+    m = -(-R // n)
+    gu = jnp.pad(out, ((0, 0), (0, m * n - R), (0, 0)))
+    gw = gu.reshape(B, m, n, 2 * r).sum(axis=1)               # (B, n, 2r)
     grid_c = gw[..., :r] + 1j * gw[..., r:]                   # (B, n, r)
     Gf = jnp.fft.fft(grid_c, axis=1)
     C = plan.nchan
     half = C // 2
     Gk = jnp.concatenate([Gf[:, n - half:, :], Gf[:, :C - half, :]],
                          axis=1)                              # (B, C, r)
+    Gk = Gk * jnp.asarray(plan.ramp)[:, :, None]
     dec = jnp.asarray(plan.deconv)[None, :, None]
     return jnp.einsum("bcr,cr->bc", Gk * dec,
                       jnp.asarray(Qc, jnp.float32))
@@ -445,19 +445,11 @@ def nufft_banded_visibilities(plan, seh, sel, P, Qc, interpret=False):
     seh/sel : (S, 3) two-float phase-centered source vectors (s - pc)
     P       : (S, r) spectral coefficients (amps @ pinvQ)
     Qc      : (C, r) spectral basis
-    Returns ((B, C) complex64, ok bool scalar). ok False => incomplete
-    (pathological delay clustering overflowed a window): fall back."""
-    import jax.numpy as jnp
-    u_hs, u_ls, P_s, bk, goff, ok = _prep(plan, seh, sel, P)
-    out = _banded_spread(plan, u_hs, u_ls, P_s,
-                         jnp.asarray(plan.d_of_b), goff,
-                         interpret=interpret)
-    # mask blocks never visited by any tile (their HBM is undefined)
-    visited = jnp.any(bk[:, :, None]
-                      == jnp.arange(plan.n_bk)[None, None, :],
-                      axis=1)                                 # (B, n_bk)
-    # where (not multiply): unvisited blocks can hold NaN garbage
-    out = jnp.where(visited[:, :, None, None], out, 0.0)
+    Returns ((B, C) complex64, ok bool scalar). ok False => a source
+    vector was not unit (its bins could fall outside the static block
+    range): fall back."""
+    u_h, u_l, P_r, ok = _prep(plan, seh, sel, P)
+    out = _banded_spread(plan, u_h, u_l, P_r, interpret=interpret)
     return _post(plan, out, Qc), ok
 
 
@@ -485,13 +477,11 @@ def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
                              interpret=False):
     """Three separately-jitted stages for one banded snapshot.
 
-    The FUSED jit of (prep -> Pallas spread -> post) sends the XLA TPU
-    pipeline into a pathological >25 min compile at bench scale, while
-    the three stages compile in ~16 s total and run at full speed with
-    device-resident intermediates (measured round 3; see
-    benchmarks/probe_banded_chain.py). Per-snapshot host dispatch
-    overhead is three jit calls — microseconds against a >100 ms
-    snapshot.
+    The sorted predecessor NEEDED the split because its fused compile
+    was pathological; the sweep keeps it because it still isolates
+    tunnel upload stalls per stage and lets the driver reuse stage
+    executables. Per-snapshot host dispatch overhead is three jit
+    calls — microseconds against a >100 ms snapshot.
 
     Returns run(Mh, Ml, pch, pcl) -> ((B, C) complex64, ok) where every
     intermediate stays on device.
@@ -504,7 +494,6 @@ def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
     freqs_f32 = jnp.asarray(instrument.freqs, dtype=jnp.float32)
     pinvQ_j = jnp.asarray(pinvQ)
     Q_j = jnp.asarray(Q, jnp.float32)
-    dofb = jnp.asarray(plan.d_of_b)
 
     @jax.jit
     def stage_prep(Mh, Ml, pch, pcl):
@@ -516,22 +505,18 @@ def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
         return _prep(plan, seh, sel, P)
 
     @jax.jit
-    def stage_spread(u_hs, u_ls, P_s, goff):
-        return _banded_spread(plan, u_hs, u_ls, P_s, dofb, goff,
+    def stage_spread(u_h, u_l, P_r):
+        return _banded_spread(plan, u_h, u_l, P_r,
                               interpret=interpret)
 
     @jax.jit
-    def stage_post(out, bk):
-        visited = jnp.any(bk[:, :, None]
-                          == jnp.arange(plan.n_bk)[None, None, :],
-                          axis=1)
-        out = jnp.where(visited[:, :, None, None], out, 0.0)
+    def stage_post(out):
         return _post(plan, out, Q_j)
 
     def run(Mh, Ml, pch, pcl):
-        u_hs, u_ls, P_s, bk, goff, ok = stage_prep(Mh, Ml, pch, pcl)
-        out = stage_spread(u_hs, u_ls, P_s, goff)
-        return stage_post(out, bk), ok
+        u_h, u_l, P_r, ok = stage_prep(Mh, Ml, pch, pcl)
+        out = stage_spread(u_h, u_l, P_r)
+        return stage_post(out), ok
 
     run.stages = (stage_prep, stage_spread, stage_post)
     return run

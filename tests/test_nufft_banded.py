@@ -73,16 +73,24 @@ def test_banded_matches_f64_nufft_flat_spectrum():
     assert rel < 5e-6, rel
 
 
-def test_banded_span_overflow_flag():
-    """A tiny window capacity must trip the ok flag, not silently drop
-    sources."""
+def test_banded_guards():
+    """The block sweep is exact by construction for unit sources, so
+    the failure modes are (a) a plan whose per-baseline rows blow the
+    VMEM budget — a plan-time ValueError — and (b) non-unit source
+    vectors, which trip the runtime ok flag instead of silently
+    aliasing bins outside the static block range."""
     S, C = 512, 64
     se, rng = _random_sources(S, seed=3)
-    bl = np.asarray([[300.0, 0.0, 0.0]])             # long baseline
-    plan = make_banded_plan(bl, 150e6, 100e3, C, rank=1, T_s=512,
-                            G_blk=40)
-    # T_s=512 sources in one tile spanning ~2*300m/(c h) bins >> 40
-    seh, sel = tf.split_f64(se)
+    with pytest.raises(ValueError):
+        # ~300 km baseline: delay span >> any VMEM-resident row range
+        make_banded_plan(np.asarray([[3e5, 0.0, 0.0]]), 150e6, 100e3,
+                         4096, rank=24)
+    with pytest.raises(ValueError):
+        make_banded_plan(np.asarray([[300.0, 0.0, 0.0]]), 150e6, 100e3,
+                         C, rank=1, G_blk=20)        # not 8-aligned
+    plan = make_banded_plan(np.asarray([[300.0, 0.0, 0.0]]), 150e6,
+                            100e3, C, rank=1, T_s=512)
+    seh, sel = tf.split_f64(se * 3.0)                # NON-unit sources
     P = jnp.asarray(rng.uniform(0.1, 1.0, S), jnp.float32)[:, None]
     Qc = np.ones((C, 1), np.float32)
     vis, ok = nufft_banded_visibilities(plan, jnp.asarray(seh),
