@@ -182,15 +182,26 @@ def _apply_snapshot_selection(obs, parms):
                           pointing_altaz=obs.pointing_altaz[idx],
                           mode=obs.mode)
     if sn.get("beam_switch") and obs.mode == "file":
-        # keep only the snapshots at which the pointing CHANGES (the
-        # reference's beam_switch selection for drift-and-shift runs,
-        # run_prisim.py:563-656; restricted to pointing-file mode there
-        # via obs_mode='dns')
-        keep = np.r_[True, np.any(np.abs(np.diff(obs.pointing_altaz,
-                                                 axis=0)) > 1e-9, axis=1)]
+        # drift-and-shift (dns) beam-switch selection
+        # (run_prisim.py:604-660): keep the snapshots at which the
+        # pointing moves by more than snapshot.shift_threshold degrees
+        # (great-circle; reference default 1.0), and give each kept
+        # snapshot the LST midpoint and accumulated duration of its
+        # whole drift segment (lst_edges_left/right there)
+        thr = float(sn.get("shift_threshold") or 1.0)
+        alt, az = obs.pointing_altaz[:, 0], obs.pointing_altaz[:, 1]
+        dang = np.asarray(geom.sphdist(az[1:], alt[1:], az[:-1],
+                                       alt[:-1], xp=np))
+        keep = np.r_[True, dang > thr]
         idx2 = np.where(keep)[0]
-        obs = Observation(lst_deg=obs.lst_deg[idx2], jd=obs.jd[idx2],
-                          t_acc=obs.t_acc[idx2],
+        lst_u = np.unwrap(obs.lst_deg, period=360.0)
+        edges = np.r_[lst_u, lst_u[-1] + (lst_u[-1] - lst_u[-2]
+                                          if lst_u.size > 1 else 0.0)]
+        left = lst_u[idx2]
+        right = np.r_[edges[idx2[1:]], edges[-1]]
+        t_seg = (right - left) / SIDEREAL_DEG_PER_SEC
+        obs = Observation(lst_deg=(0.5 * (left + right)) % 360.0,
+                          jd=obs.jd[idx2], t_acc=t_seg,
                           pointing_altaz=obs.pointing_altaz[idx2],
                           mode=obs.mode)
     if sn.get("avg_drifts"):

@@ -92,6 +92,20 @@ def test_beam_switch_selects_pointing_changes(tmp_path):
     assert obs.n_acc == 3
     np.testing.assert_allclose(obs.pointing_altaz[:, 0],
                                [90.0, 80.0, 70.0])
+    # dns semantics (run_prisim.py:604-660): each kept snapshot spans
+    # its whole drift segment — LST midpoint, duration from the edges
+    from prisim_tpu.driver import SIDEREAL_DEG_PER_SEC
+    np.testing.assert_allclose(obs.lst_deg, [10.5, 11.5, 12.25])
+    np.testing.assert_allclose(obs.t_acc * SIDEREAL_DEG_PER_SEC,
+                               [1.0, 1.0, 0.5])
+    # sub-threshold wobble (< 1 deg) is NOT a switch
+    pf2 = pf.parent / "pointings2.txt"
+    pf2.write_text("\n".join("%g %g %g" % r for r in
+                             [(10.0, 90.0, 270.0), (10.5, 89.8, 270.0),
+                              (11.0, 70.0, 0.0)]))
+    p2 = _parms(pointing={"file": str(pf2)},
+                snapshot={"beam_switch": True, "all": False})
+    assert build_schedule(p2, -30.7).n_acc == 2
 
 
 def test_memuse_bounds_src_block():
