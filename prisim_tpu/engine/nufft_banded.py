@@ -285,10 +285,13 @@ def _sweep_kernel(dofb_ref, blo_ref, nblk_ref,
         rowbase = blk * G_blk
         mown = mown0 - rowbase.astype(jnp.float32)    # (T_s,)
         # ownership: the block containing the source's first tap row
-        # (pad sources at u=_PAD_U fall past every block and drop out)
+        # (pad sources at u=_PAD_U fall past every block and drop out).
+        # Non-members park at a sentinel BELOW every tap's reach
+        # (tgt = sentinel + t stays < 0 for all K taps; a bare -1 would
+        # still match rows 0..K-2 and leak taps into the block)
         member = jnp.logical_and(mown >= 0.0,
                                  mown < np.float32(G_blk))
-        owned = jnp.where(member, mown, np.float32(-1.0))
+        owned = jnp.where(member, mown, np.float32(-2.0 * K))
         W = jnp.zeros((G_win, T_s), jnp.float32)
         for t_idx in range(K):
             tgt = owned + np.float32(t_idx)

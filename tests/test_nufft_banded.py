@@ -73,6 +73,35 @@ def test_banded_matches_f64_nufft_flat_spectrum():
     assert rel < 5e-6, rel
 
 
+def test_banded_multiblock_sweep():
+    """Baselines spanning MANY delay blocks (n_blk_max >> 1): the
+    ownership sentinel must keep non-member sources out of every tap
+    row (a bare -1 sentinel leaked taps 1..K-1 into rows 0..K-2 of
+    every swept block — caught only at multi-block spans)."""
+    S, C = 1024, 512
+    se, rng = _random_sources(S, seed=11)
+    a1 = np.asarray([14.6, 0.0, 0.0])
+    a2 = np.asarray([7.3, 12.64, 0.0])
+    bl = np.asarray([m * a1 for m in (1, 4, 9, 20)]
+                    + [m * a2 for m in (1, 7, 15)] + [20 * a1 + 15 * a2])
+    amps = rng.uniform(0.1, 1.0, S)
+    tau = (se @ bl.T) / CNST.c
+    gold = nufft_delay_visibilities(tau, amps, 150e6, 100e3, C)
+    for K in (13, 9):
+        plan = make_banded_plan(bl, 150e6, 100e3, C, rank=1, T_s=256,
+                                K=K)
+        assert plan.n_blk_max >= 4
+        seh, sel = tf.split_f64(se)
+        P = jnp.asarray(amps, jnp.float32)[:, None]
+        Qc = np.ones((C, 1), np.float32)
+        vis, ok = nufft_banded_visibilities(plan, jnp.asarray(seh),
+                                            jnp.asarray(sel), P, Qc,
+                                            interpret=True)
+        assert bool(ok)
+        rel = np.abs(np.asarray(vis) - gold).max() / np.abs(gold).max()
+        assert rel < 5e-6, (K, rel)
+
+
 def test_banded_guards():
     """The block sweep is exact by construction for unit sources, so
     the failure modes are (a) a plan whose per-baseline rows blow the
