@@ -123,7 +123,7 @@ def golden_slice(prob, amps_np, bl_idx, chunk=2048):
     return V, time.perf_counter() - t0, int(S)
 
 
-def run_engines(prob, sh, sl, amps_np, bl_idx, nchan):
+def run_engines(prob, sh, sl, amps_np, bl_idx, nchan, recur=None):
     import jax
     import jax.numpy as jnp
     from prisim_tpu import twofloat as tf
@@ -147,7 +147,8 @@ def run_engines(prob, sh, sl, amps_np, bl_idx, nchan):
     # two engines' working sets together exceed the 16 GB HBM.
     @functools.partial(jax.jit, donate_argnums=(2,))
     def pal(seh, sel, amps):
-        v = nudft_pallas(seh, sel, blh, bll, amps, gs, nchan)
+        v = nudft_pallas(seh, sel, blh, bll, amps, gs, nchan,
+                         recur=recur)
         return jnp.real(v), jnp.imag(v)
 
     @functools.partial(jax.jit, donate_argnums=(2,))
@@ -181,6 +182,9 @@ def main():
     ap.add_argument("--nside", type=int, default=256)
     ap.add_argument("--nchan", type=int, default=1024)
     ap.add_argument("--nbl-slice", type=int, default=8)
+    ap.add_argument("--recur", default=None, choices=["df", "rot"],
+                    help="Pallas grid-phasor mode (kernel default when "
+                         "omitted)")
     args = ap.parse_args()
 
     prob = build_problem(nside=args.nside, nchan=args.nchan)
@@ -198,7 +202,8 @@ def main():
                       "nchan": args.nchan}))
 
     sh, sl, amps_np = engine_amps(prob)
-    eng, timing = run_engines(prob, sh, sl, amps_np, bl_idx, args.nchan)
+    eng, timing = run_engines(prob, sh, sl, amps_np, bl_idx, args.nchan,
+                              recur=args.recur)
 
     cache = "/tmp/acc_ns_golden_%d_%d_%d.npz" % (
         args.nside, args.nchan, args.nbl_slice)
@@ -215,7 +220,9 @@ def main():
         rel_max_scaled = float(err.max() / scale)
         rel_elem = float((err[mask] / np.abs(Vg)[mask]).max())
         print(json.dumps({
-            "engine": name, "rel_max_scaled": rel_max_scaled,
+            "engine": name,
+            "recur": args.recur if name == "pallas" else None,
+            "rel_max_scaled": rel_max_scaled,
             "rel_elem_worst": rel_elem,
             "engine_seconds_incl_compile": timing[name],
             "golden_seconds": tg, "n_src_above_horizon": n_up}))

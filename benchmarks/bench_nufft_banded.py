@@ -122,24 +122,24 @@ def main():
     br, bi = jnp.real(vb), jnp.imag(vb)
 
     # per-stage steady-state timings
+    # dispatch `repeats` back-to-back and sync ONCE: the tunnel's
+    # device->host round-trip latency (hundreds of ms) amortizes out
     for name, fn, a in (("prep", stage_prep, margs),
                         ("spread", stage_spread, (u_h, u_l, P_r)),
                         ("post", stage_post, (out,))):
-        best = np.inf
+        t0 = time.perf_counter()
         for _ in range(args.repeats):
-            t0 = time.perf_counter()
             o = fn(*a)
-            _sync1(o)
-            best = min(best, time.perf_counter() - t0)
-        print(f"stage {name}: {best:.4f} s", flush=True)
+        _sync1(o)
+        dt = (time.perf_counter() - t0) / args.repeats
+        print(f"stage {name}: {dt:.4f} s", flush=True)
 
     times = {}
-    best = np.inf
+    t0 = time.perf_counter()
     for _ in range(args.repeats):
-        t0 = time.perf_counter()
         out = banded(*margs)
-        _sync1(out)
-        best = min(best, time.perf_counter() - t0)
+    _sync1(out)
+    best = (time.perf_counter() - t0) / args.repeats
     times["banded"] = best
     print(f"banded: {best:.4f} s/snapshot ({macs/best/1e12:.1f} "
           f"TMAC-equiv/s)", flush=True)
@@ -181,12 +181,11 @@ def main():
         _sync1(out)
         print(f"direct pallas compile+run: {time.perf_counter()-t0:.1f}"
               " s", flush=True)
-        best = np.inf
+        t0 = time.perf_counter()
         for _ in range(args.repeats):
-            t0 = time.perf_counter()
             out = direct_pl(*margs)
-            _sync1(out)
-            best = min(best, time.perf_counter() - t0)
+        _sync1(out)
+        best = (time.perf_counter() - t0) / args.repeats
         times["direct_pallas"] = best
         print(f"direct pallas: {best:.4f} s/snapshot "
               f"({macs/best/1e12:.1f} TMAC/s)", flush=True)

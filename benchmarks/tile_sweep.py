@@ -26,6 +26,13 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--tiles", nargs="+",
                     default=["128x128", "128x256", "256x128", "128x512"])
+    ap.add_argument("--layout", default=None,
+                    help="amps staging layout ('sl'/'ls'; default auto)")
+    ap.add_argument("--wblock", type=int, default=None)
+    ap.add_argument("--recur", default=None, choices=["df", "rot"],
+                    help="grid-phasor mode: two-float sincos or anchored"
+                         " rotation recurrence")
+    ap.add_argument("--anchor-q", type=int, default=8)
     args = ap.parse_args()
 
     import jax
@@ -104,7 +111,10 @@ def main():
         @jax.jit
         def pal(seh, sel, amps, _st=st, _bt=bt):
             v = nudft_pallas(seh, sel, inst.bl_hi, inst.bl_lo, amps, gs,
-                             nchan, src_tile=_st, bl_tile=_bt)
+                             nchan, src_tile=_st, bl_tile=_bt,
+                             amps_layout=args.layout,
+                             w_block=args.wblock, recur=args.recur,
+                             anchor_q=args.anchor_q)
             return jnp.real(v), jnp.imag(v)
 
         try:
@@ -117,6 +127,9 @@ def main():
             vp = np.asarray(pr) + 1j * np.asarray(pi)
             rel = float(np.abs(vp - vx).max() / scale)
             print(json.dumps({"kernel": "pallas", "tiles": spec,
+                              "layout": args.layout,
+                              "w_block": args.wblock,
+                              "recur": args.recur,
                               "seconds": dt, "gmacs": macs / dt / 1e9,
                               "rel_vs_xla": rel}))
         except Exception as exc:
