@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--tile", type=int, default=256)
     ap.add_argument("--gblk", type=int, default=64)
     ap.add_argument("--ktaps", type=int, default=13)
+    ap.add_argument("--beta", type=float, default=2.0)
+    ap.add_argument("--no-spatial-sort", action="store_true")
     ap.add_argument("--nchan", type=int, default=1024)
     ap.add_argument("--nside", type=int, default=64)
     ap.add_argument("--repeats", type=int, default=3)
@@ -87,13 +89,15 @@ def main():
     pinvQ, Q = chebyshev_projection(freqs, rank)
     plan = make_banded_plan(bset.vectors, inst.nu0, inst.dnu, nchan,
                             rank=rank, T_s=args.tile, G_blk=args.gblk,
-                            K=args.ktaps)
+                            K=args.ktaps, beta=args.beta)
     print(f"# plan: D={plan.ndir} dirs, n_blk_max={plan.n_blk_max}, "
+          f"n_blk_mean={float(np.mean(plan.n_blk)):.1f}, "
           f"R={plan.R_max}, T_s={plan.T_s}, G={plan.G_blk}, "
-          f"K={plan.K}, rank={rank}", flush=True)
+          f"K={plan.K}, beta={plan.beta}, rank={rank}", flush=True)
 
-    run_banded = make_banded_snapshot_fns(inst, sky, beam_fn, plan,
-                                          pinvQ, Q)
+    run_banded = make_banded_snapshot_fns(
+        inst, sky, beam_fn, plan, pinvQ, Q,
+        spatial_sort=not args.no_spatial_sort)
 
     def banded(mh, ml, ph, pl_):
         v, ok = run_banded(mh, ml, ph, pl_)
@@ -103,8 +107,9 @@ def main():
     # stalls per stage (tunnel uploads of the closed-over sky arrays
     # dominate the first prep call)
     stage_prep, stage_spread, stage_post = run_banded.stages
+    prep_args = margs + run_banded.sky_args
     t0 = time.perf_counter()
-    pre = stage_prep(*margs)
+    pre = stage_prep(*prep_args)
     _sync1(pre)
     print(f"stage prep first: {time.perf_counter()-t0:.1f} s",
           flush=True)
@@ -124,7 +129,7 @@ def main():
     # per-stage steady-state timings
     # dispatch `repeats` back-to-back and sync ONCE: the tunnel's
     # device->host round-trip latency (hundreds of ms) amortizes out
-    for name, fn, a in (("prep", stage_prep, margs),
+    for name, fn, a in (("prep", stage_prep, prep_args),
                         ("spread", stage_spread, (u_h, u_l, P_r)),
                         ("post", stage_post, (out,))):
         t0 = time.perf_counter()

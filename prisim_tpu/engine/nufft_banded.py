@@ -59,7 +59,8 @@ from .nufft_delay import kb_fourier, kb_tap_coeffs
 
 __all__ = ["banded_spread_available", "make_banded_plan", "BandedPlan",
            "group_directions", "nufft_banded_visibilities",
-           "simulate_snapshot_nufft_banded", "make_banded_snapshot_fns"]
+           "simulate_snapshot_nufft_banded", "make_banded_snapshot_fns",
+           "spatial_permutation", "reorder_sources"]
 
 _PAD_U = 3.0          # outside any physical u (|s_eff · b̂| <= 2)
 _VMEM_OUT_BYTES = 8 << 20
@@ -77,6 +78,40 @@ def banded_spread_available():
 # --------------------------------------------------------------------------
 # host-side plan
 # --------------------------------------------------------------------------
+
+def spatial_permutation(s_eq, nside=512):
+    """Host permutation ordering sources by HEALPix NEST index.
+
+    Consecutive NEST indices tile compact sky patches, so a T_s-source
+    kernel tile spans a narrow u = s·b̂ range for EVERY baseline
+    direction at once — each (baseline, tile) step then sweeps 1-2
+    delay blocks instead of the baseline's full span. Source positions
+    are static across snapshots, so this costs one argsort at plan
+    time and nothing per snapshot. Visibilities are sums over sources:
+    any order is exact.
+    """
+    from .. import healpix as hp
+    s = np.asarray(s_eq, dtype=np.float64)
+    r = np.linalg.norm(s, axis=1)
+    theta = np.arccos(np.clip(s[:, 2] / r, -1.0, 1.0))
+    phi = np.mod(np.arctan2(s[:, 1], s[:, 0]), 2.0 * np.pi)
+    pix = hp.ang2pix(nside, theta, phi, nest=True)
+    return np.argsort(pix, kind="stable")
+
+
+def reorder_sources(sky, perm):
+    """SkySources with every per-source array taken along axis 0."""
+    import jax.numpy as jnp
+    idx = jnp.asarray(np.asarray(perm, np.int32))
+    rep = {"s_eq_hi": jnp.take(sky.s_eq_hi, idx, axis=0),
+           "s_eq_lo": jnp.take(sky.s_eq_lo, idx, axis=0),
+           "flux": jnp.take(sky.flux, idx, axis=0)}
+    if sky.src_shape_sigma is not None:
+        rep["src_shape_sigma"] = jnp.take(sky.src_shape_sigma, idx,
+                                          axis=0)
+    import dataclasses
+    return dataclasses.replace(sky, **rep)
+
 
 def group_directions(bl_vectors, decimals=9):
     """Group baselines by unit direction: (dirs (D, 3) f64, d_of_b (B,)
@@ -304,7 +339,23 @@ def _sweep_kernel(dofb_ref, blo_ref, nblk_ref,
         out_ref[0, pl.dslice(rowbase, G_win), :] = cur + contrib
         return 0
 
-    jax.lax.fori_loop(0, nblk_ref[i], body, 0)
+    # Per-TILE dynamic block range. A spatially-ordered source stream
+    # (spatial_permutation) makes each tile a compact sky patch whose
+    # bins span 1-2 blocks, so sweeping only [blk_first, blk_last]
+    # instead of the baseline's full n_blk blocks removes the ~n_blk x
+    # redundancy that made the unsorted sweep no faster than the direct
+    # kernel at bench shape (0.85x, BASELINE.md round 3). Exactness is
+    # unconditional: blocks outside the tile's own row range have no
+    # member sources by definition, ordered stream or not.
+    valid = uh < np.float32(2.5)          # pads park at u = _PAD_U = 3
+    mlo = jnp.min(jnp.where(valid, mown0, np.float32(1e9)))
+    mhi = jnp.max(jnp.where(valid, mown0, np.float32(-1e9)))
+    inv_g = np.float32(1.0 / G_blk)
+    blk_first = jnp.maximum(
+        jnp.floor(mlo * inv_g).astype(jnp.int32), 0)
+    blk_last = jnp.minimum(
+        jnp.floor(mhi * inv_g).astype(jnp.int32), nblk_ref[i] - 1)
+    jax.lax.fori_loop(blk_first, blk_last + 1, body, 0)
 
 
 def _banded_spread(plan, u_flat_h, u_flat_l, P_r, interpret=False):
@@ -477,7 +528,7 @@ def simulate_snapshot_nufft_banded(instrument, sky, Mh, Ml, pch, pcl,
 
 
 def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
-                             interpret=False):
+                             interpret=False, spatial_sort=True):
     """Three separately-jitted stages for one banded snapshot.
 
     The sorted predecessor NEEDED the split because its fused compile
@@ -485,6 +536,13 @@ def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
     tunnel upload stalls per stage and lets the driver reuse stage
     executables. Per-snapshot host dispatch overhead is three jit
     calls — microseconds against a >100 ms snapshot.
+
+    ``spatial_sort`` reorders the sources ONCE by HEALPix NEST index
+    (spatial_permutation): exact in any order, ~n_blk x faster swept.
+    Sky arrays ride as jit ARGUMENTS — closed-over device arrays become
+    executable constants, and the (S, C) flux table re-serialized
+    through the axon tunnel stalled the first prep call by minutes at
+    bench size (measured round 3).
 
     Returns run(Mh, Ml, pch, pcl) -> ((B, C) complex64, ok) where every
     intermediate stays on device.
@@ -494,15 +552,21 @@ def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
     from .. import twofloat as tf
     from .observe import df_rotate3, _beam_and_flux
 
+    if spatial_sort:
+        perm = spatial_permutation(
+            np.asarray(sky.s_eq_hi, np.float64)
+            + np.asarray(sky.s_eq_lo, np.float64))
+        sky = reorder_sources(sky, perm)
+
     freqs_f32 = jnp.asarray(instrument.freqs, dtype=jnp.float32)
     pinvQ_j = jnp.asarray(pinvQ)
     Q_j = jnp.asarray(Q, jnp.float32)
 
     @jax.jit
-    def stage_prep(Mh, Ml, pch, pcl):
-        sh, sl = df_rotate3(Mh, Ml, sky.s_eq_hi, sky.s_eq_lo)
+    def stage_prep(Mh, Ml, pch, pcl, s_eq_hi, s_eq_lo, flux):
+        sh, sl = df_rotate3(Mh, Ml, s_eq_hi, s_eq_lo)
         seh, sel = tf.df_add(sh, sl, -pch[None, :], -pcl[None, :])
-        amps = _beam_and_flux(sh, sky.flux, freqs_f32, beam_fn)
+        amps = _beam_and_flux(sh, flux, freqs_f32, beam_fn)
         P = jnp.matmul(amps, pinvQ_j,
                        precision=jax.lax.Precision.HIGHEST)
         return _prep(plan, seh, sel, P)
@@ -517,9 +581,12 @@ def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
         return _post(plan, out, Q_j)
 
     def run(Mh, Ml, pch, pcl):
-        u_h, u_l, P_r, ok = stage_prep(Mh, Ml, pch, pcl)
+        u_h, u_l, P_r, ok = stage_prep(Mh, Ml, pch, pcl,
+                                       sky.s_eq_hi, sky.s_eq_lo,
+                                       sky.flux)
         out = stage_spread(u_h, u_l, P_r)
         return stage_post(out), ok
 
     run.stages = (stage_prep, stage_spread, stage_post)
+    run.sky_args = (sky.s_eq_hi, sky.s_eq_lo, sky.flux)
     return run

@@ -175,6 +175,58 @@ def test_banded_snapshot_vs_direct_engine():
     assert rel < 1e-5, rel
 
 
+def test_banded_spatial_sort_invariance():
+    """make_banded_snapshot_fns(spatial_sort=True) reorders sources by
+    NEST index and the kernel sweeps per-tile dynamic block ranges —
+    both exactness-preserving, so sorted and unsorted runs must agree
+    to summation-order noise."""
+    from prisim_tpu import layouts as lay, baselines as bls
+    from prisim_tpu.skymodel import SkyModel
+    from prisim_tpu.engine import (Instrument, SkySources,
+                                   enu_rotation_from_eq)
+    from prisim_tpu.engine.nufft_banded import (make_banded_snapshot_fns,
+                                                spatial_permutation)
+    from prisim_tpu.beams import airy_beam
+
+    C = 32
+    freqs = 150e6 + 100e3 * np.arange(C)
+    layout = lay.preset_layout("HERA-7")
+    bset = bls.build_baselines(layout, redundant=False)
+    inst = Instrument.build(bset.vectors, freqs, latitude=-30.72)
+    rng = np.random.default_rng(13)
+    S = 300
+    loc = np.stack([rng.uniform(0, 360, S),
+                    rng.uniform(-75, 15, S)], axis=-1)
+    model = SkyModel(location=loc, spec_kind="power-law", spec_parms={
+        "flux-scale": rng.uniform(0.5, 2.0, S),
+        "freq-ref": np.full(S, 150e6),
+        "power-law-index": np.full(S, -0.8)})
+    sky = SkySources.from_skymodel(model, freqs)
+    perm = spatial_permutation(np.asarray(sky.s_eq_hi, np.float64)
+                               + np.asarray(sky.s_eq_lo, np.float64))
+    assert sorted(perm.tolist()) == list(range(S))    # a permutation
+
+    Mh, Ml = tf.split_f64(enu_rotation_from_eq(30.0, inst.latitude))
+    pch, pcl = tf.split_f64(np.asarray([0.0, 0.0, 1.0]))
+    beam_fn = lambda s, f: airy_beam(s, f, 14.0)
+    rank = 6
+    pinvQ, Q = chebyshev_projection(freqs, rank)
+    plan = make_banded_plan(bset.vectors, inst.nu0, inst.dnu, C,
+                            rank=rank, T_s=128)
+    args = tuple(jnp.asarray(a) for a in (Mh, Ml, pch, pcl))
+    out = {}
+    for flag in (True, False):
+        run = make_banded_snapshot_fns(inst, sky, beam_fn, plan, pinvQ,
+                                       Q, interpret=True,
+                                       spatial_sort=flag)
+        v, ok = run(*args)
+        assert bool(ok)
+        out[flag] = np.asarray(v)
+    scale = np.abs(out[False]).max()
+    rel = np.abs(out[True] - out[False]).max() / scale
+    assert rel < 2e-6, rel
+
+
 def test_driver_banded_engine_end_to_end():
     # processing.nufft_spread: banded routes through the Pallas spread
     # (interpret mode off-TPU); the built-in cross-check gate validates
