@@ -949,16 +949,16 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
             # stalls per stage; executables reused across snapshots)
             snap_b = make_banded_snapshot_fns(
                 inst, sks, beam_fn, plan, pinvQ, Q, interpret=interp)
-            snaps = []
-            all_ok = True
-            for t in range(obs.n_acc):
-                v, okf = snap_b(
-                    jnp.asarray(Mh[t]), jnp.asarray(Ml[t]),
-                    jnp.asarray(pch[t]), jnp.asarray(pcl[t]))
-                if not bool(np.asarray(okf)):
-                    all_ok = False
-                    break
-                snaps.append(get_complex(v))
+            # dispatch every snapshot before fetching anything: device
+            # results queue asynchronously, so the tunnel's per-fetch
+            # round-trip latency is paid once at the end instead of
+            # per accumulation (ok flags ride along)
+            pend = [snap_b(jnp.asarray(Mh[t]), jnp.asarray(Ml[t]),
+                           jnp.asarray(pch[t]), jnp.asarray(pcl[t]))
+                    for t in range(obs.n_acc)]
+            all_ok = bool(np.asarray(jnp.stack(
+                [okf for _, okf in pend]).all()))
+            snaps = [get_complex(v) for v, _ in pend] if all_ok else []
             if not all_ok:
                 print("[prisim_tpu] banded NUFFT unit-source check "
                       "failed; "
