@@ -812,15 +812,23 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
             freqs, chromatic=bool(bm.get("chromatic", True)),
             select_freq=bm.get("select_freq")))
         src_block_ext = int(parms["processing"].get("src_block") or 512)
+        from .engine.pallas_nudft import pallas_available
+        up_ext = parms["processing"].get("use_pallas", "auto")
+        use_pl_ext = (pallas_available() if up_ext == "auto"
+                      else bool(up_ext))
+        interp_ext = use_pl_ext and jax.devices()[0].platform != "tpu"
 
         @jax.jit
         def ext_snapshot(mh, ml, ph, pl_, pix, wgt):
             def beam(s, f):
                 return ExternalBeam.device_evaluate(logtable, pix, wgt)
             return simulate_snapshot(inst, sks, mh, ml, ph, pl_, beam,
-                                     src_block=src_block_ext)
+                                     src_block=src_block_ext,
+                                     use_pallas=use_pl_ext,
+                                     interpret=interp_ext)
 
-        for t in range(obs.n_acc):
+        pending = None                # depth-2 pipeline: the fetch of
+        for t in range(obs.n_acc):    # snapshot t-1 overlaps compute t
             sh, _ = df_rotate3(jnp.asarray(Mh_all[t]),
                                jnp.asarray(Ml_all[t]),
                                sks.s_eq_hi, sks.s_eq_lo)
@@ -828,10 +836,14 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
             altaz = geom.dircos2altaz(
                 np.clip(sh_np, -1.0, 1.0), xp=np)
             pix, wgt = ext.interp_weights(altaz)
-            vis_list.append(get_complex(ext_snapshot(
+            nxt = ext_snapshot(
                 jnp.asarray(Mh_all[t]), jnp.asarray(Ml_all[t]),
                 jnp.asarray(pch[t]), jnp.asarray(pcl[t]),
-                jnp.asarray(pix), jnp.asarray(wgt))))
+                jnp.asarray(pix), jnp.asarray(wgt))
+            if pending is not None:
+                vis_list.append(get_complex(pending))
+            pending = nxt
+        vis_list.append(get_complex(pending))
         skyvis = np.ascontiguousarray(
             np.transpose(np.stack(vis_list), (1, 2, 0)))
         gradients = None
@@ -1017,11 +1029,14 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
     # shard runs the Pallas kernel; interpret mode covers CPU meshes.
     plain = not grad and sks.src_shape_sigma is None
     up = parms["processing"].get("use_pallas", "auto")
+    # gradients + extended sources are in-kernel since round 3
+    # (engine/pallas_nudft.py grad/ext modes), so the kernel choice no
+    # longer demotes them to the XLA path
     if up == "auto":
         from .engine.pallas_nudft import pallas_available
-        use_pallas = pallas_available() and plain
+        use_pallas = pallas_available()
     else:
-        use_pallas = bool(up) and plain
+        use_pallas = bool(up)
     on_tpu = jax.devices()[0].platform == "tpu"
     pallas_interpret = use_pallas and not on_tpu
     ndev = len(jax.devices())
