@@ -98,10 +98,19 @@ def main():
     run_banded = make_banded_snapshot_fns(
         inst, sky, beam_fn, plan, pinvQ, Q,
         spatial_sort=not args.no_spatial_sort)
+    stage_prep_, stage_spread_, stage_post_ = run_banded.stages
+
+    # jitted re/im tail: eager complex ops round-trip the tunnel and
+    # poison the full-call timing (round-3 run: 0.31 s full vs 0.15 s
+    # stage sum)
+    post_ri = jax.jit(lambda o: (lambda v: (jnp.real(v),
+                                            jnp.imag(v)))(stage_post_(o)))
 
     def banded(mh, ml, ph, pl_):
-        v, ok = run_banded(mh, ml, ph, pl_)
-        return jnp.real(v), jnp.imag(v), ok
+        u_h, u_l, P_r, ok = stage_prep_(mh, ml, ph, pl_,
+                                        *run_banded.sky_args)
+        re, im = post_ri(stage_spread_(u_h, u_l, P_r))
+        return re, im, ok
 
     # first call stage-by-stage with syncs: isolates compile/upload
     # stalls per stage (tunnel uploads of the closed-over sky arrays
@@ -129,22 +138,25 @@ def main():
     # per-stage steady-state timings
     # dispatch `repeats` back-to-back and sync ONCE: the tunnel's
     # device->host round-trip latency (hundreds of ms) amortizes out
+    # 20+ repeats: at 3 the tunnel round-trip (~0.1 s) still adds
+    # RTT/3 to every stage and swamps the short ones
+    sreps = max(20, args.repeats)
     for name, fn, a in (("prep", stage_prep, prep_args),
                         ("spread", stage_spread, (u_h, u_l, P_r)),
                         ("post", stage_post, (out,))):
         t0 = time.perf_counter()
-        for _ in range(args.repeats):
+        for _ in range(sreps):
             o = fn(*a)
         _sync1(o)
-        dt = (time.perf_counter() - t0) / args.repeats
+        dt = (time.perf_counter() - t0) / sreps
         print(f"stage {name}: {dt:.4f} s", flush=True)
 
     times = {}
     t0 = time.perf_counter()
-    for _ in range(args.repeats):
+    for _ in range(sreps):
         out = banded(*margs)
     _sync1(out)
-    best = (time.perf_counter() - t0) / args.repeats
+    best = (time.perf_counter() - t0) / sreps
     times["banded"] = best
     print(f"banded: {best:.4f} s/snapshot ({macs/best/1e12:.1f} "
           f"TMAC-equiv/s)", flush=True)
@@ -187,10 +199,10 @@ def main():
         print(f"direct pallas compile+run: {time.perf_counter()-t0:.1f}"
               " s", flush=True)
         t0 = time.perf_counter()
-        for _ in range(args.repeats):
+        for _ in range(max(10, args.repeats)):
             out = direct_pl(*margs)
         _sync1(out)
-        best = (time.perf_counter() - t0) / args.repeats
+        best = (time.perf_counter() - t0) / max(10, args.repeats)
         times["direct_pallas"] = best
         print(f"direct pallas: {best:.4f} s/snapshot "
               f"({macs/best/1e12:.1f} TMAC/s)", flush=True)

@@ -249,7 +249,8 @@ def make_banded_plan(bl_vectors, nu0, dnu, nchan, rank, beta=2.0, K=13,
 
 def _sweep_kernel(dofb_ref, blo_ref, nblk_ref,
                   uh_ref, ul_ref, ps_ref, blh_ref, bll_ref, cst_ref,
-                  out_ref, *, T_s, G_win, G_blk, K, r, tap_np):
+                  out_ref, carry_ref, *, T_s, G_win, G_blk, K, r,
+                  tap_np):
     """One (baseline, source-tile) grid step — see module doc.
 
     Scalar-prefetch: dofb/blk_lo/n_blk, all (B,) int32 — tiny SMEM (the
@@ -272,6 +273,7 @@ def _sweep_kernel(dofb_ref, blo_ref, nblk_ref,
     @pl.when(j == 0)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
+        carry_ref[...] = jnp.zeros_like(carry_ref)
 
     uh = uh_ref[0]                                    # (T_s,)
     ul = ul_ref[0]
@@ -335,8 +337,16 @@ def _sweep_kernel(dofb_ref, blo_ref, nblk_ref,
             W, V, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)      # (G_win, 2r)
+        # Kahan-compensated row accumulation: a row collects ~S*K/R
+        # tile contributions (hundreds at bench scale); the plain f32
+        # `+=` random walk was the dominant term in the 4.9e-6 banded
+        # error (direct-kernel finding, pallas_nudft.py round 2)
         cur = out_ref[0, pl.dslice(rowbase, G_win), :]
-        out_ref[0, pl.dslice(rowbase, G_win), :] = cur + contrib
+        c0 = carry_ref[pl.dslice(rowbase, G_win), :]
+        y = contrib - c0
+        t = cur + y
+        carry_ref[pl.dslice(rowbase, G_win), :] = (t - cur) - y
+        out_ref[0, pl.dslice(rowbase, G_win), :] = t
         return 0
 
     # Per-TILE dynamic block range. A spatially-ordered source stream
@@ -409,6 +419,7 @@ def _banded_spread(plan, u_flat_h, u_flat_l, P_r, interpret=False):
         out_specs=pl.BlockSpec(
             (1, plan.R_max, 2 * r),
             lambda i, j, d, bl, nb: (i, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((plan.R_max, 2 * r), jnp.float32)],
     )
     out_shape = jax.ShapeDtypeStruct((B, plan.R_max, 2 * r),
                                      jnp.float32)
