@@ -152,6 +152,7 @@ def main():
         print(f"stage {name}: {dt:.4f} s", flush=True)
 
     times = {}
+    _sync1(banded(*margs))        # warm post_ri's compile
     t0 = time.perf_counter()
     for _ in range(sreps):
         out = banded(*margs)

@@ -175,7 +175,7 @@ def _split(x):
 
 
 def make_banded_plan(bl_vectors, nu0, dnu, nchan, rank, beta=2.0, K=13,
-                     T_s=256, G_blk=None):
+                     T_s=256, G_blk=None, tap_degree=10):
     """Build the static plan for a set of baseline vectors (meters) and
     a uniform frequency grid. Exact for arbitrary (3-D) baselines.
 
@@ -238,7 +238,7 @@ def make_banded_plan(bl_vectors, nu0, dnu, nchan, rank, beta=2.0, K=13,
         blk_lo=blk_lo, n_blk=n_blk,
         blen_hi=np.asarray(bh, np.float32),
         blen_lo=np.asarray(blo, np.float32),
-        tap_w=kb_tap_coeffs(K, alpha, degree=10),
+        tap_w=kb_tap_coeffs(K, alpha, degree=tap_degree),
         deconv=deconv, ramp=ramp,
         consts=dict(inv_ch=inv_ch, numid_c=numid / CNST.c))
 
