@@ -142,6 +142,62 @@ def _tpu_macs_per_sec(nbl=666, nchan=1024, nsrc=49152, repeats=3):
                       '%s"}' % (attempt + 1,
                                 str(exc)[:200].replace('"', "'")))
                 time.sleep(20)
+    # Banded-spread NUFFT engine (engine/nufft_banded.py): computes the
+    # same (nbl, nchan) visibilities with O(S*K) spread work + FFTs
+    # instead of O(S*B*C) MACs — the framework's algorithmic headline
+    # (measured round 3: ~5.9x the direct Pallas kernel at this shape).
+    # Gated on the same XLA agreement check as the Pallas kernel; its
+    # MAC/s figure is TASK-effective (same task, fewer hardware MACs).
+    from prisim_tpu.engine.nufft_banded import banded_spread_available
+    banded_cfg = None
+    if (platform == "tpu" and banded_spread_available()
+            and not os.environ.get("PRISIM_BENCH_DISABLE_BANDED")):
+        from prisim_tpu.engine.nufft_banded import (
+            make_banded_plan, make_banded_snapshot_fns)
+        from prisim_tpu.engine.nufft_delay import chebyshev_projection
+        for attempt in range(3):   # remote-compile tunnel hiccups
+            try:
+                rank = int(os.environ.get("PRISIM_BENCH_NUFFT_RANK", 24))
+                pinvQ, Q = chebyshev_projection(freqs, rank)
+                plan = make_banded_plan(
+                    np.asarray(bset.vectors), inst.nu0, inst.dnu,
+                    nchan, rank=rank)
+                run_b = make_banded_snapshot_fns(
+                    inst, sky, lambda s, f: airy_beam(s, f, 14.0),
+                    plan, pinvQ, Q)
+                prep, spread, post = run_b.stages
+                post_ri = jax.jit(lambda o: (lambda v: (
+                    jnp.real(v), jnp.imag(v)))(post(o)))
+
+                def banded(mh, ml, ph, pl):
+                    u_h, u_l, P_r, ok = prep(mh, ml, ph, pl,
+                                             *run_b.sky_args)
+                    re, im = post_ri(spread(u_h, u_l, P_r))
+                    return re, im, ok
+                br, bi, ok = map(np.asarray, jax.block_until_ready(
+                    banded(*args)))
+                vb = br + 1j * bi
+                scale = np.abs(outputs["xla"]).max()
+                rel = float(np.abs(vb - outputs["xla"]).max() / scale)
+                if not bool(ok) or rel > 1e-4:
+                    print('{"warning": "banded ok=%s rel=%.2e; '
+                          'dropping banded"}' % (bool(ok), rel))
+                    break
+                print('{"info": "banded/xla agreement rel=%.2e"}' % rel)
+                sreps = max(10, repeats)
+                t0 = time.perf_counter()
+                for _ in range(sreps):
+                    out = banded(*args)
+                jax.block_until_ready(out[0])
+                results["banded"] = (time.perf_counter() - t0) / sreps
+                banded_cfg = dict(rank=rank, K=plan.K, G_blk=plan.G_blk,
+                                  T_s=plan.T_s, beta=plan.beta)
+                break
+            except Exception as exc:
+                print('{"warning": "banded attempt %d failed: %s"}'
+                      % (attempt + 1,
+                         str(exc)[:200].replace('"', "'")))
+                time.sleep(20)
     timed = {k: v for k, v in results.items() if v is not None}
     if not timed:
         raise RuntimeError("all NUDFT kernels failed to run: %r"
@@ -152,6 +208,7 @@ def _tpu_macs_per_sec(nbl=666, nchan=1024, nsrc=49152, repeats=3):
     return macs / dt, dt, dict(nbl=nbl, nchan=nchan, nsrc=nsrc,
                                kernel=best, platform=platform,
                                kernel_config=tuned,
+                               banded_config=banded_cfg,
                                per_kernel_seconds=results)
 
 

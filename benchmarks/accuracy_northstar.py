@@ -123,7 +123,8 @@ def golden_slice(prob, amps_np, bl_idx, chunk=2048):
     return V, time.perf_counter() - t0, int(S)
 
 
-def run_engines(prob, sh, sl, amps_np, bl_idx, nchan, recur=None):
+def run_engines(prob, sh, sl, amps_np, bl_idx, nchan, recur=None,
+                anchor_q=8, anchor_w=None):
     import jax
     import jax.numpy as jnp
     from prisim_tpu import twofloat as tf
@@ -148,7 +149,8 @@ def run_engines(prob, sh, sl, amps_np, bl_idx, nchan, recur=None):
     @functools.partial(jax.jit, donate_argnums=(2,))
     def pal(seh, sel, amps):
         v = nudft_pallas(seh, sel, blh, bll, amps, gs, nchan,
-                         recur=recur)
+                         recur=recur, anchor_q=anchor_q,
+                         anchor_w=anchor_w)
         return jnp.real(v), jnp.imag(v)
 
     @functools.partial(jax.jit, donate_argnums=(2,))
@@ -177,6 +179,46 @@ def run_engines(prob, sh, sl, amps_np, bl_idx, nchan, recur=None):
     return out, timing
 
 
+def run_banded(prob, bl_idx, nchan):
+    """Banded-spread NUFFT engine on the baseline slice, full sources.
+
+    The plan is built on the sliced vectors only — the banded engine is
+    per-baseline-independent, so its slice output is bit-identical to
+    the corresponding rows of a full-array run."""
+    import jax
+    import jax.numpy as jnp
+    from prisim_tpu import twofloat as tf
+    from prisim_tpu.beams import airy_beam
+    from prisim_tpu.engine import Instrument
+    from prisim_tpu.engine.nufft_banded import (
+        banded_spread_available, make_banded_plan,
+        make_banded_snapshot_fns)
+    from prisim_tpu.engine.nufft_delay import chebyshev_projection
+
+    inst = prob["inst"]
+    bl64 = (np.asarray(inst.bl_hi, np.float64)
+            + np.asarray(inst.bl_lo, np.float64))[bl_idx]
+    inst_sl = Instrument.build(bl64, prob["freqs"],
+                               latitude=inst.latitude)
+    pinvQ, Q = chebyshev_projection(prob["freqs"], 24)
+    plan = make_banded_plan(bl64, inst_sl.nu0, inst_sl.dnu, nchan,
+                            rank=24)
+    interp = not banded_spread_available()
+    run = make_banded_snapshot_fns(
+        inst_sl, prob["sky"], lambda s, f: airy_beam(s, f, 14.0),
+        plan, pinvQ, Q, interpret=interp)
+    Mh, Ml = tf.split_f64(prob["M64"])
+    pch, pcl = tf.split_f64(prob["pc"])
+    t0 = time.perf_counter()
+    v, ok = run(jnp.asarray(Mh), jnp.asarray(Ml), jnp.asarray(pch),
+                jnp.asarray(pcl))
+    vr, vi = jax.block_until_ready((jnp.real(v), jnp.imag(v)))
+    dt = time.perf_counter() - t0
+    if not bool(np.asarray(jax.device_get(ok))):
+        print(json.dumps({"warning": "banded span check failed"}))
+    return np.asarray(vr) + 1j * np.asarray(vi), dt, plan
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nside", type=int, default=256)
@@ -185,6 +227,11 @@ def main():
     ap.add_argument("--recur", default=None, choices=["df", "rot"],
                     help="Pallas grid-phasor mode (kernel default when "
                          "omitted)")
+    ap.add_argument("--banded", action="store_true",
+                    help="also measure the banded-spread NUFFT engine")
+    ap.add_argument("--banded-only", action="store_true")
+    ap.add_argument("--anchor-q", type=int, default=8)
+    ap.add_argument("--anchor-w", type=int, default=None)
     args = ap.parse_args()
 
     prob = build_problem(nside=args.nside, nchan=args.nchan)
@@ -202,8 +249,17 @@ def main():
                       "nchan": args.nchan}))
 
     sh, sl, amps_np = engine_amps(prob)
-    eng, timing = run_engines(prob, sh, sl, amps_np, bl_idx, args.nchan,
-                              recur=args.recur)
+    if args.banded_only:
+        eng, timing = {}, {}
+    else:
+        eng, timing = run_engines(prob, sh, sl, amps_np, bl_idx,
+                                  args.nchan, recur=args.recur,
+                                  anchor_q=args.anchor_q,
+                                  anchor_w=args.anchor_w)
+    plan = None
+    if args.banded or args.banded_only:
+        eng["banded"], timing["banded"], plan = run_banded(
+            prob, bl_idx, args.nchan)
 
     cache = "/tmp/acc_ns_golden_%d_%d_%d.npz" % (
         args.nside, args.nchan, args.nbl_slice)
@@ -219,13 +275,20 @@ def main():
         err = np.abs(V - Vg)
         rel_max_scaled = float(err.max() / scale)
         rel_elem = float((err[mask] / np.abs(Vg)[mask]).max())
-        print(json.dumps({
+        rec = {
             "engine": name,
             "recur": args.recur if name == "pallas" else None,
+            "anchors": ([args.anchor_q, args.anchor_w]
+                        if name == "pallas" and args.recur == "rot"
+                        else None),
             "rel_max_scaled": rel_max_scaled,
             "rel_elem_worst": rel_elem,
             "engine_seconds_incl_compile": timing[name],
-            "golden_seconds": tg, "n_src_above_horizon": n_up}))
+            "golden_seconds": tg, "n_src_above_horizon": n_up}
+        if name == "banded" and plan is not None:
+            rec["plan"] = dict(K=plan.K, G_blk=plan.G_blk, T_s=plan.T_s,
+                               rank=plan.rank, beta=plan.beta)
+        print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -33,6 +33,9 @@ def main():
                     help="grid-phasor mode: two-float sincos or anchored"
                          " rotation recurrence")
     ap.add_argument("--anchor-q", type=int, default=8)
+    ap.add_argument("--anchor-w", type=int, default=None,
+                    help="W re-anchor period in 'rot' (default: one "
+                         "anchor per r-block)")
     args = ap.parse_args()
 
     import jax
@@ -114,7 +117,8 @@ def main():
                              nchan, src_tile=_st, bl_tile=_bt,
                              amps_layout=args.layout,
                              w_block=args.wblock, recur=args.recur,
-                             anchor_q=args.anchor_q)
+                             anchor_q=args.anchor_q,
+                             anchor_w=args.anchor_w)
             return jnp.real(v), jnp.imag(v)
 
         try:
@@ -130,6 +134,8 @@ def main():
                               "layout": args.layout,
                               "w_block": args.wblock,
                               "recur": args.recur,
+                              "anchor_q": args.anchor_q,
+                              "anchor_w": args.anchor_w,
                               "seconds": dt, "gmacs": macs / dt / 1e9,
                               "rel_vs_xla": rel}))
         except Exception as exc:

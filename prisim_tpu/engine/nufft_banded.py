@@ -174,8 +174,8 @@ def _split(x):
     return hi, lo
 
 
-def make_banded_plan(bl_vectors, nu0, dnu, nchan, rank, beta=2.0, K=13,
-                     T_s=256, G_blk=None, tap_degree=10):
+def make_banded_plan(bl_vectors, nu0, dnu, nchan, rank, beta=2.0, K=9,
+                     T_s=2048, G_blk=None, tap_degree=10):
     """Build the static plan for a set of baseline vectors (meters) and
     a uniform frequency grid. Exact for arbitrary (3-D) baselines.
 
@@ -193,7 +193,12 @@ def make_banded_plan(bl_vectors, nu0, dnu, nchan, rank, beta=2.0, K=13,
     blen = np.linalg.norm(bl, axis=1)
     inv_ch = 1.0 / (CNST.c * h)
     if G_blk is None:
-        G_blk = 64
+        # Tuned on v5e at the bench shape (BASELINE.md round 3):
+        # (K=9, G=32, T_s=2048) measured 0.0437 s/snapshot vs 0.0595
+        # for (K=13, G=64, T_s=1024), at the same 7.5e-7 f64 accuracy
+        # (probe_banded_error --f64-golden: the error floor is the
+        # f32 spectral fit, not the tap count).
+        G_blk = 32
     if G_blk % 8:
         raise ValueError("G_blk must be a multiple of 8")
     half = K // 2

@@ -52,7 +52,7 @@ def pallas_available():
 
 
 def _kernel(*refs, Q, L, WB, ST, BT, k_mode, layout, grad, ext, recur,
-            aq):
+            aq, aw):
     (seh_ref, sel_ref, blh_ref, bll_ref, amps_ref, scal_ref) = refs[:6]
     idx = 6
     ssk_ref = None
@@ -210,16 +210,27 @@ def _kernel(*refs, Q, L, WB, ST, BT, k_mode, layout, grad, ext, recur,
         s_h, s_e = tf.two_prod(dh, r0f)
         w_start = tf.df_frac(s_h, s_e + dl * r0f, xp=jnp)
         if recur == "rot":
-            wc0, ws0 = tf.df_sincos_cycles(*w_start, xp=jnp,
-                                           two_pi=two_pi)
-
+            # W is re-anchored with an exact two-float sincos every
+            # `aw` steps (<= aw-1 rotations of drift per chain; aw=WB
+            # reproduces the single-anchor round-3 behavior). The
+            # anchor chain count is static, so the group loop unrolls.
             def w_rot(j, ph):
                 wc, wsn = ph
                 wc_ref[j] = wc
                 ws_ref[j] = wsn
                 return (wc * rc + wsn * rs, wsn * rc - wc * rs)
 
-            jax.lax.fori_loop(0, WB, w_rot, (wc0, -ws0))
+            for a0 in range(0, WB, aw):
+                if a0 == 0:
+                    a_start = w_start
+                else:
+                    af = jnp.float32(r0 + a0)
+                    a_h, a_e = tf.two_prod(dh, af)
+                    a_start = tf.df_frac(a_h, a_e + dl * af, xp=jnp)
+                wc0, ws0 = tf.df_sincos_cycles(*a_start, xp=jnp,
+                                               two_pi=two_pi)
+                jax.lax.fori_loop(a0, min(a0 + aw, WB), w_rot,
+                                  (wc0, -ws0))
         else:
             def w_step(j, carry):
                 ch_, cl_ = carry
@@ -328,12 +339,12 @@ def _kernel(*refs, Q, L, WB, ST, BT, k_mode, layout, grad, ext, recur,
                                              "amps_layout",
                                              "interpret", "k_mode",
                                              "gradient", "recur",
-                                             "anchor_q"))
+                                             "anchor_q", "anchor_w"))
 def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
                  chan0=0, src_tile=None, bl_tile=None, w_block=None,
                  amps_layout=None, interpret=False, k_mode=None,
                  s_sky=None, src_shape_sigma=None, gradient=False,
-                 recur=None, anchor_q=8):
+                 recur=None, anchor_q=8, anchor_w=None):
     """Pallas NUDFT: complex64 (B, C) (and (3, B, C) gradient moments
     when gradient=True; extended sources when src_shape_sigma given —
     both need s_sky (S, 3) f32 sky dircos, matching nudft_visibilities).
@@ -467,10 +478,15 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
     aq = min(int(anchor_q), Q)
     while Q % aq:
         aq -= 1
+    # W re-anchor period: default WB (one anchor per r-block, the
+    # round-3 throughput mode); smaller values trade sincos work for
+    # bounded rotation drift (accuracy measured in BASELINE.md)
+    aw = WB if anchor_w is None else max(1, min(int(anchor_w), WB))
     grid = (B_pad // BT, S_pad // ST)
     kernel = functools.partial(_kernel, Q=Q, L=L, WB=WB, ST=ST, BT=BT,
                                k_mode=k_mode, layout=amps_layout,
-                               grad=grad, ext=ext, recur=recur, aq=aq)
+                               grad=grad, ext=ext, recur=recur, aq=aq,
+                               aw=aw)
     # (Q, L, S_total): the per-q read indexes the LEADING dim — traced
     # dynamic indexing on non-leading VMEM dims trapped the device at
     # runtime (verified on hardware: kernel ran, then all subsequent

@@ -199,3 +199,10 @@ def test_pallas_rot_recurrence_matches_golden():
                                       anchor_q=4))
         scale = np.abs(want).max()
         assert np.abs(got - want).max() / scale < 2e-6
+        # W re-anchoring (anchor_w < WB, incl. a period that does not
+        # divide the r-block) changes only rounding, not values
+        got_aw = np.asarray(nudft_pallas(seh, sel, blh, bll, amps, gs,
+                                         C, src_tile=16, bl_tile=8,
+                                         interpret=True, recur="rot",
+                                         anchor_q=4, anchor_w=3))
+        assert np.abs(got_aw - want).max() / scale < 2e-6
