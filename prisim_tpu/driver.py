@@ -910,7 +910,40 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
         pinvQ, Q = chebyshev_projection(freqs, min(rank, freqs.size))
         ndev_nufft = len(jax.devices())
         if ndev_nufft > 1 and ((parms.get("pp") or {}).get("key")
-                               or "freq").lower() != "none":
+                               or "freq").lower() != "none" \
+                and spread == "banded":
+            # multi-chip banded NUFFT: the banded plan shards over 'bl'
+            # only (each shard FFTs the full band), so the mesh rides
+            # the baseline axis regardless of pp.key — the result is
+            # identical to any other decomposition of the same sum; on
+            # TPU the alternative (sorted spread) is ~100x slower
+            # (BASELINE.md). nufft_spread: sorted restores pp.key
+            # semantics for the mesh.
+            from .parallel.mesh import (make_mesh,
+                                        simulate_drift_banded_sharded)
+            if ((parms.get("pp") or {}).get("key") or "").lower() \
+                    != "bl" and verbose:
+                print("[prisim_tpu] banded NUFFT on %d devices: mesh "
+                      "rides the 'bl' axis (full band per shard)"
+                      % ndev_nufft)
+            nmesh = make_mesh(axis_names=("bl", "chan"),
+                              shape=(ndev_nufft, 1))
+            vis_cube, ok_b = simulate_drift_banded_sharded(
+                inst, sks, obs, beam_fn, nmesh,
+                rank=min(rank, freqs.size),
+                interpret=jax.devices()[0].platform != "tpu")
+            if not ok_b:
+                print("[prisim_tpu] banded NUFFT unit-source check "
+                      "failed; re-running with the sorted spread")
+                p2 = dict(parms)
+                p2["processing"] = dict(parms["processing"],
+                                        nufft_spread="sorted")
+                return _run_simulation_inner(p2, outdir, verbose, save,
+                                             _sky_override, t0)
+            snaps = [get_complex(vis_cube[t])
+                     for t in range(obs.n_acc)]
+        elif ndev_nufft > 1 and ((parms.get("pp") or {}).get("key")
+                                 or "freq").lower() != "none":
             # multi-chip NUFFT: same mesh decompositions as the direct
             # engine (bl/chan/src), sorted spreading per shard
             from .parallel.mesh import (make_mesh,

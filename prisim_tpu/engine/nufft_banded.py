@@ -245,7 +245,8 @@ def make_banded_plan(bl_vectors, nu0, dnu, nchan, rank, beta=2.0, K=9,
         blen_lo=np.asarray(blo, np.float32),
         tap_w=kb_tap_coeffs(K, alpha, degree=tap_degree),
         deconv=deconv, ramp=ramp,
-        consts=dict(inv_ch=inv_ch, numid_c=numid / CNST.c))
+        consts=dict(inv_ch=inv_ch, numid_c=numid / CNST.c,
+                    n_blk_mean=float(np.mean(n_blk))))
 
 
 # --------------------------------------------------------------------------
@@ -428,7 +429,9 @@ def _banded_spread(plan, u_flat_h, u_flat_l, P_r, interpret=False):
     )
     out_shape = jax.ShapeDtypeStruct((B, plan.R_max, 2 * r),
                                      jnp.float32)
-    nbar = max(1.0, float(np.mean(plan.n_blk)))
+    # plan-time mean (n_blk may be a traced shard slice under shard_map)
+    nbar = max(1.0, float(plan.consts.get("n_blk_mean")
+                          or np.mean(np.asarray(plan.n_blk))))
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -34,7 +34,8 @@ from ..engine.nudft import nudft_visibilities
 from ..engine.observe import df_rotate3
 
 __all__ = ["make_mesh", "pad_to_multiple", "simulate_drift_sharded",
-           "simulate_drift_src_sharded", "simulate_drift_nufft_sharded"]
+           "simulate_drift_src_sharded", "simulate_drift_nufft_sharded",
+           "simulate_drift_banded_sharded"]
 
 
 def make_mesh(shape=None, axis_names=("bl", "chan"), devices=None):
@@ -253,6 +254,104 @@ def simulate_drift_nufft_sharded(instrument, sky, observation, beam_fn,
                  jnp.asarray(Mh), jnp.asarray(Ml), jnp.asarray(pch),
                  jnp.asarray(pcl))
     return vis[:, :instrument.nbl, :nchan]
+
+
+def simulate_drift_banded_sharded(instrument, sky, observation, beam_fn,
+                                  mesh, rank=24, interpret=False):
+    """Drift scan through the banded-spread NUFFT engine (the TPU-fast
+    path, engine/nufft_banded.py), sharded over the 'bl' mesh axis.
+
+    The banded plan is per-baseline-independent, so its per-baseline
+    tables (block ranges, |b|, bin-offset ramp) shard cleanly along B
+    as shard_map operands; the direction table and source arrays
+    replicate. Delay-domain spreading needs each shard to hold the full
+    band (the FFT runs over all channels), so 'chan'/'src' mesh axes
+    are rejected — route those decompositions through
+    simulate_drift_nufft_sharded (sorted spread) instead.
+
+    Returns ((T, B, C) complex64, ok) where ok is the AND of every
+    shard's unit-source span check (False => caller must fall back;
+    cf. the single-device driver path, driver.py)."""
+    import dataclasses
+    from ..engine.nufft_banded import (make_banded_plan, _prep,
+                                       _banded_spread, _post,
+                                       spatial_permutation,
+                                       reorder_sources)
+    from ..engine.nufft_delay import chebyshev_projection
+    from ..engine.observe import _beam_and_flux
+
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    n_bl = axis_sizes.get("bl", 1)
+    if any(v > 1 for k, v in axis_sizes.items() if k != "bl"):
+        raise ValueError("banded sharding supports only the 'bl' mesh "
+                         "axis (the spread needs the full band per "
+                         "shard); use the sorted spread for chan/src "
+                         "meshes")
+
+    bl64 = (np.asarray(instrument.bl_hi, np.float64)
+            + np.asarray(instrument.bl_lo, np.float64))
+    B = bl64.shape[0]
+    B_pad = -(-B // n_bl) * n_bl
+    if B_pad != B:
+        # pad with copies of the first baseline (a zero vector would be
+        # rejected by the direction grouping); padded rows are trimmed
+        bl64 = np.concatenate(
+            [bl64, np.repeat(bl64[:1], B_pad - B, axis=0)], axis=0)
+    nchan = instrument.nchan
+    rank = min(int(rank), nchan)
+    plan = make_banded_plan(bl64, instrument.nu0, instrument.dnu,
+                            nchan, rank=rank)
+    pinvQ, Q = chebyshev_projection(np.asarray(instrument.freqs), rank)
+
+    perm = spatial_permutation(np.asarray(sky.s_eq_hi, np.float64)
+                               + np.asarray(sky.s_eq_lo, np.float64))
+    sky = reorder_sources(sky, perm)
+
+    Mh, Ml = observation.rotations(instrument.latitude)
+    pch, pcl = tf.split_f64(observation.pc_dircos())
+    freqs_f32 = jnp.asarray(instrument.freqs, dtype=jnp.float32)
+    pinvQ_j = jnp.asarray(pinvQ)
+    Q_j = jnp.asarray(Q, jnp.float32)
+
+    def fn(dofb, blo, nblk, blh, bll, ramp, seqh, seql, flux,
+           mh_t, ml_t, pch_t, pcl_t):
+        lplan = dataclasses.replace(plan, d_of_b=dofb, blk_lo=blo,
+                                    n_blk=nblk, blen_hi=blh,
+                                    blen_lo=bll, ramp=ramp)
+
+        def step(_, mt):
+            mh, ml, ph, pl_ = mt
+            sh, sl = df_rotate3(mh, ml, seqh, seql)
+            seh, sel = tf.df_add(sh, sl, -ph[None, :], -pl_[None, :])
+            amps = _beam_and_flux(sh, flux, freqs_f32, beam_fn)
+            Pc = jnp.matmul(amps, pinvQ_j,
+                            precision=jax.lax.Precision.HIGHEST)
+            u_h, u_l, P_r, ok = _prep(lplan, seh, sel, Pc)
+            out = _banded_spread(lplan, u_h, u_l, P_r,
+                                 interpret=interpret)
+            return None, (_post(lplan, out, Q_j), ok)
+
+        _, (vis, oks) = jax.lax.scan(step, None,
+                                     (mh_t, ml_t, pch_t, pcl_t))
+        return vis, jnp.all(oks)[None]
+
+    bl_p = P("bl") if "bl" in axis_sizes else P(None)
+    bl2_p = P("bl", None) if "bl" in axis_sizes else P(None, None)
+    in_specs = (bl_p, bl_p, bl_p, bl_p, bl_p, bl2_p,
+                P(), P(), P(), P(), P(), P(), P())
+    out_specs = (P(None, "bl" if "bl" in axis_sizes else None, None),
+                 bl_p)
+    mapped = jax.jit(shard_map(fn, mesh=mesh, in_specs=in_specs,
+                               out_specs=out_specs, check_vma=False))
+    vis, oks = mapped(
+        jnp.asarray(plan.d_of_b), jnp.asarray(plan.blk_lo),
+        jnp.asarray(plan.n_blk), jnp.asarray(plan.blen_hi),
+        jnp.asarray(plan.blen_lo), jnp.asarray(plan.ramp),
+        jnp.asarray(sky.s_eq_hi), jnp.asarray(sky.s_eq_lo),
+        jnp.asarray(sky.flux), jnp.asarray(Mh), jnp.asarray(Ml),
+        jnp.asarray(pch), jnp.asarray(pcl))
+    ok = bool(np.asarray(jax.device_get(jnp.all(oks))))
+    return vis[:, :B, :], ok
 
 
 def simulate_drift_sharded(instrument, sky, observation, beam_fn, mesh,

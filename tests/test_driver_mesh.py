@@ -49,3 +49,20 @@ def test_driver_mesh_pallas_matches_xla(key):
     vs_pl, _ = run_simulation(parms2, verbose=False, save=False)
     scale = np.abs(vs_xla.skyvis).max()
     assert np.abs(vs_pl.skyvis - vs_xla.skyvis).max() / scale < 5e-6
+
+
+def test_driver_mesh_banded_nufft_matches_direct():
+    """processing.engine: nufft + nufft_spread: banded on a multi-device
+    run routes through simulate_drift_banded_sharded (mesh over 'bl')
+    and agrees with the single-device direct engine. The driver's
+    cross-check gate stays on, so a mismatch would demote the run and
+    fail the shape assertion implicitly."""
+    parms = _parms("freq")
+    parms["processing"] = dict(parms.get("processing") or {},
+                               engine="nufft", nufft_spread="banded")
+    vs, _ = run_simulation(parms, verbose=False, save=False)
+    golden = _parms("freq")
+    golden["pp"]["key"] = "none"
+    vs1, _ = run_simulation(golden, verbose=False, save=False)
+    scale = np.abs(vs1.skyvis).max()
+    assert np.abs(vs.skyvis - vs1.skyvis).max() / scale < 2e-5

@@ -148,3 +148,29 @@ def test_nufft_sharded_matches_single_device():
         assert vis.shape == direct.shape
         rel = np.abs(vis - direct).max() / scale
         assert rel < 2e-5, (shape, rel)
+
+
+def test_banded_sharded_matches_single_device():
+    """simulate_drift_banded_sharded over a 'bl' mesh (the TPU-fast
+    engine's multi-chip decomposition) agrees with the direct engine at
+    the engine accuracy class and rejects non-'bl' meshes. 21 baselines
+    over 8 shards also exercises the padded-baseline trim."""
+    from prisim_tpu.parallel.mesh import (make_mesh,
+                                          simulate_drift_banded_sharded)
+
+    inst, sky, obs, beam_fn = _problem(C=32, n_acc=2, nsrc=64)
+    ref = np.asarray(simulate_drift(inst, sky, obs, beam_fn,
+                                    src_block=64))
+    mesh = make_mesh((8, 1), ("bl", "chan"))
+    got, ok = simulate_drift_banded_sharded(inst, sky, obs, beam_fn,
+                                            mesh, interpret=True)
+    got = np.asarray(got)
+    assert ok
+    assert got.shape == ref.shape
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() / scale < 2e-5
+
+    with pytest.raises(ValueError):
+        simulate_drift_banded_sharded(
+            inst, sky, obs, beam_fn, make_mesh((1, 8), ("bl", "chan")),
+            interpret=True)
