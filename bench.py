@@ -80,7 +80,7 @@ def _tpu_macs_per_sec(nbl=666, nchan=1024, nsrc=49152, repeats=3):
         src_tile=int(os.environ.get("PRISIM_BENCH_SRC_TILE", 64)),
         bl_tile=int(os.environ.get("PRISIM_BENCH_BL_TILE", 256)),
         w_block=int(os.environ.get("PRISIM_BENCH_W_BLOCK", 16)),
-        recur=os.environ.get("PRISIM_BENCH_RECUR", "df"),
+        recur=os.environ.get("PRISIM_BENCH_RECUR", "rot"),
         anchor_q=int(os.environ.get("PRISIM_BENCH_ANCHOR_Q", 4)),
         anchor_w=int(os.environ.get("PRISIM_BENCH_ANCHOR_W", 4)))
 

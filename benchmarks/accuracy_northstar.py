@@ -179,7 +179,7 @@ def run_engines(prob, sh, sl, amps_np, bl_idx, nchan, recur=None,
     return out, timing
 
 
-def run_banded(prob, bl_idx, nchan):
+def run_banded(prob, bl_idx, nchan, ktaps=None, tile=None, gblk=None):
     """Banded-spread NUFFT engine on the baseline slice, full sources.
 
     The plan is built on the sliced vectors only — the banded engine is
@@ -201,8 +201,10 @@ def run_banded(prob, bl_idx, nchan):
     inst_sl = Instrument.build(bl64, prob["freqs"],
                                latitude=inst.latitude)
     pinvQ, Q = chebyshev_projection(prob["freqs"], 24)
+    kw = {k: v for k, v in
+          dict(K=ktaps, T_s=tile, G_blk=gblk).items() if v}
     plan = make_banded_plan(bl64, inst_sl.nu0, inst_sl.dnu, nchan,
-                            rank=24)
+                            rank=24, **kw)
     interp = not banded_spread_available()
     run = make_banded_snapshot_fns(
         inst_sl, prob["sky"], lambda s, f: airy_beam(s, f, 14.0),
@@ -232,6 +234,9 @@ def main():
     ap.add_argument("--banded-only", action="store_true")
     ap.add_argument("--anchor-q", type=int, default=8)
     ap.add_argument("--anchor-w", type=int, default=None)
+    ap.add_argument("--banded-k", type=int, default=None)
+    ap.add_argument("--banded-tile", type=int, default=None)
+    ap.add_argument("--banded-gblk", type=int, default=None)
     args = ap.parse_args()
 
     prob = build_problem(nside=args.nside, nchan=args.nchan)
@@ -259,7 +264,8 @@ def main():
     plan = None
     if args.banded or args.banded_only:
         eng["banded"], timing["banded"], plan = run_banded(
-            prob, bl_idx, args.nchan)
+            prob, bl_idx, args.nchan, ktaps=args.banded_k,
+            tile=args.banded_tile, gblk=args.banded_gblk)
 
     cache = "/tmp/acc_ns_golden_%d_%d_%d.npz" % (
         args.nside, args.nchan, args.nbl_slice)

@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--ktaps", type=int, default=13)
     ap.add_argument("--tap-degree", type=int, default=10)
     ap.add_argument("--beta", type=float, default=2.0)
+    ap.add_argument("--tile", type=int, default=256)
+    ap.add_argument("--gblk", type=int, default=64)
+    ap.add_argument("--layout", default="HERA-37",
+                    help="preset layout (baseline-length range probe)")
     ap.add_argument("--f64-golden", action="store_true")
     args = ap.parse_args()
 
@@ -46,8 +50,9 @@ def main():
     from prisim_tpu.beams import airy_beam
     from prisim_tpu.utils import get_complex
 
-    layout = lay.preset_layout("HERA-37")
-    bset = bls.build_baselines(layout, redundant=False)
+    layout = lay.preset_layout(args.layout)
+    bset = bls.build_baselines(layout,
+                               redundant=args.layout != "HERA-37")
     # spread of short..long baselines
     lengths = np.linalg.norm(bset.vectors, axis=1)
     order = np.argsort(lengths)
@@ -77,7 +82,8 @@ def main():
     pinvQ, Q = chebyshev_projection(freqs, args.rank)
     plan = make_banded_plan(vecs, inst.nu0, inst.dnu, nchan,
                             rank=args.rank, K=args.ktaps,
-                            beta=args.beta, tap_degree=args.tap_degree)
+                            beta=args.beta, tap_degree=args.tap_degree,
+                            T_s=args.tile, G_blk=args.gblk)
     run = make_banded_snapshot_fns(inst, sky, beam_fn, plan, pinvQ, Q,
                                    interpret=True)
     vb, ok = run(*margs)
@@ -89,7 +95,8 @@ def main():
     scale = np.abs(gold).max()
     rel = np.abs(vb - gold).max() / scale
     print(f"banded(interpret,cpu,rank={args.rank},K={args.ktaps},"
-          f"deg={args.tap_degree},beta={args.beta}) vs direct-xla "
+          f"deg={args.tap_degree},beta={args.beta},T_s={args.tile},"
+          f"G={args.gblk},{args.layout}) vs direct-xla "
           f"max rel: {rel:.3e}  (nbl={vecs.shape[0]}, nsrc={nsrc}, "
           f"nchan={nchan})")
 

@@ -344,7 +344,7 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
                  chan0=0, src_tile=None, bl_tile=None, w_block=None,
                  amps_layout=None, interpret=False, k_mode=None,
                  s_sky=None, src_shape_sigma=None, gradient=False,
-                 recur=None, anchor_q=8, anchor_w=None):
+                 recur=None, anchor_q=4, anchor_w=4):
     """Pallas NUDFT: complex64 (B, C) (and (3, B, C) gradient moments
     when gradient=True; extended sources when src_shape_sigma given —
     both need s_sky (S, 3) f32 sky dircos, matching nudft_visibilities).
@@ -366,9 +366,13 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
     tiles) sets the r-block width of the W phasor table; see _kernel.
 
     recur: 'df' evaluates every grid phasor with the two-float sincos
-    (round-2 behavior); 'rot' uses anchored rotation recurrences (see
-    _kernel; accuracy/throughput measured in BASELINE.md round 3).
-    Default 'df'; anchor_q sets the U re-anchor period in 'rot'."""
+    (round-2 behavior, 131 GMAC/s at bench size); 'rot' uses anchored
+    rotation recurrences re-anchored every anchor_q U-groups /
+    anchor_w W-steps. Default 'rot' with (4, 4): measured 175.9 GMAC/s
+    at bench size and 8.79e-7 vs the f64 golden at the full north-star
+    scale (BASELINE.md round 3) — the drift per chain is bounded by
+    the anchor period, so the accuracy is scale-stable. Pass
+    recur='df' for the maximum-margin mode (4.63e-7 north-star)."""
     g0h, g0l, gdh, gdl = grid_scalars
     S = seh.shape[0]
     B = blh.shape[0]
@@ -460,9 +464,17 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
         # plane pairs (24 B per (Q, L, BT) element)
         tmp_c = 16 + (8 if (grad or ext) else 0) + (8 if ext else 0)
         acc_c = 16 + (24 if grad else 0)
+        # rot mode holds extra (ST, BT) f32 planes live (rotation
+        # factors rc/rs/rLc/rLs + anchor temps); in the plain kernel
+        # they fit (WB=16 at (64,256) compiles, measured), but stacked
+        # on the gradient/extended planes they pushed the scoped-vmem
+        # stack to 16.2M vs the 16M limit (measured round 3,
+        # bench_gradext) — count them only in those modes
+        fix_c = 56 + (100 if (recur or "rot") == "rot"
+                      and (grad or ext) else 0)
         WB = L
         while WB > 1 and (tmp_c * WB * ST * BT + acc_c * Q * L * BT
-                          + 8 * Q * L * ST + 56 * ST * BT + slack) \
+                          + 8 * Q * L * ST + fix_c * ST * BT + slack) \
                 > 14 * 1024 * 1024:
             WB //= 2
     else:
@@ -470,7 +482,7 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
     if L % WB:
         raise ValueError("w_block must divide L=%d" % L)
     if recur is None:
-        recur = "df"
+        recur = "rot"
     if recur not in ("df", "rot"):
         raise ValueError("recur must be 'df' or 'rot'")
     # largest divisor of Q not exceeding anchor_q (Q need not be a

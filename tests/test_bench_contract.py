@@ -22,7 +22,7 @@ def test_bench_smoke_json():
     rec = json.loads(lines[-1])
     assert rec["unit"] == "MAC/s"
     assert rec["value"] > 0 and rec["vs_baseline"] > 0
-    assert rec["detail"]["kernel"] in ("xla", "pallas")
+    assert rec["detail"]["kernel"] in ("xla", "pallas", "banded")
 
 
 def test_graft_entry_contract():
