@@ -159,7 +159,7 @@ def _tpu_macs_per_sec(nbl=666, nchan=1024, nsrc=49152, repeats=3):
         from prisim_tpu.engine.nufft_delay import chebyshev_projection
         for attempt in range(3):   # remote-compile tunnel hiccups
             try:
-                rank = int(os.environ.get("PRISIM_BENCH_NUFFT_RANK", 24))
+                rank = int(os.environ.get("PRISIM_BENCH_NUFFT_RANK", 32))
                 pinvQ, Q = chebyshev_projection(freqs, rank)
                 plan = make_banded_plan(
                     np.asarray(bset.vectors), inst.nu0, inst.dnu,

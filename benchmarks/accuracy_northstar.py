@@ -179,20 +179,29 @@ def run_engines(prob, sh, sl, amps_np, bl_idx, nchan, recur=None,
     return out, timing
 
 
-def run_banded(prob, bl_idx, nchan, ktaps=None, tile=None, gblk=None):
+def run_banded(prob, sh, sl, amps_np, bl_idx, nchan, ktaps=None,
+               tile=None, gblk=None, rank=24):
     """Banded-spread NUFFT engine on the baseline slice, full sources.
 
     The plan is built on the sliced vectors only — the banded engine is
     per-baseline-independent, so its slice output is bit-identical to
-    the corresponding rows of a full-array run."""
+    the corresponding rows of a full-array run.
+
+    CRITICAL (measured, round 3): the engine must consume the SAME
+    beam-weighted amps as the golden. An earlier version recomputed
+    the beam inside its own jit program; the ~1e-7 per-element f32
+    differences between two beam evaluations (different fusion, or
+    different backends for the cached golden) sum coherently across
+    786k sources into a ~3.4e-6 scaled floor that NO engine knob could
+    move — it was the yardstick, not the engine (probe_banded_f64
+    swept K/rank/basis to prove it)."""
     import jax
     import jax.numpy as jnp
     from prisim_tpu import twofloat as tf
-    from prisim_tpu.beams import airy_beam
     from prisim_tpu.engine import Instrument
     from prisim_tpu.engine.nufft_banded import (
         banded_spread_available, make_banded_plan,
-        make_banded_snapshot_fns)
+        nufft_banded_visibilities)
     from prisim_tpu.engine.nufft_delay import chebyshev_projection
 
     inst = prob["inst"]
@@ -200,21 +209,27 @@ def run_banded(prob, bl_idx, nchan, ktaps=None, tile=None, gblk=None):
             + np.asarray(inst.bl_lo, np.float64))[bl_idx]
     inst_sl = Instrument.build(bl64, prob["freqs"],
                                latitude=inst.latitude)
-    pinvQ, Q = chebyshev_projection(prob["freqs"], 24)
+    pinvQ, Q = chebyshev_projection(prob["freqs"], rank)
     kw = {k: v for k, v in
           dict(K=ktaps, T_s=tile, G_blk=gblk).items() if v}
     plan = make_banded_plan(bl64, inst_sl.nu0, inst_sl.dnu, nchan,
-                            rank=24, **kw)
+                            rank=rank, **kw)
     interp = not banded_spread_available()
-    run = make_banded_snapshot_fns(
-        inst_sl, prob["sky"], lambda s, f: airy_beam(s, f, 14.0),
-        plan, pinvQ, Q, interpret=interp)
-    Mh, Ml = tf.split_f64(prob["M64"])
     pch, pcl = tf.split_f64(prob["pc"])
+
+    @jax.jit
+    def banded(sh, sl, amps):
+        seh, sel = tf.df_add(sh, sl, -jnp.asarray(pch)[None, :],
+                             -jnp.asarray(pcl)[None, :])
+        P = jnp.matmul(amps, jnp.asarray(pinvQ),
+                       precision=jax.lax.Precision.HIGHEST)
+        v, ok = nufft_banded_visibilities(plan, seh, sel, P, Q,
+                                          interpret=interp)
+        return jnp.real(v), jnp.imag(v), ok
+
     t0 = time.perf_counter()
-    v, ok = run(jnp.asarray(Mh), jnp.asarray(Ml), jnp.asarray(pch),
-                jnp.asarray(pcl))
-    vr, vi = jax.block_until_ready((jnp.real(v), jnp.imag(v)))
+    vr, vi, ok = jax.block_until_ready(
+        banded(sh, sl, jnp.asarray(amps_np)))
     dt = time.perf_counter() - t0
     if not bool(np.asarray(jax.device_get(ok))):
         print(json.dumps({"warning": "banded span check failed"}))
@@ -237,6 +252,7 @@ def main():
     ap.add_argument("--banded-k", type=int, default=None)
     ap.add_argument("--banded-tile", type=int, default=None)
     ap.add_argument("--banded-gblk", type=int, default=None)
+    ap.add_argument("--banded-rank", type=int, default=24)
     args = ap.parse_args()
 
     prob = build_problem(nside=args.nside, nchan=args.nchan)
@@ -264,8 +280,9 @@ def main():
     plan = None
     if args.banded or args.banded_only:
         eng["banded"], timing["banded"], plan = run_banded(
-            prob, bl_idx, args.nchan, ktaps=args.banded_k,
-            tile=args.banded_tile, gblk=args.banded_gblk)
+            prob, sh, sl, amps_np, bl_idx, args.nchan,
+            ktaps=args.banded_k, tile=args.banded_tile,
+            gblk=args.banded_gblk, rank=args.banded_rank)
 
     cache = "/tmp/acc_ns_golden_%d_%d_%d.npz" % (
         args.nside, args.nchan, args.nbl_slice)

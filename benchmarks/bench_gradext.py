@@ -118,12 +118,14 @@ def main():
         got = [np.asarray(x)[..., :nb, :] if x.ndim >= 2 else x
                for x in map(np.asarray, out)]
         rel = 0.0
+        rel_per = []
         for g, r in zip(got, map(np.asarray, ref)):
             scale = max(np.abs(r).max(), 1e-30)
-            rel = max(rel, float(np.abs(g - r).max() / scale))
+            rel_per.append(float(np.abs(g - r).max() / scale))
+            rel = max(rel, rel_per[-1])
         rows[mode] = dict(mode=mode, seconds=round(dt, 4),
                           gmacs=round(macs / dt / 1e9, 2),
-                          rel_vs_xla=rel)
+                          rel_vs_xla=rel, rel_per_output=rel_per)
         if "plain" in rows:
             rows[mode]["x_plain"] = round(dt / rows["plain"]["seconds"],
                                           2)

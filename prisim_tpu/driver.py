@@ -898,11 +898,14 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
         Mh, Ml = obs.rotations(inst.latitude)
         pch, pcl = _tf.split_f64(obs.pc_dircos())
         # default spectral rank is bandwidth-aware: rank 16 reaches the
-        # f32 fit floor for <=40% fractional bandwidth, but chromatic
-        # (Airy) beams over a full octave need ~24 (fit residuals
-        # measured: rank 16 -> 8e-5, rank 24 -> 9e-7 on 100-200 MHz)
+        # f32 fit floor for <=40% fractional bandwidth; chromatic
+        # (Airy) beams over a full octave need 32 — the rank-24 fit
+        # residual is COHERENT across sources and dominated the banded
+        # engine's full-scale error (f64 algorithm probe, round 3:
+        # rank 24 -> 3.5e-6 scaled at nside-128, rank 32 -> 1.5e-7;
+        # benchmarks/probe_banded_f64.py)
         frac_bw = (freqs[-1] - freqs[0]) / freqs[freqs.size // 2]
-        rank_default = 16 if frac_bw <= 0.4 else 24
+        rank_default = 16 if frac_bw <= 0.4 else 32
         rank = int(parms["processing"].get("nufft_rank")
                    or rank_default)
         spread = str(parms["processing"].get("nufft_spread")

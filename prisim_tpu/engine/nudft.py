@@ -134,10 +134,23 @@ def _source_block_vis(seh, sel, blh, bll, amps, g0h, g0l, gdh, gdl, Q, L,
             jnp.einsum("sb,sbl->bl", ui, Tr)
         if gradient:
             # G[k] = sum_s s_sky[k] * A * E  (cf. interferometry.py:6313-6343)
-            gr = jnp.einsum("sk,sb,sbl->kbl", s_sky, ur, Tr) - \
-                jnp.einsum("sk,sb,sbl->kbl", s_sky, ui, Ti)
-            gi = jnp.einsum("sk,sb,sbl->kbl", s_sky, ur, Ti) + \
-                jnp.einsum("sk,sb,sbl->kbl", s_sky, ui, Tr)
+            # precision=HIGHEST: unlike the vis reductions above (pure
+            # batched sums, lowered to the VPU), this contraction over
+            # s with a free k axis is a genuine matmul — on TPU it
+            # lowered to a DEFAULT-precision bf16 MXU pass and put a
+            # 5.6e-3 error in the XLA gradient planes (measured round
+            # 3, bench_gradext: the Pallas kernel's planes were
+            # bit-stable across kernel restructures; the yardstick
+            # moved)
+            hi = jax.lax.Precision.HIGHEST
+            gr = jnp.einsum("sk,sb,sbl->kbl", s_sky, ur, Tr,
+                            precision=hi) - \
+                jnp.einsum("sk,sb,sbl->kbl", s_sky, ui, Ti,
+                           precision=hi)
+            gi = jnp.einsum("sk,sb,sbl->kbl", s_sky, ur, Ti,
+                            precision=hi) + \
+                jnp.einsum("sk,sb,sbl->kbl", s_sky, ui, Tr,
+                           precision=hi)
             return None, (vr, vi, gr, gi)
         return None, (vr, vi)
 

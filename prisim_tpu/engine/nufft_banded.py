@@ -508,8 +508,15 @@ def _post(plan, out, Qc):
                          axis=1)                              # (B, C, r)
     Gk = Gk * jnp.asarray(plan.ramp)[:, :, None]
     dec = jnp.asarray(plan.deconv)[None, :, None]
+    # precision=HIGHEST: the TPU MXU default quantizes this rank
+    # combine's inputs to bf16 — measured on the chip as a ~7e-4
+    # elementwise error on small visibilities (2.4e-5 scaled at the
+    # north-star shape) that the CPU probes could not see; the same
+    # trap as the round-2 spectral-projection finding (ROADMAP.md)
+    import jax as _jax
     return jnp.einsum("bcr,cr->bc", Gk * dec,
-                      jnp.asarray(Qc, jnp.float32))
+                      jnp.asarray(Qc, jnp.float32),
+                      precision=_jax.lax.Precision.HIGHEST)
 
 
 def nufft_banded_visibilities(plan, seh, sel, P, Qc, interpret=False):

@@ -61,10 +61,18 @@ def _kernel(*refs, Q, L, WB, ST, BT, k_mode, layout, grad, ext, recur,
         idx += 1
     vr_ref, vi_ref = refs[idx], refs[idx + 1]
     idx += 2
-    gr_ref = gi_ref = None
+    g_refs = None
     if grad:
-        gr_ref, gi_ref = refs[idx], refs[idx + 1]
-        idx += 2
+        # six (Q, L, BT) planes — re/im per baseline-vector axis —
+        # indexed [q, r-slice] exactly like vr_ref. The previous
+        # (3Q, L, BT) pair indexed at a DERIVED dynamic leading index
+        # (k3*Q + q) read back corrupted data on hardware (gradient
+        # planes 5.6e-3 vs XLA while the identically-accumulated vis
+        # planes were 1e-6-clean; interpret mode exact — measured
+        # round 3, bench_gradext). Plain [q] dynamic indexing is the
+        # pattern verified correct on the chip.
+        g_refs = refs[idx:idx + 6]
+        idx += 6
     wc_ref, ws_ref, cr_ref, ci_ref = refs[idx:idx + 4]
     # NOTE on scal_ref: the frequency-grid scalars are passed as
     # pre-broadcast (7, ST, BT) VMEM tiles, NOT SMEM scalars (and not
@@ -84,8 +92,8 @@ def _kernel(*refs, Q, L, WB, ST, BT, k_mode, layout, grad, ext, recur,
         cr_ref[:] = jnp.zeros_like(cr_ref)
         ci_ref[:] = jnp.zeros_like(ci_ref)
         if grad:
-            gr_ref[:] = jnp.zeros_like(gr_ref)
-            gi_ref[:] = jnp.zeros_like(gi_ref)
+            for g in g_refs:
+                g[:] = jnp.zeros_like(g)
 
     g0h, g0l = scal_ref[0], scal_ref[1]
     gdh, gdl = scal_ref[2], scal_ref[3]
@@ -278,12 +286,11 @@ def _kernel(*refs, Q, L, WB, ST, BT, k_mode, layout, grad, ext, recur,
                     # 1e-6-bar visibility itself
                     for k3 in range(3):
                         sk = ssk_ref[:, k3].reshape(1, ST, 1)
-                        gq = k3 * Q + q
-                        gr_ref[gq, r0:r0 + WB] = (
-                            gr_ref[gq, r0:r0 + WB]
+                        g_refs[k3][q, r0:r0 + WB] = (
+                            g_refs[k3][q, r0:r0 + WB]
                             + jnp.sum(sk * Pr, axis=1))
-                        gi_ref[gq, r0:r0 + WB] = (
-                            gi_ref[gq, r0:r0 + WB]
+                        g_refs[3 + k3][q, r0:r0 + WB] = (
+                            g_refs[3 + k3][q, r0:r0 + WB]
                             + jnp.sum(sk * Pi, axis=1))
             else:
                 vr = jnp.sum(AT * Er, axis=1)            # (WB, BT)
@@ -394,11 +401,17 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
     if amps_layout not in ("sl", "ls"):
         raise ValueError("amps_layout must be 'sl' or 'ls'")
     if src_tile is None:
-        src_tile = 64 if amps_layout == "sl" else 128
+        # ext halves the source tile: its per-(r, s, b) weight tensor
+        # pushed the Mosaic stack to 18.1M at ST=64/BT=128 (16M limit;
+        # measured round 3, bench_gradext)
+        src_tile = (32 if ext else 64) if amps_layout == "sl" else 128
     if bl_tile is None:
-        # gradient mode carries 3 extra (Q, L, BT) plane pairs: halve
-        # the baseline tile so the accumulators stay inside VMEM
-        bl_tile = (128 if grad else 256) if amps_layout == "sl" else 128
+        # gradient mode carries 3 extra (Q, L, BT) plane pairs and ext
+        # mode a per-(r, s, b) weight tensor: halve the baseline tile
+        # so the accumulators stay inside VMEM (ext at BT=256 measured
+        # 27.2M vs the 16M scoped-vmem limit, bench_gradext round 3)
+        bl_tile = (128 if (grad or ext) else 256) \
+            if amps_layout == "sl" else 128
     ST, BT = int(src_tile), int(bl_tile)
     if amps_layout == "ls":
         # sources pad to a multiple of lcm(ST, 128): ST for the grid,
@@ -464,25 +477,30 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
         # plane pairs (24 B per (Q, L, BT) element)
         tmp_c = 16 + (8 if (grad or ext) else 0) + (8 if ext else 0)
         acc_c = 16 + (24 if grad else 0)
-        # rot mode holds extra (ST, BT) f32 planes live (rotation
-        # factors rc/rs/rLc/rLs + anchor temps); in the plain kernel
-        # they fit (WB=16 at (64,256) compiles, measured), but stacked
-        # on the gradient/extended planes they pushed the scoped-vmem
-        # stack to 16.2M vs the 16M limit (measured round 3,
-        # bench_gradext) — count them only in those modes
-        fix_c = 56 + (100 if (recur or "rot") == "rot"
-                      and (grad or ext) else 0)
+        # Mode-specific budgets: the model underestimates the Mosaic
+        # stack by ~2.5M in gradient mode (16.2M measured at a
+        # 13.7M-modeled config) and more in ext mode (27.2M at BT=256)
+        # — lower budgets force the WB halvings the hardware needs
+        # (bench_gradext, round 3)
+        budget = (10 if ext else 12 if grad else 14) * 1024 * 1024
         WB = L
         while WB > 1 and (tmp_c * WB * ST * BT + acc_c * Q * L * BT
-                          + 8 * Q * L * ST + fix_c * ST * BT + slack) \
-                > 14 * 1024 * 1024:
+                          + 8 * Q * L * ST + 56 * ST * BT + slack) \
+                > budget:
             WB //= 2
     else:
         WB = int(w_block)
     if L % WB:
         raise ValueError("w_block must divide L=%d" % L)
     if recur is None:
-        recur = "rot"
+        # rot is the throughput default for the plain kernel (measured
+        # 175.9 GMAC/s at 8.79e-7 north-star, BASELINE.md round 3).
+        # The gradient/extended kernels keep 'df': stacking the rot
+        # rotation-factor planes on their extra accumulators blows the
+        # 16M scoped-vmem stack (measured 16.2M grad / 26.3M ext,
+        # bench_gradext round 3), and they are perturbation modes, not
+        # the headline path.
+        recur = "df" if (grad or ext) else "rot"
     if recur not in ("df", "rot"):
         raise ValueError("recur must be 'df' or 'rot'")
     # largest divisor of Q not exceeding anchor_q (Q need not be a
@@ -537,11 +555,11 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
                               memory_space=pltpu.VMEM)] * 2
     out_shape = [jax.ShapeDtypeStruct((Q, L, B_pad), jnp.float32)] * 2
     if grad:
-        out_specs += [pl.BlockSpec((3 * Q, L, BT),
+        out_specs += [pl.BlockSpec((Q, L, BT),
                                    lambda i, j: (0, 0, i),
-                                   memory_space=pltpu.VMEM)] * 2
-        out_shape += [jax.ShapeDtypeStruct((3 * Q, L, B_pad),
-                                           jnp.float32)] * 2
+                                   memory_space=pltpu.VMEM)] * 6
+        out_shape += [jax.ShapeDtypeStruct((Q, L, B_pad),
+                                           jnp.float32)] * 6
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -572,10 +590,10 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
     vis = (vr_t + 1j * vi_t)[:B, :nchan]
     if not grad:
         return vis
-    gr_t = jnp.transpose(outs[2].reshape(3, Q, L, B_pad),
-                         (0, 3, 1, 2)).reshape(3, B_pad, C_pad)
-    gi_t = jnp.transpose(outs[3].reshape(3, Q, L, B_pad),
-                         (0, 3, 1, 2)).reshape(3, B_pad, C_pad)
+    gr_t = jnp.stack([jnp.transpose(outs[2 + k], (2, 0, 1))
+                      .reshape(B_pad, C_pad) for k in range(3)])
+    gi_t = jnp.stack([jnp.transpose(outs[5 + k], (2, 0, 1))
+                      .reshape(B_pad, C_pad) for k in range(3)])
     return vis, (gr_t + 1j * gi_t)[:, :B, :nchan]
 
 

@@ -257,7 +257,7 @@ def simulate_drift_nufft_sharded(instrument, sky, observation, beam_fn,
 
 
 def simulate_drift_banded_sharded(instrument, sky, observation, beam_fn,
-                                  mesh, rank=24, interpret=False):
+                                  mesh, rank=32, interpret=False):
     """Drift scan through the banded-spread NUFFT engine (the TPU-fast
     path, engine/nufft_banded.py), sharded over the 'bl' mesh axis.
 
