@@ -202,7 +202,8 @@ def run_banded(prob, sh, sl, amps_np, bl_idx, nchan, ktaps=None,
     from prisim_tpu.engine.nufft_banded import (
         banded_spread_available, make_banded_plan,
         nufft_banded_visibilities)
-    from prisim_tpu.engine.nufft_delay import chebyshev_projection
+    from prisim_tpu.engine.nufft_delay import (chebyshev_projection,
+                                               spectral_project)
 
     inst = prob["inst"]
     bl64 = (np.asarray(inst.bl_hi, np.float64)
@@ -221,8 +222,7 @@ def run_banded(prob, sh, sl, amps_np, bl_idx, nchan, ktaps=None,
     def banded(sh, sl, amps):
         seh, sel = tf.df_add(sh, sl, -jnp.asarray(pch)[None, :],
                              -jnp.asarray(pcl)[None, :])
-        P = jnp.matmul(amps, jnp.asarray(pinvQ),
-                       precision=jax.lax.Precision.HIGHEST)
+        P = spectral_project(amps, pinvQ)
         v, ok = nufft_banded_visibilities(plan, seh, sel, P, Q,
                                           interpret=interp)
         return jnp.real(v), jnp.imag(v), ok

@@ -111,7 +111,12 @@ def main():
 
     rows = {}
     for mode in ("plain", "grad", "ext"):
-        dt, out = timed(mode)
+        try:
+            dt, out = timed(mode)
+        except Exception as exc:
+            print(json.dumps({"mode": mode, "error": str(exc)[:180]}),
+                  flush=True)
+            continue
         # accuracy: XLA engine on a baseline slice
         nb = args.check_bl
         ref = make_snapshot(mode + "_xla", nbl=nb)(*margs)

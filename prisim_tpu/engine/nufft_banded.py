@@ -488,10 +488,55 @@ def _prep(plan, seh, sel, P):
     return uh.reshape(1, -1), ul.reshape(1, -1), P_r, ok
 
 
-def _post(plan, out, Qc):
+def _fft_matmul(x):
+    """FFT along axis 1 of (B, n, r) complex64 via a 4-step
+    Cooley-Tukey (n = n1*n2) with dense HIGHEST-precision twiddle
+    matmuls on the MXU.
+
+    The TPU backend's built-in f32 FFT carries a ~1.4e-6 scaled error
+    at north-star row norms (measured: probe_banded_post's
+    device-post-vs-host-f64-post-on-identical-rows row) — it became
+    the dominant term of the banded engine's error budget once the
+    spread/fit/yardstick terms were fixed. Two small dense DFT matmuls
+    at Precision.HIGHEST hold the plain-f32 floor instead, and at
+    n<=4096 cost ~1 ms on the MXU. Matches np.fft.fft conventions."""
+    import jax
+    import jax.numpy as jnp
+    n = x.shape[1]
+    n1 = 1
+    for d in range(int(np.sqrt(n)), 0, -1):
+        if n % d == 0:
+            n1 = d
+            break
+    n2 = n // n1
+    if n1 < 8:
+        # pathological factorization (near-prime n): a dense (n, n)
+        # DFT matmul would be O(n^2) — fall back to the builtin FFT
+        return jnp.fft.fft(x, axis=1)
+    hi = jax.lax.Precision.HIGHEST
+    j2 = np.arange(n2)
+    j1 = np.arange(n1)
+    F2 = np.exp(-2j * np.pi * np.outer(j2, j2) * (n1 / n)).astype(
+        np.complex64)                                   # (k2, j2)
+    tw = np.exp(-2j * np.pi * np.outer(j1, j2) / n).astype(
+        np.complex64)                                   # (j1, k2)
+    F1 = np.exp(-2j * np.pi * np.outer(j1, j1) * (n2 / n)).astype(
+        np.complex64)                                   # (k1, j1)
+    B, _, r = x.shape
+    xr = x.reshape(B, n2, n1, r)                        # [j2, j1]
+    A = jnp.einsum("bjis,kj->biks", xr, jnp.asarray(F2),
+                   precision=hi)                        # (B, j1, k2, r)
+    A = A * jnp.asarray(tw)[None, :, :, None]
+    X = jnp.einsum("biks,li->blks", A, jnp.asarray(F1),
+                   precision=hi)                        # (B, k1, k2, r)
+    return X.reshape(B, n, r)
+
+
+def _post(plan, out, Qc, matmul_fft=False):
     """Wrap rows mod n (reshape-sum) + exact ramp for the per-baseline
     bin offset + FFT + deconvolve + rank combine.
     out: (B, R_max, 2r); Qc: (C, r). Returns (B, C) complex64."""
+    import jax as _jax
     import jax.numpy as jnp
     B = out.shape[0]
     r = plan.rank
@@ -501,19 +546,14 @@ def _post(plan, out, Qc):
     gu = jnp.pad(out, ((0, 0), (0, m * n - R), (0, 0)))
     gw = gu.reshape(B, m, n, 2 * r).sum(axis=1)               # (B, n, 2r)
     grid_c = gw[..., :r] + 1j * gw[..., r:]                   # (B, n, r)
-    Gf = jnp.fft.fft(grid_c, axis=1)
+    Gf = _fft_matmul(grid_c) if matmul_fft else \
+        jnp.fft.fft(grid_c, axis=1)
     C = plan.nchan
     half = C // 2
     Gk = jnp.concatenate([Gf[:, n - half:, :], Gf[:, :C - half, :]],
                          axis=1)                              # (B, C, r)
     Gk = Gk * jnp.asarray(plan.ramp)[:, :, None]
     dec = jnp.asarray(plan.deconv)[None, :, None]
-    # precision=HIGHEST: the TPU MXU default quantizes this rank
-    # combine's inputs to bf16 — measured on the chip as a ~7e-4
-    # elementwise error on small visibilities (2.4e-5 scaled at the
-    # north-star shape) that the CPU probes could not see; the same
-    # trap as the round-2 spectral-projection finding (ROADMAP.md)
-    import jax as _jax
     return jnp.einsum("bcr,cr->bc", Gk * dec,
                       jnp.asarray(Qc, jnp.float32),
                       precision=_jax.lax.Precision.HIGHEST)
@@ -530,7 +570,7 @@ def nufft_banded_visibilities(plan, seh, sel, P, Qc, interpret=False):
     range): fall back."""
     u_h, u_l, P_r, ok = _prep(plan, seh, sel, P)
     out = _banded_spread(plan, u_h, u_l, P_r, interpret=interpret)
-    return _post(plan, out, Qc), ok
+    return _post(plan, out, Qc, matmul_fft=not interpret), ok
 
 
 def simulate_snapshot_nufft_banded(instrument, sky, Mh, Ml, pch, pcl,
@@ -547,8 +587,8 @@ def simulate_snapshot_nufft_banded(instrument, sky, Mh, Ml, pch, pcl,
     seh, sel = tf.df_add(sh, sl, -pch[None, :], -pcl[None, :])
     freqs_f32 = jnp.asarray(instrument.freqs, dtype=jnp.float32)
     amps = _beam_and_flux(sh, sky.flux, freqs_f32, beam_fn)   # (S, C)
-    P = jnp.matmul(amps, jnp.asarray(pinvQ),
-                   precision=jax.lax.Precision.HIGHEST)       # (S, r)
+    from .nufft_delay import spectral_project
+    P = spectral_project(amps, pinvQ)                         # (S, r)
     return nufft_banded_visibilities(plan, seh, sel, P, Q,
                                      interpret=interpret)
 
@@ -593,8 +633,8 @@ def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
         sh, sl = df_rotate3(Mh, Ml, s_eq_hi, s_eq_lo)
         seh, sel = tf.df_add(sh, sl, -pch[None, :], -pcl[None, :])
         amps = _beam_and_flux(sh, flux, freqs_f32, beam_fn)
-        P = jnp.matmul(amps, pinvQ_j,
-                       precision=jax.lax.Precision.HIGHEST)
+        from .nufft_delay import spectral_project
+        P = spectral_project(amps, pinvQ_j)
         return _prep(plan, seh, sel, P)
 
     @jax.jit
@@ -604,7 +644,7 @@ def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
 
     @jax.jit
     def stage_post(out):
-        return _post(plan, out, Q_j)
+        return _post(plan, out, Q_j, matmul_fft=not interpret)
 
     def run(Mh, Ml, pch, pcl):
         u_h, u_l, P_r, ok = stage_prep(Mh, Ml, pch, pcl,

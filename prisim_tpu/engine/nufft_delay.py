@@ -57,7 +57,7 @@ __all__ = ["nufft_delay_visibilities", "nufft_delay_visibilities_spectral",
            "nufft_delay_visibilities_jax_gather",
            "nufft_delay_visibilities_jax_sorted",
            "nufft_delay_multirank_sorted", "fold_delay_bins",
-           "kb_tap_coeffs", "size_gather_window",
+           "kb_tap_coeffs", "size_gather_window", "spectral_project",
            "simulate_snapshot_nufft", "kb_kernel", "kb_fourier"]
 
 
@@ -733,6 +733,44 @@ def chebyshev_projection(freqs, rank):
             Q.astype(np.float32))
 
 
+def spectral_project(amps, pinvQ, block=128):
+    """P = amps @ pinvQ with channel-blocked Kahan accumulation.
+
+    A single HIGHEST-precision matmul still accumulates its C partial
+    products in f32: the ~sqrt(C)*eps rounding of each P entry is
+    value-correlated across sources sharing a spectral family, so at
+    north-star source counts it summed coherently into a ~1.8e-6
+    scaled visibility error that no spread/rank/tile knob could move
+    (round-3 error budget, BASELINE.md). Blocking the channel axis and
+    Kahan-combining the per-block partials cuts the accumulation depth
+    to `block` + exact cross-block compensation."""
+    import jax
+    import jax.numpy as jnp
+    amps = jnp.asarray(amps, jnp.float32)
+    W = jnp.asarray(pinvQ, jnp.float32)
+    S, C = amps.shape
+    r = W.shape[1]
+    nb = -(-C // block)
+    if nb * block != C:
+        amps = jnp.pad(amps, ((0, 0), (0, nb * block - C)))
+        W = jnp.pad(W, ((0, nb * block - C), (0, 0)))
+    A = amps.reshape(S, nb, block)
+    Wb = W.reshape(nb, block, r)
+    parts = jnp.einsum("snc,ncr->nsr", A, Wb,
+                       precision=jax.lax.Precision.HIGHEST)
+
+    def body(carry, p):
+        s, c = carry
+        y = p - c
+        t = s + y
+        return (t, (t - s) - y), None
+
+    (tot, _), _ = jax.lax.scan(
+        body, (jnp.zeros((S, r), jnp.float32),
+               jnp.zeros((S, r), jnp.float32)), parts)
+    return tot
+
+
 def simulate_snapshot_nufft_jit(instrument, sky, Mh, Ml, pch, pcl,
                                 beam_fn, pinvQ, Q, beta=2.0, K=13,
                                 spread="sorted"):
@@ -754,11 +792,11 @@ def simulate_snapshot_nufft_jit(instrument, sky, Mh, Ml, pch, pcl,
     seh, sel = tf.df_add(sh, sl, -pch[None, :], -pcl[None, :])
     freqs_f32 = jnp.asarray(instrument.freqs, dtype=jnp.float32)
     amps = _beam_and_flux(sh, sky.flux, freqs_f32, beam_fn)   # (S, C)
-    # HIGHEST precision: TPU matmuls default to bf16 MXU passes
-    # (~4e-3 relative), which silently destroyed the spectral
-    # projection on hardware (measured as a 1e-2 engine error)
-    P = jnp.matmul(amps, jnp.asarray(pinvQ),
-                   precision=jax.lax.Precision.HIGHEST)       # (S, r)
+    # Blocked-Kahan projection (see spectral_project): plain bf16
+    # matmuls destroyed it on hardware (1e-2, round 2); a single
+    # HIGHEST matmul still cost ~1.8e-6 of f32 accumulation coherence
+    # at north-star source counts (round 3)
+    P = spectral_project(amps, pinvQ)                         # (S, r)
     th, tl = delays_two_float(seh, sel, instrument.bl_hi,
                               instrument.bl_lo)
     Qd = jnp.asarray(Q)

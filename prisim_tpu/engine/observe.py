@@ -214,7 +214,11 @@ def simulate_snapshot(instrument, sky, Mh, Ml, pch, pcl, beam_fn,
                   inv_wl=freqs_f32 / CNST.c)
     elif gradient:
         kw = dict(s_sky=sh)
-    if use_pallas:
+    # Extended sources stay on the XLA engine when compiling for real
+    # hardware: the ext Pallas kernel runs in interpret mode (tested)
+    # but its compiled Mosaic stack exceeds the 16M scoped-vmem limit
+    # at every tiling tried (18.1-27.2M; bench_gradext round 3).
+    if use_pallas and (interpret or sky.src_shape_sigma is None):
         from .pallas_nudft import nudft_pallas
         return nudft_pallas(seh, sel, instrument.bl_hi,
                             instrument.bl_lo, amps,

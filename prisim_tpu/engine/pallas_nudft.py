@@ -598,13 +598,14 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
 
 
 def nudft_auto(seh, sel, blh, bll, amps, grid_scalars, nchan, **kw):
-    """Use the Pallas kernel on TPU (point sources, gradients, and
-    extended sources are all in-kernel since round 3), the XLA path on
-    other backends."""
-    if pallas_available():
+    """Use the Pallas kernel on TPU (point sources and gradients are
+    in-kernel since round 3; extended sources stay on the XLA path —
+    the compiled ext kernel exceeds the 16M scoped-vmem limit at every
+    tiling tried, bench_gradext round 3), the XLA path on other
+    backends."""
+    if pallas_available() and kw.get("src_shape_sigma") is None:
         return nudft_pallas(seh, sel, blh, bll, amps, grid_scalars,
                             nchan, s_sky=kw.get("s_sky"),
-                            src_shape_sigma=kw.get("src_shape_sigma"),
                             gradient=bool(kw.get("gradient", False)))
     return nudft_visibilities(seh, sel, blh, bll, amps, grid_scalars,
                               nchan, **kw)

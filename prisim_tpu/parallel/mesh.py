@@ -165,7 +165,8 @@ def _nufft_drift_core(blh, bll, freqs_f32, flux, seqh, seql, Mh, Ml,
     their partial visibilities — the spreading is linear in sources."""
     from ..engine.nufft_delay import (nufft_delay_multirank_sorted,
                                       delays_two_float,
-                                      chebyshev_basis_jit)
+                                      chebyshev_basis_jit,
+                                      spectral_project)
 
     chan0 = (jax.lax.axis_index("chan") * nchan_local) if has_chan \
         else None
@@ -177,9 +178,9 @@ def _nufft_drift_core(blh, bll, freqs_f32, flux, seqh, seql, Mh, Ml,
         seh, sel = tf.df_add(sh, sl, -ph[None, :], -pl[None, :])
         pb = beam_fn(sh, freqs_f32)
         amps = jnp.where((sh[:, 2] > 0.0)[:, None], pb * flux, 0.0)
-        # HIGHEST precision: TPU matmuls default to bf16 MXU passes
-        P = jnp.matmul(amps, pinvQ,
-                       precision=jax.lax.Precision.HIGHEST)   # (S, r)
+        # blocked-Kahan projection (bf16/f32-accumulation traps;
+        # engine/nufft_delay.spectral_project)
+        P = spectral_project(amps, pinvQ)                     # (S, r)
         th, tl = delays_two_float(seh, sel, blh, bll)
         vis = nufft_delay_multirank_sorted(th, tl, P, Qb, nu0, dnu,
                                            nchan_local, beta=beta, K=K,
@@ -277,7 +278,8 @@ def simulate_drift_banded_sharded(instrument, sky, observation, beam_fn,
                                        _banded_spread, _post,
                                        spatial_permutation,
                                        reorder_sources)
-    from ..engine.nufft_delay import chebyshev_projection
+    from ..engine.nufft_delay import (chebyshev_projection,
+                                      spectral_project)
     from ..engine.observe import _beam_and_flux
 
     axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
@@ -288,6 +290,11 @@ def simulate_drift_banded_sharded(instrument, sky, observation, beam_fn,
                          "shard); use the sorted spread for chan/src "
                          "meshes")
 
+    nchan = instrument.nchan
+    # rank approaching nchan makes the Chebyshev basis f32-toxic
+    # (measured: rank 31 at C=32 -> 1.6e-2, rank 32 -> 0.3 rel error;
+    # rank 24 -> 5e-6). Half the channel count is a safe ceiling.
+    rank = min(int(rank), max(8, nchan // 2))
     bl64 = (np.asarray(instrument.bl_hi, np.float64)
             + np.asarray(instrument.bl_lo, np.float64))
     B = bl64.shape[0]
@@ -297,8 +304,6 @@ def simulate_drift_banded_sharded(instrument, sky, observation, beam_fn,
         # rejected by the direction grouping); padded rows are trimmed
         bl64 = np.concatenate(
             [bl64, np.repeat(bl64[:1], B_pad - B, axis=0)], axis=0)
-    nchan = instrument.nchan
-    rank = min(int(rank), nchan)
     plan = make_banded_plan(bl64, instrument.nu0, instrument.dnu,
                             nchan, rank=rank)
     pinvQ, Q = chebyshev_projection(np.asarray(instrument.freqs), rank)
@@ -324,12 +329,12 @@ def simulate_drift_banded_sharded(instrument, sky, observation, beam_fn,
             sh, sl = df_rotate3(mh, ml, seqh, seql)
             seh, sel = tf.df_add(sh, sl, -ph[None, :], -pl_[None, :])
             amps = _beam_and_flux(sh, flux, freqs_f32, beam_fn)
-            Pc = jnp.matmul(amps, pinvQ_j,
-                            precision=jax.lax.Precision.HIGHEST)
+            Pc = spectral_project(amps, pinvQ_j)
             u_h, u_l, P_r, ok = _prep(lplan, seh, sel, Pc)
             out = _banded_spread(lplan, u_h, u_l, P_r,
                                  interpret=interpret)
-            return None, (_post(lplan, out, Q_j), ok)
+            return None, (_post(lplan, out, Q_j,
+                                matmul_fft=not interpret), ok)
 
         _, (vis, oks) = jax.lax.scan(step, None,
                                      (mh_t, ml_t, pch_t, pcl_t))

@@ -259,3 +259,19 @@ def test_driver_banded_engine_end_to_end():
     gold = np.asarray(vs2.skyvis)
     rel = np.abs(vis - gold).max() / np.abs(gold).max()
     assert rel < 1e-4, rel
+
+
+def test_fft_matmul_matches_numpy():
+    """The 4-step matmul FFT (the precision-safe TPU post path)
+    matches np.fft.fft at the f32 floor, incl. a non-power-of-2 n with
+    a small cofactor (96 = 8 x 12)."""
+    import numpy as np
+    from prisim_tpu.engine.nufft_banded import _fft_matmul
+    rng = np.random.default_rng(3)
+    for n in (2048, 96, 61):        # 61 is prime -> builtin fallback
+        x = (rng.normal(size=(3, n, 5))
+             + 1j * rng.normal(size=(3, n, 5))).astype(np.complex64)
+        want = np.fft.fft(x.astype(np.complex128), axis=1)
+        got = np.asarray(_fft_matmul(x))
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() / scale < 2e-6, n
