@@ -88,7 +88,12 @@ DEFAULT_PARMS = {
                    "delay_transform": False, "memsave": False,
                    "store_prev_sky": True, "cleanup": 3,
                    "src_block": 512, "use_pallas": "auto", "acc_chunk": None,
-                   "engine": "direct", "nufft_rank": 16,
+                   # nufft_rank None = bandwidth-aware auto (16 narrow
+                   # band / 32 wide; driver.py). A hard default of 16
+                   # silently overrode the auto logic and put an
+                   # 8.4e-4 coherent octave-band fit error in every
+                   # banded north-star run (root-caused round 3)
+                   "engine": "direct", "nufft_rank": None,
                    "nufft_spread": "sorted",
                    "nufft_crosscheck": True,
                    "nufft_crosscheck_tol": 1e-4},

@@ -916,6 +916,31 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
                      or "sorted")
         pinvQ, Q = chebyshev_projection(freqs, min(rank, freqs.size))
         ndev_nufft = len(jax.devices())
+        direct0 = None
+        if parms["processing"].get("nufft_crosscheck", True):
+            # The gate's direct reference snapshot runs BEFORE the fast
+            # engine so its working set (full (S, C) beam amps + phase
+            # blocks) has the whole HBM to itself — evaluating it after
+            # the banded dispatch ResourceExhausted at north-star size
+            # (measured round 3), and it must be JITTED: the eager call
+            # materializes the beam, the flux product and the horizon
+            # mask as separate (S, C) device arrays (~3.2 GB each at
+            # nside 256) instead of letting XLA fuse them. The sky
+            # pytree rides as an ARGUMENT (closure-captured device
+            # arrays become executable constants re-serialized through
+            # the remote-compile tunnel).
+            _direct_jit = jax.jit(
+                lambda seqh, seql, fx, mh, ml, ph, pl:
+                simulate_snapshot(
+                    inst, SkySources(s_eq_hi=seqh, s_eq_lo=seql,
+                                     flux=fx,
+                                     src_shape_sigma=
+                                     sks.src_shape_sigma),
+                    mh, ml, ph, pl, beam_fn, src_block=src_block))
+            direct0 = np.asarray(get_complex(_direct_jit(
+                sks.s_eq_hi, sks.s_eq_lo, sks.flux,
+                jnp.asarray(Mh[0]), jnp.asarray(Ml[0]),
+                jnp.asarray(pch[0]), jnp.asarray(pcl[0]))))
         if ndev_nufft > 1 and ((parms.get("pp") or {}).get("key")
                                or "freq").lower() != "none" \
                 and spread == "banded":
@@ -1001,13 +1026,24 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
             # stalls per stage; executables reused across snapshots)
             snap_b = make_banded_snapshot_fns(
                 inst, sks, beam_fn, plan, pinvQ, Q, interpret=interp)
-            # dispatch every snapshot before fetching anything: device
-            # results queue asynchronously, so the tunnel's per-fetch
-            # round-trip latency is paid once at the end instead of
-            # per accumulation (ok flags ride along)
-            pend = [snap_b(jnp.asarray(Mh[t]), jnp.asarray(Ml[t]),
-                           jnp.asarray(pch[t]), jnp.asarray(pcl[t]))
-                    for t in range(obs.n_acc)]
+            # dispatch ahead of fetching (the tunnel's per-fetch
+            # round-trip amortizes across queued snapshots), but BOUND
+            # the in-flight window: every enqueued prep allocates its
+            # (D_dirs x S) two-float u and (r, S) coefficient buffers
+            # at dispatch time, and 100 queued north-star snapshots
+            # exhausted the 16 GB HBM (measured round 3). A window of
+            # 4 keeps the pipeline full at ~4 snapshot-intermediates
+            # of peak memory.
+            window = int(parms["processing"].get("nufft_inflight")
+                         or 4)
+            pend = []
+            for t in range(obs.n_acc):
+                pend.append(snap_b(jnp.asarray(Mh[t]),
+                                   jnp.asarray(Ml[t]),
+                                   jnp.asarray(pch[t]),
+                                   jnp.asarray(pcl[t])))
+                if t >= window:
+                    pend[t - window][0].block_until_ready()
             all_ok = bool(np.asarray(jnp.stack(
                 [okf for _, okf in pend]).all()))
             snaps = [get_complex(v) for v, _ in pend] if all_ok else []
@@ -1039,10 +1075,17 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
             # run_prisim.py:1858-2210).
             tol = float(parms["processing"].get("nufft_crosscheck_tol")
                         or 1e-4)
-            direct0 = get_complex(simulate_snapshot(
-                inst, sks, jnp.asarray(Mh[0]), jnp.asarray(Ml[0]),
-                jnp.asarray(pch[0]), jnp.asarray(pcl[0]), beam_fn,
-                src_block=src_block))
+            dump = os.environ.get("PRISIM_DEBUG_XCHECK_DUMP")
+            if dump:
+                # Failure-forensics hook: the saved pair + exact engine
+                # inputs let a standalone replay (benchmarks/) bisect a
+                # gate failure stage by stage. This is how the round-3
+                # rank-16-config-default bug was isolated.
+                np.savez(dump, fast0=np.asarray(snaps[0]),
+                         direct0=direct0, Mh0=np.asarray(Mh[0]),
+                         Ml0=np.asarray(Ml[0]), pch0=np.asarray(pch[0]),
+                         pcl0=np.asarray(pcl[0]), freqs=freqs,
+                         bl=np.asarray(bls.vectors), rank=rank)
             scale = max(float(np.abs(direct0).max()), 1e-30)
             rel = float(np.abs(snaps[0] - direct0).max()) / scale
             if rel > tol:

@@ -594,7 +594,8 @@ def simulate_snapshot_nufft_banded(instrument, sky, Mh, Ml, pch, pcl,
 
 
 def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
-                             interpret=False, spatial_sort=True):
+                             interpret=False, spatial_sort=True,
+                             src_chunk=None):
     """Three separately-jitted stages for one banded snapshot.
 
     The sorted predecessor NEEDED the split because its fused compile
@@ -616,6 +617,7 @@ def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
     import jax
     import jax.numpy as jnp
     from .. import twofloat as tf
+    from .nufft_delay import spectral_project
     from .observe import df_rotate3, _beam_and_flux
 
     if spatial_sort:
@@ -628,12 +630,62 @@ def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
     pinvQ_j = jnp.asarray(pinvQ)
     Q_j = jnp.asarray(Q, jnp.float32)
 
+    # Source chunking: prep materializes a (2 x D_dirs x S_chunk) f32
+    # two-float u plus several temps of the same shape — at HERA-331's
+    # direction count x nside-256 the unchunked arrays alone exceed
+    # HBM (ResourceExhausted on the FIRST snapshot, measured round 3).
+    # Bound the u pair at ~0.75 GB and scan chunks inside ONE jit
+    # (single dispatch; XLA frees each chunk's temps before the next).
+    S = int(sky.s_eq_hi.shape[0])
+    if src_chunk is None:
+        per_src = max(1, plan.ndir) * 8
+        cap = int((768 << 20) / per_src / plan.T_s) * plan.T_s
+        src_chunk = min(-(-S // plan.T_s) * plan.T_s,
+                        max(plan.T_s, cap))
+    src_chunk = int(src_chunk)
+    n_chunks = -(-S // src_chunk)
+    S_pad = n_chunks * src_chunk
+    seqh_a = jnp.asarray(sky.s_eq_hi)
+    seql_a = jnp.asarray(sky.s_eq_lo)
+    flux_a = jnp.asarray(sky.flux)
+    if S_pad != S:
+        # pad with zenith-direction unit rows (|s|=1 keeps the span
+        # check true) at zero flux
+        padrow = jnp.zeros((S_pad - S, 3), jnp.float32).at[:, 2].set(1.0)
+        seqh_a = jnp.concatenate([seqh_a, padrow])
+        seql_a = jnp.concatenate(
+            [seql_a, jnp.zeros((S_pad - S, 3), jnp.float32)])
+        flux_a = jnp.concatenate(
+            [flux_a, jnp.zeros((S_pad - S, flux_a.shape[1]),
+                               flux_a.dtype)])
+
+    def _chunk_sweep(Mh, Ml, pch, pcl, seqh, seql, flux):
+        def chunk(carry, c):
+            tot, okc = carry
+            s0 = c * src_chunk
+            sh_c = jax.lax.dynamic_slice_in_dim(seqh, s0, src_chunk)
+            sl_c = jax.lax.dynamic_slice_in_dim(seql, s0, src_chunk)
+            fx_c = jax.lax.dynamic_slice_in_dim(flux, s0, src_chunk)
+            sh, sl = df_rotate3(Mh, Ml, sh_c, sl_c)
+            seh, sel = tf.df_add(sh, sl, -pch[None, :], -pcl[None, :])
+            amps = _beam_and_flux(sh, fx_c, freqs_f32, beam_fn)
+            P = spectral_project(amps, pinvQ_j)
+            u_h, u_l, P_r, ok = _prep(plan, seh, sel, P)
+            out = _banded_spread(plan, u_h, u_l, P_r,
+                                 interpret=interpret)
+            return (tot + out, jnp.logical_and(okc, ok)), None
+
+        init = (jnp.zeros((plan.nbl, plan.R_max, 2 * plan.rank),
+                          jnp.float32), jnp.bool_(True))
+        (tot, ok), _ = jax.lax.scan(chunk, init,
+                                    jnp.arange(n_chunks))
+        return tot, ok
+
     @jax.jit
     def stage_prep(Mh, Ml, pch, pcl, s_eq_hi, s_eq_lo, flux):
         sh, sl = df_rotate3(Mh, Ml, s_eq_hi, s_eq_lo)
         seh, sel = tf.df_add(sh, sl, -pch[None, :], -pcl[None, :])
         amps = _beam_and_flux(sh, flux, freqs_f32, beam_fn)
-        from .nufft_delay import spectral_project
         P = spectral_project(amps, pinvQ_j)
         return _prep(plan, seh, sel, P)
 
@@ -646,13 +698,24 @@ def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
     def stage_post(out):
         return _post(plan, out, Q_j, matmul_fft=not interpret)
 
-    def run(Mh, Ml, pch, pcl):
-        u_h, u_l, P_r, ok = stage_prep(Mh, Ml, pch, pcl,
-                                       sky.s_eq_hi, sky.s_eq_lo,
-                                       sky.flux)
-        out = stage_spread(u_h, u_l, P_r)
-        return stage_post(out), ok
+    if n_chunks == 1:
+        def run(Mh, Ml, pch, pcl):
+            u_h, u_l, P_r, ok = stage_prep(Mh, Ml, pch, pcl,
+                                           seqh_a, seql_a, flux_a)
+            out = stage_spread(u_h, u_l, P_r)
+            return stage_post(out), ok
 
-    run.stages = (stage_prep, stage_spread, stage_post)
-    run.sky_args = (sky.s_eq_hi, sky.s_eq_lo, sky.flux)
+        run.stages = (stage_prep, stage_spread, stage_post)
+    else:
+        sweep_jit = jax.jit(_chunk_sweep)
+
+        def run(Mh, Ml, pch, pcl):
+            out, ok = sweep_jit(Mh, Ml, pch, pcl, seqh_a, seql_a,
+                                flux_a)
+            return stage_post(out), ok
+
+        run.stages = (sweep_jit, stage_post)
+    run.n_chunks = n_chunks
+    run.src_chunk = src_chunk
+    run.sky_args = (seqh_a, seql_a, flux_a)
     return run

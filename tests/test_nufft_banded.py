@@ -275,3 +275,53 @@ def test_fft_matmul_matches_numpy():
         got = np.asarray(_fft_matmul(x))
         scale = np.abs(want).max()
         assert np.abs(got - want).max() / scale < 2e-6, n
+
+
+def test_banded_source_chunked_sweep_matches_unchunked():
+    """src_chunk < S routes the snapshot through the in-jit chunk scan
+    (the HBM-bounding path the driver needs at north-star direction
+    counts); results must match the unchunked run to summation-order
+    noise, including a chunk count that does not divide S."""
+    from prisim_tpu import layouts as lay, baselines as bls
+    from prisim_tpu.skymodel import SkyModel
+    from prisim_tpu.engine import (Instrument, SkySources,
+                                   enu_rotation_from_eq)
+    from prisim_tpu.engine.nufft_banded import (make_banded_plan,
+                                                make_banded_snapshot_fns)
+    from prisim_tpu.engine.nufft_delay import chebyshev_projection
+    from prisim_tpu.beams import airy_beam
+
+    C = 32
+    freqs = 150e6 + 100e3 * np.arange(C)
+    layout = lay.preset_layout("HERA-7")
+    bset = bls.build_baselines(layout, redundant=False)
+    inst = Instrument.build(bset.vectors, freqs, latitude=-30.72)
+    rng = np.random.default_rng(7)
+    S = 300                          # 3 chunks of 128 (padded to 384)
+    loc = np.stack([rng.uniform(0, 360, S),
+                    rng.uniform(-75, 15, S)], axis=-1)
+    model = SkyModel(location=loc, spec_kind="power-law", spec_parms={
+        "flux-scale": rng.uniform(0.5, 2.0, S),
+        "freq-ref": np.full(S, 150e6),
+        "power-law-index": np.full(S, -0.8)})
+    sky = SkySources.from_skymodel(model, freqs)
+    Mh, Ml = tf.split_f64(enu_rotation_from_eq(30.0, inst.latitude))
+    pch, pcl = tf.split_f64(np.asarray([0.0, 0.0, 1.0]))
+    beam_fn = lambda s, f: airy_beam(s, f, 14.0)
+    rank = 6
+    pinvQ, Q = chebyshev_projection(freqs, rank)
+    plan = make_banded_plan(bset.vectors, inst.nu0, inst.dnu, C,
+                            rank=rank, T_s=128)
+    args = tuple(jnp.asarray(a) for a in (Mh, Ml, pch, pcl))
+    out = {}
+    for chunk in (None, 128):
+        run = make_banded_snapshot_fns(inst, sky, beam_fn, plan, pinvQ,
+                                       Q, interpret=True,
+                                       src_chunk=chunk)
+        v, ok = run(*args)
+        assert bool(ok)
+        out[chunk] = np.asarray(v)
+    assert run.n_chunks == 3
+    scale = np.abs(out[None]).max()
+    rel = np.abs(out[128] - out[None]).max() / scale
+    assert rel < 2e-6, rel
