@@ -1177,10 +1177,26 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
             from . import twofloat as _tf
             Mh_a, Ml_a = obs.rotations(inst.latitude)
             pch_a, pcl_a = _tf.split_f64(obs.pc_dircos())
-            drift_jit = _jax.jit(functools.partial(
-                simulate_drift_rotations, inst, sks,
-                beam_fn=beam_fn, src_block=src_block,
-                use_pallas=use_pallas, interpret=pallas_interpret))
+
+            # The sky arrays MUST be jit ARGUMENTS: closing over sks
+            # embeds the multi-GB (S, C) flux as an HLO constant that
+            # the remote-compile tunnel re-serializes — at north-star
+            # size the compile request churned ~38 minutes and died
+            # with a broken pipe, twice (measured round 3; same trap
+            # as make_banded_snapshot_fns' round-3 note).
+            def _drift_chunk(seqh, seql, fx, mh, ml, ph, pl_):
+                sky_ = SkySources(s_eq_hi=seqh, s_eq_lo=seql, flux=fx,
+                                  src_shape_sigma=sks.src_shape_sigma)
+                return simulate_drift_rotations(
+                    inst, sky_, mh, ml, ph, pl_, beam_fn=beam_fn,
+                    src_block=src_block, use_pallas=use_pallas,
+                    interpret=pallas_interpret)
+
+            _drift_inner = _jax.jit(_drift_chunk)
+
+            def drift_jit(mh, ml, ph, pl_):
+                return _drift_inner(sks.s_eq_hi, sks.s_eq_lo, sks.flux,
+                                    mh, ml, ph, pl_)
 
             def chunk_args(i0):
                 sl_ = slice(i0, i0 + cs)
