@@ -352,3 +352,13 @@ def test_mesh_bench_weak_scaling():
         assert r["gmacs_per_device"] >= 0
         assert "weak_scaling_efficiency" in r
     assert rows[0]["weak_scaling_efficiency"] == 1.0
+
+
+def test_nufft_rank_defaults_to_bandwidth_aware_auto():
+    """processing.nufft_rank must default to None (auto): a hard
+    default of 16 silently overrode the driver's bandwidth-aware rank
+    and put an 8.4e-4 coherent octave-band fit error in every banded
+    north-star run (root-caused round 3 via the crosscheck dump)."""
+    from prisim_tpu.config import load_parms
+    p = load_parms({"bandpass": {"nchan": 8, "freq": 150e6}})
+    assert p["processing"]["nufft_rank"] is None
