@@ -72,6 +72,20 @@ def build_problem(nside=256, nchan=1024, lst_deg=30.0, seed=0):
                 s_eff64=s_eff64, s_enu=s_enu, pc=pc, nsrc=nsrc)
 
 
+def baseline_slice(prob, nbl_slice):
+    """Indices of a shortest..longest-spanning baseline slice (length
+    controls phase-cycle count). Shared by the stage-isolation probes
+    so yardstick and probes can never diverge on WHICH baselines they
+    compare (the round-3 'yardstick was the bottleneck' lesson)."""
+    bl = np.asarray(prob["inst"].bl_hi, dtype=np.float64) + \
+        np.asarray(prob["inst"].bl_lo, dtype=np.float64)
+    lengths = np.sqrt((bl ** 2).sum(1))
+    order = np.argsort(lengths)
+    pick = np.unique(np.linspace(0, order.size - 1, nbl_slice)
+                     .astype(int))
+    return order[pick], lengths
+
+
 def engine_amps(prob):
     """Beam-weighted fluxes on device (f32), identical input to all paths."""
     import jax
@@ -256,15 +270,8 @@ def main():
     args = ap.parse_args()
 
     prob = build_problem(nside=args.nside, nchan=args.nchan)
-    bl = np.asarray(prob["inst"].bl_hi, dtype=np.float64) + \
-        np.asarray(prob["inst"].bl_lo, dtype=np.float64)
-    lengths = np.sqrt((bl ** 2).sum(1))
-    order = np.argsort(lengths)
-    # slice spanning shortest..longest (length controls cycle count)
-    pick = np.unique(np.linspace(0, order.size - 1, args.nbl_slice)
-                     .astype(int))
-    bl_idx = order[pick]
-    print(json.dumps({"info": "problem", "nbl_total": int(bl.shape[0]),
+    bl_idx, lengths = baseline_slice(prob, args.nbl_slice)
+    print(json.dumps({"info": "problem", "nbl_total": int(lengths.size),
                       "bl_slice_lengths_m": np.round(lengths[bl_idx], 1)
                       .tolist(), "nsrc": prob["nsrc"],
                       "nchan": args.nchan}))

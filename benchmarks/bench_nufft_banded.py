@@ -98,6 +98,10 @@ def main():
     run_banded = make_banded_snapshot_fns(
         inst, sky, beam_fn, plan, pinvQ, Q,
         spatial_sort=not args.no_spatial_sort)
+    assert run_banded.n_chunks == 1, (
+        "this tuning bench times the three unchunked stages; pass a "
+        "smaller problem or extend it for the chunked sweep "
+        "(n_chunks=%d)" % run_banded.n_chunks)
     stage_prep_, stage_spread_, stage_post_ = run_banded.stages
 
     # jitted re/im tail: eager complex ops round-trip the tunnel and

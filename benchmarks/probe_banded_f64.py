@@ -22,7 +22,8 @@ import sys
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from accuracy_northstar import build_problem, engine_amps, golden_slice
+from accuracy_northstar import (build_problem, engine_amps,
+                                golden_slice, baseline_slice)
 
 
 def main():
@@ -48,11 +49,7 @@ def main():
     prob = build_problem(nside=args.nside, nchan=args.nchan)
     bl = np.asarray(prob["inst"].bl_hi, np.float64) + \
         np.asarray(prob["inst"].bl_lo, np.float64)
-    lengths = np.sqrt((bl ** 2).sum(1))
-    order = np.argsort(lengths)
-    pick = np.unique(np.linspace(0, order.size - 1, args.nbl_slice)
-                     .astype(int))
-    bl_idx = order[pick]
+    bl_idx, _ = baseline_slice(prob, args.nbl_slice)
     sh, sl, amps_np = engine_amps(prob)
     cache = "/tmp/acc_ns_golden_%d_%d_%d.npz" % (
         args.nside, args.nchan, args.nbl_slice)
@@ -75,13 +72,17 @@ def main():
     # f64 spectral factorization (same Chebyshev basis as the engine,
     # or a linear-in-nu variant: Airy-sidelobe oscillations are
     # periodic in nu, not ln nu)
+    # both bases are built in TRUE f64 here: chebyshev_projection
+    # returns f32-cast matrices whose ~1e-7 quantization would
+    # contaminate a probe meant to isolate the f64 algorithm floor
     if args.basis == "linear":
         x = 2.0 * (freqs - freqs.min()) / (freqs.max() - freqs.min()) \
             - 1.0
-        Qb = np.polynomial.chebyshev.chebvander(x, args.rank - 1)
-        pinvQ, Q = np.linalg.pinv(Qb).T, Qb
     else:
-        pinvQ, Q = chebyshev_projection(freqs, args.rank)
+        x = np.log(freqs / freqs[freqs.size // 2])
+        x = 2.0 * (x - x.min()) / (x.max() - x.min()) - 1.0
+    Qb = np.polynomial.chebyshev.chebvander(x, args.rank - 1)
+    pinvQ, Q = np.linalg.pinv(Qb).T, Qb
     P = amps_np.astype(np.float64) @ np.asarray(pinvQ, np.float64)
     r = P.shape[1]
 

@@ -24,7 +24,8 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from accuracy_northstar import build_problem, engine_amps, golden_slice
+from accuracy_northstar import (build_problem, engine_amps,
+                                golden_slice, baseline_slice)
 
 
 def host_post(plan, rows, Qc, dtype):
@@ -72,11 +73,7 @@ def main():
     prob = build_problem(nside=args.nside, nchan=args.nchan)
     bl = np.asarray(prob["inst"].bl_hi, np.float64) + \
         np.asarray(prob["inst"].bl_lo, np.float64)
-    lengths = np.sqrt((bl ** 2).sum(1))
-    order = np.argsort(lengths)
-    pick = np.unique(np.linspace(0, order.size - 1, args.nbl_slice)
-                     .astype(int))
-    bl_idx = order[pick]
+    bl_idx, _ = baseline_slice(prob, args.nbl_slice)
 
     sh, sl, amps_np = engine_amps(prob)
     cache = "/tmp/acc_ns_golden_%d_%d_%d.npz" % (
@@ -99,6 +96,9 @@ def main():
     run = make_banded_snapshot_fns(
         inst_sl, prob["sky"], lambda s, f: airy_beam(s, f, 14.0),
         plan, pinvQ, Q, interpret=interp)
+    assert run.n_chunks == 1, (
+        "stage isolation needs the unchunked 3-stage path; lower "
+        "--nbl-slice (n_chunks=%d)" % run.n_chunks)
     prep, spread, post = run.stages
     Mh, Ml = tf.split_f64(prob["M64"])
     pch, pcl = tf.split_f64(prob["pc"])
@@ -106,8 +106,8 @@ def main():
              jnp.asarray(pcl))
     u_h, u_l, P_r, ok = prep(*margs, *run.sky_args)
     rows_dev = spread(u_h, u_l, P_r)
-    v_dev = np.asarray(jnp.real(post(rows_dev))) + 1j * np.asarray(
-        jnp.imag(post(rows_dev)))
+    _vp = post(rows_dev)
+    v_dev = np.asarray(jnp.real(_vp)) + 1j * np.asarray(jnp.imag(_vp))
     rows = np.asarray(jax.device_get(rows_dev))
     print(json.dumps({"ok": bool(np.asarray(jax.device_get(ok))),
                       "rows_shape": list(rows.shape),

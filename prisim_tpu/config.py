@@ -95,7 +95,7 @@ DEFAULT_PARMS = {
                    # banded north-star run (root-caused round 3)
                    "engine": "direct", "nufft_rank": None,
                    "nufft_spread": "sorted",
-                   "nufft_crosscheck": True,
+                   "nufft_crosscheck": True, "nufft_inflight": None,
                    "nufft_crosscheck_tol": 1e-4},
     "pp": {"key": "freq", "eqvol": True, "method": "pool",
            "mesh_axes": None, "n_chunks": 1},

@@ -911,7 +911,7 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
         # rank approaching nchan makes the Chebyshev basis f32-toxic
         # (rank 31 at C=32 measured 1.6e-2 rel; tests/test_parallel);
         # cap at half the channel count
-        rank = min(rank, max(8, freqs.size // 2))
+        rank = min(rank, max(2, freqs.size // 2))
         spread = str(parms["processing"].get("nufft_spread")
                      or "sorted")
         pinvQ, Q = chebyshev_projection(freqs, min(rank, freqs.size))

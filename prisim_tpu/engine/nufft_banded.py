@@ -509,10 +509,18 @@ def _fft_matmul(x):
             n1 = d
             break
     n2 = n // n1
-    if n1 < 8:
-        # pathological factorization (near-prime n): a dense (n, n)
-        # DFT matmul would be O(n^2) — fall back to the builtin FFT
-        return jnp.fft.fft(x, axis=1)
+    if n1 == 1:
+        # prime n: no split exists. A single dense (n, n) DFT matmul
+        # is still cheap (and precision-safe) up to ~1k; beyond that
+        # fall back to the builtin FFT.
+        if n > 1024:
+            return jnp.fft.fft(x, axis=1)
+        k = np.arange(n)
+        F = np.exp(-2j * np.pi * np.outer(k, k) / n).astype(
+            np.complex64)
+        import jax as _jax
+        return jnp.einsum("bjs,kj->bks", x, jnp.asarray(F),
+                          precision=_jax.lax.Precision.HIGHEST)
     hi = jax.lax.Precision.HIGHEST
     j2 = np.arange(n2)
     j1 = np.arange(n1)

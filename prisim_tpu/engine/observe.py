@@ -202,7 +202,9 @@ def simulate_snapshot(instrument, sky, Mh, Ml, pch, pcl, beam_fn,
     center dircos. All jit-safe; beam_fn(dircos, freqs)->(S, C).
     use_pallas: route the NUDFT through the Pallas TPU kernel
     (engine.pallas_nudft) — point sources, gradients, and extended
-    sources are all in-kernel since round 3.
+    are in-kernel since round 3; extended sources route to the XLA
+    engine when compiling for hardware (the ext kernel's Mosaic stack
+    exceeds the scoped-vmem limit; bench_gradext round 3).
     """
     sh, sl = df_rotate3(Mh, Ml, sky.s_eq_hi, sky.s_eq_lo)
     seh, sel = tf.df_add(sh, sl, -pch[None, :], -pcl[None, :])

@@ -294,7 +294,7 @@ def simulate_drift_banded_sharded(instrument, sky, observation, beam_fn,
     # rank approaching nchan makes the Chebyshev basis f32-toxic
     # (measured: rank 31 at C=32 -> 1.6e-2, rank 32 -> 0.3 rel error;
     # rank 24 -> 5e-6). Half the channel count is a safe ceiling.
-    rank = min(int(rank), max(8, nchan // 2))
+    rank = min(int(rank), max(2, nchan // 2))
     bl64 = (np.asarray(instrument.bl_hi, np.float64)
             + np.asarray(instrument.bl_lo, np.float64))
     B = bl64.shape[0]
