@@ -729,8 +729,15 @@ def chebyshev_projection(freqs, rank):
     x = np.log(freqs / freqs[C // 2])
     x = 2.0 * (x - x.min()) / (x.max() - x.min()) - 1.0
     Q = np.polynomial.chebyshev.chebvander(x, rank - 1)       # (C, r)
-    return (np.linalg.pinv(Q).T.astype(np.float32),
-            Q.astype(np.float32))
+    # pinv of the f32-CAST basis, not the f64 one: the engine combines
+    # P with the f32 Q, and a pseudo-inverse of a slightly different
+    # (uncast) matrix leaves a first-order basis-mismatch residual
+    # ~eps*cond(Q) that is COHERENT across sources (round-3 banded
+    # error budget). With matched pinv, P @ Q.T is a true projection
+    # and the only residual is the fit itself.
+    Qf = Q.astype(np.float32)
+    return (np.linalg.pinv(Qf.astype(np.float64)).T.astype(np.float32),
+            Qf)
 
 
 def spectral_project(amps, pinvQ, block=128):
