@@ -315,6 +315,11 @@ def main():
         "unit": "MAC/s",
         "vs_baseline": tpu_rate / cpu_rate,
         "detail": {"snapshot_seconds": dt, **shape,
+                   # task-effective MACs when the banded NUFFT wins:
+                   # the direct engine's S*B*C MAC count divided by
+                   # the banded runtime (the hardware executes
+                   # O(S*K + B*C log C) ops for the same task)
+                   "mac_equivalent": shape.get("kernel") == "banded",
                    "cpu_reference_macs_per_sec": cpu_rate,
                    "end_to_end_seconds_hera37_256c_2acc": e2e},
     }))

@@ -843,7 +843,8 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
             if pending is not None:
                 vis_list.append(get_complex(pending))
             pending = nxt
-        vis_list.append(get_complex(pending))
+        if pending is not None:
+            vis_list.append(get_complex(pending))
         skyvis = np.ascontiguousarray(
             np.transpose(np.stack(vis_list), (1, 2, 0)))
         gradients = None
@@ -1034,8 +1035,8 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
             # exhausted the 16 GB HBM (measured round 3). A window of
             # 4 keeps the pipeline full at ~4 snapshot-intermediates
             # of peak memory.
-            window = int(parms["processing"].get("nufft_inflight")
-                         or 4)
+            window = max(1, int(parms["processing"].get(
+                "nufft_inflight") or 4))
             pend = []
             for t in range(obs.n_acc):
                 pend.append(snap_b(jnp.asarray(Mh[t]),

@@ -174,6 +174,25 @@ def _split(x):
     return hi, lo
 
 
+def _friendly_fft_length(n0):
+    """Smallest n >= n0 for which _fft_matmul finds a balanced
+    Cooley-Tukey split (largest divisor n1 <= sqrt(n) with
+    n/n1 <= 8*n1). Growing n only raises the effective oversampling
+    ratio, so accuracy is monotone in this rounding. Keeps awkward
+    nchan (primes, 2*prime) off _fft_matmul's dense-DFT / builtin-FFT
+    fallback paths — the builtin TPU f32 FFT's ~1.4e-6 error is the
+    thing this module exists to avoid."""
+    for cand in range(int(n0), int(n0) + 512):
+        n1 = 1
+        for d in range(int(np.sqrt(cand)), 0, -1):
+            if cand % d == 0:
+                n1 = d
+                break
+        if n1 > 1 and cand // n1 <= 8 * n1:
+            return cand
+    return int(n0)  # unreachable: every 256-range has a 256-multiple
+
+
 def make_banded_plan(bl_vectors, nu0, dnu, nchan, rank, beta=2.0, K=9,
                      T_s=2048, G_blk=None, tap_degree=10):
     """Build the static plan for a set of baseline vectors (meters) and
@@ -187,7 +206,7 @@ def make_banded_plan(bl_vectors, nu0, dnu, nchan, rank, beta=2.0, K=9,
     if K % 2 == 0:
         raise ValueError("K must be odd (tap rows -half..+half)")
     alpha = np.pi * K * (1.0 - 0.5 / beta) - 0.01
-    n = int(beta * nchan)
+    n = _friendly_fft_length(int(np.ceil(beta * nchan)))
     h = 1.0 / (n * dnu)
     dirs, d_of_b = group_directions(bl)
     blen = np.linalg.norm(bl, axis=1)
@@ -512,8 +531,14 @@ def _fft_matmul(x):
     if n1 == 1:
         # prime n: no split exists. A single dense (n, n) DFT matmul
         # is still cheap (and precision-safe) up to ~1k; beyond that
-        # fall back to the builtin FFT.
+        # fall back to the builtin FFT. Unreachable from plan-made
+        # grids (_friendly_fft_length rounds n up past primes) but a
+        # direct caller should know the precision class changed.
         if n > 1024:
+            import warnings
+            warnings.warn(
+                "_fft_matmul: prime length %d > 1024 falls back to the"
+                " builtin FFT (~1.4e-6 f32 error class on TPU)" % n)
             return jnp.fft.fft(x, axis=1)
         k = np.arange(n)
         F = np.exp(-2j * np.pi * np.outer(k, k) / n).astype(
