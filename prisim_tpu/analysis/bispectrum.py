@@ -126,6 +126,51 @@ class ClosurePhaseData:
         return ClosurePhaseData(cp=cp, wts=wts, freqs=self.freqs, lst=lst,
                                 days=days, triads=self.triads)
 
+    def tbin_stats(self, lstbinsize=None, daybinsize=None):
+        """Per-bin noise statistics of the closure phase across the
+        binned axis — the reference's 'rms'/'mad' outputs of
+        smooth_in_tbins (bispectrum_phase.py:1789-1797 day axis,
+        :1911-1928 LST axis; docstring :1727 names mean/median/rms/MAD).
+
+        rms = masked std of cp within each bin along the binned axis;
+        mad = masked median of |cp - angle(median e^{i cp} in bin)|
+        along the binned axis. Exactly one of lstbinsize (hours) /
+        daybinsize (days) must be given. Returns dict(rms, mad,
+        centers) with the binned axis replaced by nbins."""
+        if (lstbinsize is None) == (daybinsize is None):
+            raise ValueError("give exactly one of lstbinsize/daybinsize")
+        axis = 0 if lstbinsize is not None else 1
+        coord = self.lst if axis == 0 else self.days
+        size = lstbinsize if axis == 0 else daybinsize
+        edges = np.arange(coord.min(), coord.max() + size, size)
+        if edges.size < 2:
+            edges = np.asarray([coord.min(), coord.max() + 1.0])
+        which = np.clip(np.digitize(coord, edges) - 1, 0,
+                        edges.size - 2)
+        nb = edges.size - 1
+        out_shape = (self.cp.shape[:axis] + (nb,)
+                     + self.cp.shape[axis + 1:])
+        rms = np.zeros(out_shape)
+        mad = np.zeros(out_shape)
+        for b in range(nb):
+            sel = np.where(which == b)[0]
+            if not sel.size:
+                continue
+            cpb = np.moveaxis(np.take(self.cp, sel, axis=axis), axis, 0)
+            wb = np.moveaxis(np.take(self.wts, sel, axis=axis), axis, 0)
+            mcp = np.ma.array(cpb, mask=(wb <= 0))
+            idx = (slice(None),) * axis + (b,)
+            rms[idx] = np.ma.std(mcp, axis=0).filled(0.0)
+            eib = np.moveaxis(np.take(self.eicp, sel, axis=axis),
+                              axis, 0)
+            med = (_wmedian_axis0(eib.real, wb)
+                   + 1j * _wmedian_axis0(eib.imag, wb))
+            dev = np.ma.array(np.abs(cpb - np.angle(med)[None]),
+                              mask=(wb <= 0))
+            mad[idx] = np.ma.median(dev, axis=0).filled(0.0)
+        return dict(rms=rms, mad=mad,
+                    centers=0.5 * (edges[:-1] + edges[1:]))
+
     def subtract(self, model_cp):
         """Subtract a model closure phase (broadcastable to cp)
         (ClosurePhase.subtract, bispectrum_phase.py:1978)."""

@@ -255,11 +255,23 @@ def build_sky(parms, freqs):
         fmin = sp.get("flux_min")
         if fmin is not None:
             sm = sm.subset(np.where(flux >= float(fmin))[0])
-    elif model == "csm":
-        # combined point-source model: SUMSS below dec -30, NVSS above
-        # (run_prisim.py:1325-1529)
+    elif model in ("csm", "asm"):
+        # csm: combined point-source model — SUMSS below dec -30, NVSS
+        # above (run_prisim.py:1325-1529). asm: all-sky model — the
+        # same point sources merged with the DSM diffuse map
+        # (run_prisim.py:810, 1089-1200: use_GSM reads the
+        # DSM_file_prefix FITS table then concatenates SUMSS + NVSS).
         from . import catalogs as CATS
         parts = []
+        if model == "asm":
+            path = cat.get("DSM_file_prefix") or cat.get("spectrum_file")
+            if not path:
+                raise ValueError("asm needs catalog.DSM_file_prefix "
+                                 "(per-pixel DSM FITS table)")
+            from .catalogs import read_dsm_fits
+            parts.append(read_dsm_fits(
+                path, nside=int(sp.get("nside") or 64),
+                map_freq=float(sp.get("custom_reffreq") or 0.15) * 1e9))
         if cat.get("SUMSS_file"):
             parts.append(CATS.read_sumss(
                 cat["SUMSS_file"],
@@ -271,16 +283,23 @@ def build_sky(parms, freqs):
                     cat.get("SUMSS_file")),
                 spindex_rms=float(sp.get("spindex_rms") or 0.0),
                 spindex_seed=sp.get("spindex_seed")))
-        if not parts:
-            raise ValueError("csm needs catalog.SUMSS_file and/or "
-                             "catalog.NVSS_file")
-        sm = SkyModel.concat(parts)
-        if sp.get("flux_min") is not None:
-            sm = CATS.flux_cut(sm, flux_min=sp["flux_min"],
+        if not parts or (model == "csm" and not any(
+                cat.get(k) for k in ("SUMSS_file", "NVSS_file"))):
+            raise ValueError("%s needs catalog.SUMSS_file and/or "
+                             "catalog.NVSS_file" % model)
+        # the flux cut applies to the point-source catalogs only: the
+        # reference's asm branch filters SUMSS/NVSS by brightness but
+        # keeps every DSM pixel (run_prisim.py:1141,1186)
+        ndiff = 1 if model == "asm" else 0
+        if sp.get("flux_min") is not None and len(parts) > ndiff:
+            ps = SkyModel.concat(parts[ndiff:])
+            ps = CATS.flux_cut(ps, flux_min=sp["flux_min"],
                                flux_max=sp.get("flux_max"),
                                cut_freq=(float(sp["fluxcut_reffreq"])
                                          if sp.get("fluxcut_reffreq")
                                          else None))
+            parts = parts[:ndiff] + [ps]
+        sm = SkyModel.concat(parts)
     elif model in ("hi_monopole", "monopole"):
         # global-EoR tanh monopole on a uniform HEALPix sky
         # (run_prisim.py HI_monopole branch; global_EoR_parms)
@@ -365,6 +384,17 @@ def build_sky(parms, freqs):
         else:
             path = cat.get("DSM_file_prefix") or cat.get("spectrum_file")
             if not path:
+                if model in ("gsm", "gsm2008", "gsm2016"):
+                    # the reference builds the map in-process with
+                    # pygsm (run_prisim.py:1257-1260); pygsm is not in
+                    # this environment so the map must be pre-made
+                    raise ValueError(
+                        "skyparm.model=%r needs a pre-generated map: "
+                        "run `python -m prisim_tpu.tools gsm --nside N "
+                        "--freqs f0,f1,... -o map.npz` where pygsm is "
+                        "installed, then set catalog.spectrum_file to "
+                        "the npz (keys 'maps' (npix, nf) and 'freqs')"
+                        % model)
                 raise ValueError("catalog file required for HEALPix sky")
             if str(path).endswith((".fits", ".FITS")) or \
                     not os.path.exists(str(path)):
@@ -378,7 +408,14 @@ def build_sky(parms, freqs):
             else:
                 temp = np.load(path)
                 if hasattr(temp, "files"):
-                    temp = temp[temp.files[0]]
+                    if "maps" in temp.files and "freqs" in temp.files:
+                        # multi-frequency map set (e.g. `tools gsm`
+                        # output): exact per-frequency spectra instead
+                        # of a single power law
+                        temp = healpix_diffuse_model(
+                            temp["maps"], freqs_model=temp["freqs"])
+                    else:
+                        temp = temp[temp.files[0]]
         if isinstance(temp, SkyModel):
             sm = temp
         else:

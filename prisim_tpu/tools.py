@@ -363,6 +363,58 @@ def _feko_scatter_map(theta, phi, power, nside, interp):
     return hmap / hmap.max()
 
 
+def gsm_to_npz(outfile, nside=64, freqs=(150e6,), model="gsm2008"):
+    """Generate Global Sky Model maps with pygsm/pygdsm and save an npz
+    the driver's gsm branch reads (keys: 'maps' (npix, nf) equatorial
+    RING brightness-temperature maps in K, 'freqs' Hz).
+
+    Replaces the reference's in-process pygsm sky build
+    (run_prisim.py:1253-1279, SM.diffuse_radio_sky_model). pygsm is not
+    bundled in this environment, so this converter is the documented
+    workaround: run it wherever pygsm IS installed, ship the npz. The
+    galactic->equatorial reprojection uses this package's own HEALPix
+    bilinear interpolation (no healpy)."""
+    try:
+        try:
+            from pygdsm import GlobalSkyModel, GlobalSkyModel2016
+        except ImportError:
+            from pygsm import GlobalSkyModel, GlobalSkyModel2016
+    except ImportError:
+        raise RuntimeError(
+            "pygsm/pygdsm is not installed in this environment. Run "
+            "`python -m prisim_tpu.tools gsm` on a machine that has "
+            "it, then point catalog.spectrum_file at the npz.")
+    from . import healpix as hp
+    gsm = GlobalSkyModel2016() if model == "gsm2016" else \
+        GlobalSkyModel()
+    freqs = np.atleast_1d(np.asarray(freqs, dtype=np.float64))
+    npix = hp.nside2npix(nside)
+    theta, phi = hp.pix2ang(nside, np.arange(npix))
+    # J2000 equatorial -> galactic rotation (IAU 1958 pole/zero-point)
+    ra = phi
+    dec = np.pi / 2 - theta
+    v_eq = np.stack([np.cos(dec) * np.cos(ra), np.cos(dec) * np.sin(ra),
+                     np.sin(dec)], axis=-1)
+    R = _EQ2GAL
+    v_gal = v_eq @ R.T
+    th_g = np.arccos(np.clip(v_gal[:, 2], -1.0, 1.0))
+    ph_g = np.mod(np.arctan2(v_gal[:, 1], v_gal[:, 0]), 2 * np.pi)
+    maps = np.empty((npix, freqs.size), dtype=np.float64)
+    for i, f in enumerate(freqs):
+        g = np.asarray(gsm.generate(f / 1e6), dtype=np.float64)
+        maps[:, i] = hp.interp_map(g, th_g, ph_g)
+    np.savez(outfile, maps=maps, freqs=freqs)
+    return outfile
+
+
+# rows: galactic x,y,z in equatorial J2000 coordinates (the standard
+# NGP ra=192.85948 dec=27.12825, l_omega=32.93192 rotation)
+_EQ2GAL = np.array(
+    [[-0.0548755604, -0.8734370902, -0.4838350155],
+     [+0.4941094279, -0.4448296300, +0.7469822445],
+     [-0.8676661490, -0.1980763734, +0.4559837762]])
+
+
 def feko_to_healpix(infile, outfile, nside=64, scheme="ring",
                     interp="spline", col_theta=0, col_phi=1,
                     col_gain_db=None, col_etheta=(2, 3),
@@ -880,6 +932,14 @@ def main(argv=None):
     f.add_argument("--pol2", default=None,
                    help="second-polarization FEKO file (ref P2)")
 
+    gs = sub.add_parser("gsm")
+    gs.add_argument("--nside", type=int, default=64)
+    gs.add_argument("--freqs", required=True,
+                    help="comma-separated frequencies in Hz")
+    gs.add_argument("--model", default="gsm2008",
+                    choices=["gsm2008", "gsm2016"])
+    gs.add_argument("-o", "--outfile", required=True)
+
     a = p.parse_args(argv)
     if a.cmd == "convert":
         print("\n".join(convert(a.infile, a.outfile, a.formats,
@@ -933,6 +993,12 @@ def main(argv=None):
                        platform=a.platform)
             raise SystemExit(0)
         raise SystemExit(0 if mesh_check(a.n_devices) else 1)
+    elif a.cmd == "gsm":
+        freqs = np.asarray([float(s) for s in a.freqs.split(",")])
+        path = gsm_to_npz(a.outfile, nside=a.nside, freqs=freqs,
+                          model=a.model)
+        print("wrote %s: nside %d x %d freqs" % (path, a.nside,
+                                                 freqs.size))
     elif a.cmd == "feko2hpx":
         feko_to_healpix(a.infile, a.outfile, nside=a.nside,
                         col_gain_db=a.gain_db_col, interp=a.interp,

@@ -1,0 +1,173 @@
+"""Round-4 parity closures: 'asm' combined sky model
+(run_prisim.py:810,1089-1200), gsm map-file workflow
+(run_prisim.py:1253-1279), closure-phase rms/MAD time-bin statistics
+(bispectrum_phase.py:1727,1789-1797,1911-1928), friendly banded FFT
+lengths."""
+
+import numpy as np
+import pytest
+
+from prisim_tpu.config import load_parms
+from prisim_tpu.driver import build_sky, build_frequencies
+
+from test_catalog_fits import _write_dsm, NPIX
+from test_catalogs import _write_sumss, _write_nvss
+
+
+def test_asm_merge(tmp_path):
+    """asm = DSM diffuse + SUMSS + NVSS point sources; the flux cut
+    applies to the point sources only (run_prisim.py:1141,1186 filter
+    SUMSS/NVSS by brightness but keep every DSM pixel)."""
+    dsm = str(tmp_path / "dsm_150.0_MHz_nside_8.fits")
+    _write_dsm(dsm, nside=8)
+    sumss = str(tmp_path / "sumss.txt")
+    _write_sumss(sumss)
+    nvss = str(tmp_path / "nvss.fits")
+    _write_nvss(nvss)
+    p = load_parms({"skyparm": {"model": "asm", "nside": 8,
+                                "flux_min": None},
+                    "catalog": {"DSM_file_prefix": str(tmp_path / "dsm"),
+                                "SUMSS_file": sumss,
+                                "NVSS_file": nvss}})
+    sm = build_sky(p, build_frequencies(p))
+    n_nvss = int(np.sum(np.linspace(-60, 40, 5) > -30.0))
+    assert sm.nsrc == NPIX + 3 + n_nvss
+    assert "DSM" in sm.name and "SUMSS" in sm.name and "NVSS" in sm.name
+
+    # flux_min=2.0 Jy: every DSM pixel (~1.1 Jy at nside 8) survives;
+    # all SUMSS (0.1-0.3 Jy) are cut; NVSS keeps fluxes >= 2 Jy
+    p2 = load_parms({"skyparm": {"model": "asm", "nside": 8,
+                                 "flux_min": 2.0},
+                     "catalog": {"DSM_file_prefix": str(tmp_path / "dsm"),
+                                 "SUMSS_file": sumss,
+                                 "NVSS_file": nvss}})
+    sm2 = build_sky(p2, build_frequencies(p2))
+    nvss_dec = np.linspace(-60, 40, 5)
+    nvss_flux = np.linspace(1.0, 5.0, 5)
+    n_nvss2 = int(np.sum((nvss_dec > -30.0) & (nvss_flux >= 2.0)))
+    assert sm2.nsrc == NPIX + 0 + n_nvss2
+
+
+def test_asm_requires_dsm(tmp_path):
+    p = load_parms({"skyparm": {"model": "asm"}, "catalog": {}})
+    with pytest.raises(ValueError, match="DSM_file_prefix"):
+        build_sky(p, build_frequencies(p))
+
+
+def test_gsm_needs_map_file_message():
+    p = load_parms({"skyparm": {"model": "gsm2008", "nside": 8},
+                    "catalog": {}})
+    with pytest.raises(ValueError, match="tools gsm"):
+        build_sky(p, build_frequencies(p))
+
+
+def test_gsm_npz_multifreq_maps(tmp_path):
+    """A pre-generated multi-frequency map npz (the `tools gsm` output
+    schema) feeds the gsm branch as exact per-frequency spectra."""
+    from prisim_tpu import healpix as hp
+    nside = 8
+    npix = hp.nside2npix(nside)
+    fmdl = np.array([140e6, 150e6, 160e6])
+    rng = np.random.RandomState(3)
+    maps = 100.0 * (1.0 + 0.1 * rng.rand(npix, fmdl.size))
+    path = str(tmp_path / "gsm.npz")
+    np.savez(path, maps=maps, freqs=fmdl)
+    p = load_parms({"bandpass": {"nchan": 4, "freq": 150e6,
+                                 "freq_resolution": 390625.0},
+                    "skyparm": {"model": "gsm2008", "nside": nside},
+                    "catalog": {"spectrum_file": path}})
+    sm = build_sky(p, build_frequencies(p))
+    assert sm.nsrc == npix
+    spec = sm.generate_spectrum(build_frequencies(p))
+    assert spec.shape == (npix, 4)
+    assert np.all(spec > 0)
+
+
+def test_gsm_tool_gated():
+    """`tools gsm` raises the documented error where pygsm is absent."""
+    from prisim_tpu.tools import gsm_to_npz
+    try:
+        import pygdsm  # noqa: F401
+        pytest.skip("pygdsm installed; gating not exercised")
+    except ImportError:
+        pass
+    try:
+        import pygsm  # noqa: F401
+        pytest.skip("pygsm installed; gating not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(RuntimeError, match="pygsm"):
+        gsm_to_npz("/tmp/x.npz", nside=8, freqs=[150e6])
+
+
+def test_eq2gal_rotation_orthonormal():
+    from prisim_tpu.tools import _EQ2GAL
+    np.testing.assert_allclose(_EQ2GAL @ _EQ2GAL.T, np.eye(3),
+                               atol=1e-7)
+    # NGP (gal z axis) at ra=192.8595 dec=27.1283 (J2000)
+    ngp = _EQ2GAL[2]
+    ra, dec = np.radians(192.85948), np.radians(27.12825)
+    v = np.array([np.cos(dec) * np.cos(ra), np.cos(dec) * np.sin(ra),
+                  np.sin(dec)])
+    np.testing.assert_allclose(ngp, v, atol=2e-6)
+
+
+def test_tbin_stats_noise():
+    """rms/MAD of pure gaussian phase noise match the analytic values:
+    rms -> sigma, MAD -> 0.6745 sigma (bispectrum_phase.py:1789-1797)."""
+    from prisim_tpu.analysis.bispectrum import ClosurePhaseData
+    rng = np.random.RandomState(11)
+    sigma = 0.3
+    nlst, nd, nt, nc = 400, 1, 3, 4
+    cp = sigma * rng.randn(nlst, nd, nt, nc)
+    cpd = ClosurePhaseData(cp=cp, wts=np.ones_like(cp),
+                           freqs=np.linspace(100e6, 200e6, nc),
+                           lst=np.linspace(0.0, 4.0, nlst),
+                           days=np.array([2458000.0]),
+                           triads=np.arange(3 * nt).reshape(nt, 3))
+    st = cpd.tbin_stats(lstbinsize=2.01)
+    assert st["rms"].shape == (2, nd, nt, nc)
+    np.testing.assert_allclose(st["rms"], sigma, rtol=0.25)
+    np.testing.assert_allclose(st["mad"], 0.6745 * sigma, rtol=0.25)
+    # flagged samples are excluded: zero-weight half at huge values
+    cp2 = cp.copy()
+    cp2[::2] = 100.0
+    w2 = np.ones_like(cp)
+    w2[::2] = 0.0
+    cpd2 = ClosurePhaseData(cp=cp2, wts=w2, freqs=cpd.freqs,
+                            lst=cpd.lst, days=cpd.days,
+                            triads=cpd.triads)
+    st2 = cpd2.tbin_stats(lstbinsize=2.01)
+    np.testing.assert_allclose(st2["rms"], sigma, rtol=0.35)
+    np.testing.assert_allclose(st2["mad"], 0.6745 * sigma, rtol=0.35)
+    with pytest.raises(ValueError):
+        cpd.tbin_stats()
+    st3 = cpd.tbin_stats(daybinsize=1.0)
+    assert st3["rms"].shape == (nlst, 1, nt, nc)
+    # one sample per day bin: std is 0
+    np.testing.assert_allclose(st3["rms"], 0.0, atol=1e-12)
+
+
+def test_friendly_fft_length():
+    from prisim_tpu.engine.nufft_banded import _friendly_fft_length
+    for n0 in [2048, 2042, 2039, 1021, 4094, 509, 3001]:
+        n = _friendly_fft_length(n0)
+        assert n >= n0 and n - n0 < 512
+        n1 = max(d for d in range(1, int(np.sqrt(n)) + 1) if n % d == 0)
+        assert n1 > 1 and n // n1 <= 8 * n1
+    # the pinned bench/north-star config is untouched
+    assert _friendly_fft_length(2048) == 2048
+
+
+def test_banded_plan_awkward_nchan():
+    """A prime-ish nchan no longer routes _fft_matmul onto its dense
+    or builtin-FFT fallbacks, and stays accurate vs the XLA engine."""
+    from prisim_tpu.engine import nufft_banded as NB
+    rng = np.random.RandomState(5)
+    nchan = 127                      # beta*nchan = 254 = 2*127
+    plan = NB.make_banded_plan(
+        rng.uniform(-40, 40, (6, 3)), 150e6, 97656.25, nchan,
+        rank=8, T_s=256)
+    n1 = max(d for d in range(1, int(np.sqrt(plan.n)) + 1)
+             if plan.n % d == 0)
+    assert plan.n >= 2 * nchan and n1 > 1 and plan.n // n1 <= 8 * n1
