@@ -94,9 +94,18 @@ DEFAULT_PARMS = {
                    # 8.4e-4 coherent octave-band fit error in every
                    # banded north-star run (root-caused round 3)
                    "engine": "direct", "nufft_rank": None,
-                   "nufft_spread": "sorted",
+                   # 'auto' = banded Pallas spread on TPU, sorted on
+                   # CPU backends (a hard 'sorted' default silently
+                   # kept TPU engine:nufft runs on the direct engine
+                   # via the honesty gate)
+                   "nufft_spread": "auto",
                    "nufft_crosscheck": True, "nufft_inflight": None,
-                   "nufft_crosscheck_tol": 1e-4},
+                   # None = path-aware default: 2e-6 for the
+                   # single-device banded shared-amps gate (enforces
+                   # the 1e-6-class north-star spec), 1e-4 for
+                   # cross-program gates whose yardstick carries the
+                   # coherent beam-recompute term (BASELINE.md round 3)
+                   "nufft_crosscheck_tol": None},
     "pp": {"key": "freq", "eqvol": True, "method": "pool",
            "mesh_axes": None, "n_chunks": 1},
     "flags": {"flag_chan": -1, "bp_flag_repeat": False,

@@ -951,11 +951,20 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
         # cap at half the channel count
         rank = min(rank, max(2, freqs.size // 2))
         spread = str(parms["processing"].get("nufft_spread")
-                     or "sorted")
+                     or "sorted").lower()
+        if spread == "auto":
+            from .engine.nufft_banded import banded_spread_available
+            spread = "banded" if (jax.devices()[0].platform == "tpu"
+                                  and banded_spread_available()) \
+                else "sorted"
         pinvQ, Q = chebyshev_projection(freqs, min(rank, freqs.size))
         ndev_nufft = len(jax.devices())
         direct0 = None
-        if parms["processing"].get("nufft_crosscheck", True):
+        single_banded = spread == "banded" and not (
+            ndev_nufft > 1 and ((parms.get("pp") or {}).get("key")
+                                or "freq").lower() != "none")
+        if parms["processing"].get("nufft_crosscheck", True) \
+                and not single_banded:
             # The gate's direct reference snapshot runs BEFORE the fast
             # engine so its working set (full (S, C) beam amps + phase
             # blocks) has the whole HBM to itself — evaluating it after
@@ -1063,7 +1072,43 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
             # three separately-jitted stages (isolates tunnel upload
             # stalls per stage; executables reused across snapshots)
             snap_b = make_banded_snapshot_fns(
-                inst, sks, beam_fn, plan, pinvQ, Q, interpret=interp)
+                inst, sks, beam_fn, plan, pinvQ, Q, interpret=interp,
+                gate_src_block=src_block)
+            if parms["processing"].get("nufft_crosscheck", True):
+                # shared-amps gate (run BEFORE the snapshot pipeline so
+                # its direct working set has the whole HBM): one jit
+                # program feeds both engines identical beam amps, so
+                # the default tolerance can enforce the 1e-6-class spec
+                # instead of the ~3e-5 cross-program yardstick floor
+                tol = float(parms["processing"].get(
+                    "nufft_crosscheck_tol") or 2e-6)
+                direct0, banded0, ok0 = snap_b.gate_fn(
+                    jnp.asarray(Mh[0]), jnp.asarray(Ml[0]),
+                    jnp.asarray(pch[0]), jnp.asarray(pcl[0]))
+                dump = os.environ.get("PRISIM_DEBUG_XCHECK_DUMP")
+                if dump:
+                    np.savez(dump, fast0=banded0, direct0=direct0,
+                             Mh0=np.asarray(Mh[0]), Ml0=np.asarray(Ml[0]),
+                             pch0=np.asarray(pch[0]),
+                             pcl0=np.asarray(pcl[0]), freqs=freqs,
+                             bl=np.asarray(bls.vectors), rank=rank)
+                scale = max(float(np.abs(direct0).max()), 1e-30)
+                rel = float(np.abs(banded0 - direct0).max()) / scale
+                if not ok0 or rel > tol:
+                    print("[prisim_tpu] banded NUFFT shared-amps "
+                          "cross-check FAILED (rel=%.2e > %.0e, ok=%s);"
+                          " falling back to the direct engine"
+                          % (rel, tol, ok0))
+                    p2 = dict(parms)
+                    p2["processing"] = dict(parms["processing"],
+                                            engine="direct")
+                    return _run_simulation_inner(p2, outdir, verbose,
+                                                 save, _sky_override,
+                                                 t0)
+                if verbose:
+                    print("[prisim_tpu] banded/direct shared-amps "
+                          "cross-check ok (rel=%.2e)" % rel)
+                direct0 = None        # generic gate below is bypassed
             # dispatch ahead of fetching (the tunnel's per-fetch
             # round-trip amortizes across queued snapshots), but BOUND
             # the in-flight window: every enqueued prep allocates its
@@ -1104,13 +1149,17 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
                 jnp.asarray(Mh[t]), jnp.asarray(Ml[t]),
                 jnp.asarray(pch[t]), jnp.asarray(pcl[t])))
                 for t in range(obs.n_acc)]
-        if parms["processing"].get("nufft_crosscheck", True):
+        if parms["processing"].get("nufft_crosscheck", True) \
+                and not single_banded:
             # Automatic accuracy gate: the fast engine's first snapshot
             # is re-evaluated with the exact direct NUDFT; a mismatch
             # beyond tolerance falls the WHOLE run back to the direct
             # engine (approximate-engine results are never silently
             # trusted; cf. the reference's always-exact loop,
-            # run_prisim.py:1858-2210).
+            # run_prisim.py:1858-2210). This cross-program comparison
+            # carries the ~1e-7/element beam-recompute yardstick term
+            # (coherent over sources), so its default stays 1e-4; the
+            # single-device banded path above gates shared-amps at 2e-6.
             tol = float(parms["processing"].get("nufft_crosscheck_tol")
                         or 1e-4)
             dump = os.environ.get("PRISIM_DEBUG_XCHECK_DUMP")

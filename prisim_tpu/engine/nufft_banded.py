@@ -628,7 +628,7 @@ def simulate_snapshot_nufft_banded(instrument, sky, Mh, Ml, pch, pcl,
 
 def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
                              interpret=False, spatial_sort=True,
-                             src_chunk=None):
+                             src_chunk=None, gate_src_block=512):
     """Three separately-jitted stages for one banded snapshot.
 
     The sorted predecessor NEEDED the split because its fused compile
@@ -748,6 +748,64 @@ def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
             return stage_post(out), ok
 
         run.stages = (sweep_jit, stage_post)
+    def _gate_impl(Mh, Ml, pch, pcl, seqh, seql, flux):
+        """Shared-amps cross-check: ONE jit program computes the source
+        vectors and beam amps once per chunk and feeds BOTH the exact
+        direct NUDFT and the banded pipeline from the SAME tensors.
+
+        Comparing engines that re-evaluate the beam in separate jit
+        programs carries a ~1e-7 per-element cross-program beam
+        difference that sums coherently over north-star source counts
+        into a ~3e-5 floor (round-3 yardstick lesson, BASELINE.md) —
+        two orders looser than the 1e-6 spec the gate should enforce.
+        Returns (direct re, direct im, banded re, banded im, ok)."""
+        from .nudft import nudft_visibilities
+        gs = instrument.grid_scalars()
+        nchan = instrument.nchan
+        nbl = plan.nbl
+
+        def chunk(carry, c):
+            tot, okc, vd, comp = carry
+            s0 = c * src_chunk
+            sh_c = jax.lax.dynamic_slice_in_dim(seqh, s0, src_chunk)
+            sl_c = jax.lax.dynamic_slice_in_dim(seql, s0, src_chunk)
+            fx_c = jax.lax.dynamic_slice_in_dim(flux, s0, src_chunk)
+            sh, sl = df_rotate3(Mh, Ml, sh_c, sl_c)
+            seh, sel = tf.df_add(sh, sl, -pch[None, :], -pcl[None, :])
+            amps = _beam_and_flux(sh, fx_c, freqs_f32, beam_fn)
+            P = spectral_project(amps, pinvQ_j)
+            u_h, u_l, P_r, ok = _prep(plan, seh, sel, P)
+            out = _banded_spread(plan, u_h, u_l, P_r,
+                                 interpret=interpret)
+            vc = nudft_visibilities(seh, sel, instrument.bl_hi,
+                                    instrument.bl_lo, amps, gs, nchan,
+                                    src_block=gate_src_block)
+            # Kahan across chunks (few, but free)
+            y = vc - comp
+            t = vd + y
+            return (tot + out, jnp.logical_and(okc, ok), t,
+                    (t - vd) - y), None
+
+        init = (jnp.zeros((nbl, plan.R_max, 2 * plan.rank),
+                          jnp.float32), jnp.bool_(True),
+                jnp.zeros((nbl, nchan), jnp.complex64),
+                jnp.zeros((nbl, nchan), jnp.complex64))
+        (tot, ok, vd, _), _ = jax.lax.scan(chunk, init,
+                                           jnp.arange(n_chunks))
+        vb = _post(plan, tot, Q_j, matmul_fft=not interpret)
+        return (jnp.real(vd), jnp.imag(vd), jnp.real(vb),
+                jnp.imag(vb), ok)
+
+    gate_jit = jax.jit(_gate_impl)
+
+    def gate(Mh, Ml, pch, pcl):
+        dr, di, br, bi, ok = gate_jit(Mh, Ml, pch, pcl, seqh_a,
+                                      seql_a, flux_a)
+        direct0 = np.asarray(dr) + 1j * np.asarray(di)
+        banded0 = np.asarray(br) + 1j * np.asarray(bi)
+        return direct0, banded0, bool(np.asarray(ok))
+
+    run.gate_fn = gate
     run.n_chunks = n_chunks
     run.src_chunk = src_chunk
     run.sky_args = (seqh_a, seql_a, flux_a)

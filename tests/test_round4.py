@@ -171,3 +171,47 @@ def test_banded_plan_awkward_nchan():
     n1 = max(d for d in range(1, int(np.sqrt(plan.n)) + 1)
              if plan.n % d == 0)
     assert plan.n >= 2 * nchan and n1 > 1 and plan.n // n1 <= 8 * n1
+
+
+def test_banded_gate_demotes_degraded_run(capsys):
+    """VERDICT r3 item 2: a deliberately degraded banded run (forced
+    rank 4 over a full octave -> coherent fit error >> 2e-6) must trip
+    the shared-amps gate and demote to the direct engine."""
+    from prisim_tpu.driver import run_simulation
+
+    base = {
+        "bandpass": {"nchan": 32, "freq": 150e6,
+                     "freq_resolution": 3.125e6},   # 100-200 MHz octave
+        "array": {"layout": "HERA-7"},
+        "obsparm": {"n_acc": 1, "t_acc": 60.0},
+        "skyparm": {"model": "random", "nsrc": 128, "seed": 5},
+        "pp": {"key": "none"},
+    }
+    p = load_parms(dict(base, processing={
+        "engine": "nufft", "nufft_spread": "banded", "nufft_rank": 4}))
+    vs, _ = run_simulation(p, verbose=True, save=False)
+    out = capsys.readouterr().out
+    assert "cross-check FAILED" in out
+    # demoted result is the direct engine's
+    p2 = load_parms(dict(base, processing={"engine": "direct"}))
+    vs2, _ = run_simulation(p2, verbose=False, save=False)
+    np.testing.assert_allclose(np.asarray(vs.skyvis),
+                               np.asarray(vs2.skyvis), rtol=0, atol=0)
+
+
+def test_banded_gate_passes_good_run(capsys):
+    """A healthy banded run passes the shared-amps gate at its 2e-6
+    default and reports the measured rel."""
+    from prisim_tpu.driver import run_simulation
+    p = load_parms({
+        "bandpass": {"nchan": 16, "freq": 150e6,
+                     "freq_resolution": 195312.5},
+        "array": {"layout": "HERA-7"},
+        "obsparm": {"n_acc": 1, "t_acc": 60.0},
+        "skyparm": {"model": "random", "nsrc": 64, "seed": 5},
+        "pp": {"key": "none"},
+        "processing": {"engine": "nufft", "nufft_spread": "banded"}})
+    vs, _ = run_simulation(p, verbose=True, save=False)
+    out = capsys.readouterr().out
+    assert "shared-amps cross-check ok" in out
+    assert np.isfinite(np.asarray(vs.skyvis)).all()
