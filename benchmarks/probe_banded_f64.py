@@ -36,7 +36,8 @@ def main():
     ap.add_argument("--tap-degree", type=int, default=10)
     ap.add_argument("--beta", type=float, default=2.0)
     ap.add_argument("--rank", type=int, default=24)
-    ap.add_argument("--basis", default="ln", choices=["ln", "linear"])
+    ap.add_argument("--basis", default="ln",
+                    choices=["ln", "linear", "svd"])
     args = ap.parse_args()
 
     import jax
@@ -75,13 +76,25 @@ def main():
     # both bases are built in TRUE f64 here: chebyshev_projection
     # returns f32-cast matrices whose ~1e-7 quantization would
     # contaminate a probe meant to isolate the f64 algorithm floor
-    if args.basis == "linear":
+    if args.basis == "svd":
+        # data-adaptive basis: top right-singular vectors of the amps
+        # matrix (optimal rank-r spectral subspace in Frobenius norm),
+        # via the (C, C) gram matrix in f64
+        A64 = amps_np.astype(np.float64)
+        G = A64.T @ A64
+        evals, evecs = np.linalg.eigh(G)
+        Qb = evecs[:, ::-1][:, :args.rank]            # (C, r)
+        tail = np.sqrt(max(evals[:-args.rank].sum(), 0.0)
+                       / max(evals.sum(), 1e-300))
+        print(json.dumps({"svd_tail_frac": tail}))
+    elif args.basis == "linear":
         x = 2.0 * (freqs - freqs.min()) / (freqs.max() - freqs.min()) \
             - 1.0
+        Qb = np.polynomial.chebyshev.chebvander(x, args.rank - 1)
     else:
         x = np.log(freqs / freqs[freqs.size // 2])
         x = 2.0 * (x - x.min()) / (x.max() - x.min()) - 1.0
-    Qb = np.polynomial.chebyshev.chebvander(x, args.rank - 1)
+        Qb = np.polynomial.chebyshev.chebvander(x, args.rank - 1)
     pinvQ, Q = np.linalg.pinv(Qb).T, Qb
     P = amps_np.astype(np.float64) @ np.asarray(pinvQ, np.float64)
     r = P.shape[1]

@@ -659,6 +659,24 @@ def run_simulation(parms, outdir=None, verbose=True, save=True,
             profiler.__exit__(None, None, None)
 
 
+def _sector_mask(dircos, k, n_sectors, xp=None):
+    """Per-snapshot azimuthal sky-sector membership (jit-safe).
+
+    The reference re-sections the above-horizon sky per snapshot into
+    n azimuth wedge-pairs of width 180/n deg: sector k is
+    az in [-w/2 + k*w, -w/2 + (k+1)*w) union the antipodal wedge
+    (run_prisim.py:1859-1875). Both wedges collapse to
+    floor(((az + w/2) mod 180) / w) == k. Evaluated from the CURRENT
+    ENU direction cosines, so membership tracks the drift exactly
+    (round-3 partitioned the catalog once at the mean LST)."""
+    import jax.numpy as jnp
+    xp = xp or jnp
+    az = xp.degrees(xp.arctan2(dircos[..., 0], dircos[..., 1]))
+    w = 180.0 / n_sectors
+    m = xp.mod(az + 0.5 * w, 180.0)
+    return (xp.floor(m / w) == k).astype(dircos.dtype)
+
+
 def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
                           t0):
     import jax
@@ -710,21 +728,47 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
     if _sky_override is not None:
         n_sectors = 1
     if n_sectors > 1:
-        # azimuthal sky sectors simulated as separate outputs
-        # (run_prisim.py:1859-1875). Sectors are hour-angle wedges at the
-        # scan's mean LST (static partition; the reference re-sections
-        # per snapshot via the ROI).
-        ha = (np.mean(obs.lst_deg) - sky.location[:, 0]) % 360.0
-        which = np.floor(ha / (360.0 / n_sectors)).astype(int)
+        # azimuthal sky sectors simulated as separate outputs with
+        # PER-SNAPSHOT membership (run_prisim.py:1859-1875): the sector
+        # wedge is applied inside the jit as an amplitude mask on the
+        # snapshot's CURRENT source azimuths (same trick as the horizon
+        # cut), so drift-scan edge sources land in the right sector at
+        # every accumulation. A host-side prefilter drops sources that
+        # never enter the sector during the whole scan (with a 2-deg
+        # guard margin; the in-jit mask is the ground truth).
+        w = 180.0 / n_sectors
+        lst = np.asarray(obs.lst_deg, dtype=np.float64)
+        ha = (lst[:, None] - sky.location[None, :, 0])      # (T, S) deg
+        dec = np.radians(sky.location[:, 1])[None, :]
+        lat_r = np.radians(lat)
+        har = np.radians(ha)
+        sin_alt = (np.sin(lat_r) * np.sin(dec)
+                   + np.cos(lat_r) * np.cos(dec) * np.cos(har))
+        # azimuth from north, eastward (matches dircos e/n convention)
+        az = np.degrees(np.arctan2(
+            -np.cos(dec) * np.sin(har),
+            np.sin(dec) * np.cos(lat_r)
+            - np.cos(dec) * np.sin(lat_r) * np.cos(har)))
+        above = sin_alt > np.sin(np.radians(-2.0))
+        fold = np.mod(az + 0.5 * w, 180.0)
         outs = []
         import copy as _copy
         for k in range(n_sectors):
-            sub = sky.subset(np.where(which == k)[0])
+            # margin-expanded wedge membership at ANY snapshot
+            lo_k, hi_k = k * w - 2.0, (k + 1) * w + 2.0
+            inw = (fold >= lo_k) & (fold < hi_k)
+            if lo_k < 0.0:
+                inw |= fold >= lo_k + 180.0
+            if hi_k > 180.0:
+                inw |= fold < hi_k - 180.0
+            keep = np.where(np.any(inw & above, axis=0))[0]
+            sub = sky.subset(keep)
             if sub.nsrc == 0:
                 outs.append(None)
                 continue
             p2 = _copy.deepcopy(parms)
             p2["processing"]["n_sky_sectors"] = 1
+            p2["_sector"] = (k, n_sectors)
             if p2["dirstruct"].get("simid"):
                 p2["dirstruct"]["simid"] += "_sector%d" % k
             outs.append(run_simulation(
@@ -779,6 +823,7 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
             "gainerr": float(pa.get("gainerr") or 0.0),
             "nrand": int(pa.get("nrand") or 1)}
 
+    _sector = parms.get("_sector")
     bm_cfg = parms.get("beam") or {}
     achromatic = (bm_cfg.get("chromatic") is False)
     sel_freq = float(bm_cfg.get("select_freq") or 150e6)
@@ -813,16 +858,32 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
     if pol not in ("X", "Y"):
         raise ValueError("beam.pol must be X, Y, or XY")
 
-    def beam_fn(dircos, f):
+    def beam_fn(dircos, f, pc=None):
+        import jax.numpy as jnp
+        pinfo = pointing_info
+        if pc is not None and pointing_info is not None:
+            # per-snapshot beamformer steering: the engines thread the
+            # snapshot's pointing dircos through the scan exactly like
+            # the rotation matrices, so a tracking phased array steers
+            # per accumulation (primary_beams.py:288-316 + the per-
+            # snapshot pointing_info of run_prisim.py:1897-1912) —
+            # round-3 froze snapshot 0's pointing for the whole run
+            pinfo = dict(pointing_info, pointing_center_dircos=pc)
+        pb = None
         if achromatic:
-            import jax.numpy as jnp
             pb1 = primary_beam(dircos, jnp.asarray([sel_freq],
                                                    jnp.float32),
-                               telescope, pointing_info=pointing_info,
+                               telescope, pointing_info=pinfo,
                                pol=pol)
-            return jnp.broadcast_to(pb1, (dircos.shape[0], f.shape[0]))
-        return primary_beam(dircos, f, telescope,
-                            pointing_info=pointing_info, pol=pol)
+            pb = jnp.broadcast_to(pb1, (dircos.shape[0], f.shape[0]))
+        else:
+            pb = primary_beam(dircos, f, telescope,
+                              pointing_info=pinfo, pol=pol)
+        if _sector is not None:
+            pb = pb * _sector_mask(dircos, *_sector)[:, None]
+        return pb
+
+    beam_fn.needs_pointing = pointing_info is not None
 
     bm = parms.get("beam") or {}
     if bm.get("use_external") and bm.get("file"):
@@ -858,7 +919,10 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
         @jax.jit
         def ext_snapshot(mh, ml, ph, pl_, pix, wgt):
             def beam(s, f):
-                return ExternalBeam.device_evaluate(logtable, pix, wgt)
+                pb = ExternalBeam.device_evaluate(logtable, pix, wgt)
+                if _sector is not None:
+                    pb = pb * _sector_mask(s, *_sector)[:, None]
+                return pb
             return simulate_snapshot(inst, sks, mh, ml, ph, pl_, beam,
                                      src_block=src_block_ext,
                                      use_pallas=use_pl_ext,

@@ -619,7 +619,7 @@ def simulate_snapshot_nufft_banded(instrument, sky, Mh, Ml, pch, pcl,
     sh, sl = df_rotate3(Mh, Ml, sky.s_eq_hi, sky.s_eq_lo)
     seh, sel = tf.df_add(sh, sl, -pch[None, :], -pcl[None, :])
     freqs_f32 = jnp.asarray(instrument.freqs, dtype=jnp.float32)
-    amps = _beam_and_flux(sh, sky.flux, freqs_f32, beam_fn)   # (S, C)
+    amps = _beam_and_flux(sh, sky.flux, freqs_f32, beam_fn, pc=pch)
     from .nufft_delay import spectral_project
     P = spectral_project(amps, pinvQ)                         # (S, r)
     return nufft_banded_visibilities(plan, seh, sel, P, Q,
@@ -701,7 +701,8 @@ def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
             fx_c = jax.lax.dynamic_slice_in_dim(flux, s0, src_chunk)
             sh, sl = df_rotate3(Mh, Ml, sh_c, sl_c)
             seh, sel = tf.df_add(sh, sl, -pch[None, :], -pcl[None, :])
-            amps = _beam_and_flux(sh, fx_c, freqs_f32, beam_fn)
+            amps = _beam_and_flux(sh, fx_c, freqs_f32, beam_fn,
+                                  pc=pch)
             P = spectral_project(amps, pinvQ_j)
             u_h, u_l, P_r, ok = _prep(plan, seh, sel, P)
             out = _banded_spread(plan, u_h, u_l, P_r,
@@ -718,7 +719,7 @@ def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
     def stage_prep(Mh, Ml, pch, pcl, s_eq_hi, s_eq_lo, flux):
         sh, sl = df_rotate3(Mh, Ml, s_eq_hi, s_eq_lo)
         seh, sel = tf.df_add(sh, sl, -pch[None, :], -pcl[None, :])
-        amps = _beam_and_flux(sh, flux, freqs_f32, beam_fn)
+        amps = _beam_and_flux(sh, flux, freqs_f32, beam_fn, pc=pch)
         P = spectral_project(amps, pinvQ_j)
         return _prep(plan, seh, sel, P)
 
@@ -772,7 +773,8 @@ def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
             fx_c = jax.lax.dynamic_slice_in_dim(flux, s0, src_chunk)
             sh, sl = df_rotate3(Mh, Ml, sh_c, sl_c)
             seh, sel = tf.df_add(sh, sl, -pch[None, :], -pcl[None, :])
-            amps = _beam_and_flux(sh, fx_c, freqs_f32, beam_fn)
+            amps = _beam_and_flux(sh, fx_c, freqs_f32, beam_fn,
+                                  pc=pch)
             P = spectral_project(amps, pinvQ_j)
             u_h, u_l, P_r, ok = _prep(plan, seh, sel, P)
             out = _banded_spread(plan, u_h, u_l, P_r,

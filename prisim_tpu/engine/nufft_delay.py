@@ -261,7 +261,7 @@ def simulate_snapshot_nufft(instrument, sky, Mh, Ml, pch, pcl, beam_fn,
     sh, sl = df_rotate3(Mh, Ml, sky.s_eq_hi, sky.s_eq_lo)
     seh, sel = tf.df_add(sh, sl, -pch[None, :], -pcl[None, :])
     freqs_f32 = jnp.asarray(instrument.freqs, dtype=jnp.float32)
-    amps = _beam_and_flux(sh, sky.flux, freqs_f32, beam_fn)   # (S, C)
+    amps = _beam_and_flux(sh, sky.flux, freqs_f32, beam_fn, pc=pch)
 
     # two-float tau = (se . b) / c per (source, baseline)
     from .. import constants as CNST
@@ -798,7 +798,7 @@ def simulate_snapshot_nufft_jit(instrument, sky, Mh, Ml, pch, pcl,
     sh, sl = df_rotate3(Mh, Ml, sky.s_eq_hi, sky.s_eq_lo)
     seh, sel = tf.df_add(sh, sl, -pch[None, :], -pcl[None, :])
     freqs_f32 = jnp.asarray(instrument.freqs, dtype=jnp.float32)
-    amps = _beam_and_flux(sh, sky.flux, freqs_f32, beam_fn)   # (S, C)
+    amps = _beam_and_flux(sh, sky.flux, freqs_f32, beam_fn, pc=pch)
     # Blocked-Kahan projection (see spectral_project): plain bf16
     # matmuls destroyed it on hardware (1e-2, round 2); a single
     # HIGHEST matmul still cost ~1.8e-6 of f32 accumulation coherence

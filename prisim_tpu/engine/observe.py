@@ -185,10 +185,19 @@ class Observation:
         return geom.altaz2dircos(self.pointing_altaz, xp=np)
 
 
-def _beam_and_flux(s_enu_hi, flux, freqs_f32, beam_fn):
+def _beam_and_flux(s_enu_hi, flux, freqs_f32, beam_fn, pc=None):
     """amps = beam(s) * flux, zeroed below the horizon (the ROI cut,
-    cf. /root/reference/prisim/interferometry.py:6203-6216)."""
-    pb = beam_fn(s_enu_hi, freqs_f32)
+    cf. /root/reference/prisim/interferometry.py:6203-6216).
+
+    pc: optional (3,) per-snapshot pointing dircos (traced). A beam_fn
+    marked `needs_pointing = True` receives it as a third argument —
+    the per-snapshot beamformer steering the reference re-derives in
+    its ROI precompute (primary_beams.py:288-316 with per-snapshot
+    pointing_info, run_prisim.py:1897-1912)."""
+    if pc is not None and getattr(beam_fn, "needs_pointing", False):
+        pb = beam_fn(s_enu_hi, freqs_f32, pc)
+    else:
+        pb = beam_fn(s_enu_hi, freqs_f32)
     above = (s_enu_hi[:, 2] > 0.0)[:, None]
     return jnp.where(above, pb * flux, 0.0)
 
@@ -209,7 +218,7 @@ def simulate_snapshot(instrument, sky, Mh, Ml, pch, pcl, beam_fn,
     sh, sl = df_rotate3(Mh, Ml, sky.s_eq_hi, sky.s_eq_lo)
     seh, sel = tf.df_add(sh, sl, -pch[None, :], -pcl[None, :])
     freqs_f32 = jnp.asarray(instrument.freqs, dtype=jnp.float32)
-    amps = _beam_and_flux(sh, sky.flux, freqs_f32, beam_fn)
+    amps = _beam_and_flux(sh, sky.flux, freqs_f32, beam_fn, pc=pch)
     kw = {}
     if sky.src_shape_sigma is not None:
         kw = dict(src_shape_sigma=sky.src_shape_sigma, s_sky=sh,

@@ -328,7 +328,8 @@ def simulate_drift_banded_sharded(instrument, sky, observation, beam_fn,
             mh, ml, ph, pl_ = mt
             sh, sl = df_rotate3(mh, ml, seqh, seql)
             seh, sel = tf.df_add(sh, sl, -ph[None, :], -pl_[None, :])
-            amps = _beam_and_flux(sh, flux, freqs_f32, beam_fn)
+            amps = _beam_and_flux(sh, flux, freqs_f32, beam_fn,
+                                  pc=ph)
             Pc = spectral_project(amps, pinvQ_j)
             u_h, u_l, P_r, ok = _prep(lplan, seh, sel, Pc)
             out = _banded_spread(lplan, u_h, u_l, P_r,

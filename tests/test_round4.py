@@ -215,3 +215,152 @@ def test_banded_gate_passes_good_run(capsys):
     out = capsys.readouterr().out
     assert "shared-amps cross-check ok" in out
     assert np.isfinite(np.asarray(vs.skyvis)).all()
+
+
+def _one_source_parms(tmp_path, ra, dec, extra=None):
+    cat = tmp_path / "one.txt"
+    cat.write_text("%f %f 10.0 0.0\n" % (ra, dec))
+    base = {
+        "telescope": {"latitude": -30.0},
+        "bandpass": {"nchan": 8, "freq": 150e6,
+                     "freq_resolution": 195312.5},
+        "array": {"layout": "HERA-7"},
+        "obsparm": {"n_acc": 2, "t_acc": 9600.0},
+        "pointing": {"lst_init": 0.0},
+        "skyparm": {"model": "custom", "flux_min": None},
+        "catalog": {"custom_file": str(cat)},
+    }
+    if extra:
+        for k, v in extra.items():
+            base.setdefault(k, {}).update(v)
+    return load_parms(base)
+
+
+def test_sector_mask_formula():
+    """Wedge-pair membership: az and az+180 share a sector; n sectors
+    tile the full circle (run_prisim.py:1875 roi_ind condition)."""
+    import jax.numpy as jnp
+    from prisim_tpu.driver import _sector_mask
+    az = np.linspace(0.0, 359.0, 720)
+    alt = np.full_like(az, 40.0)
+    from prisim_tpu import geometry as geom
+    s = geom.altaz2dircos(np.stack([alt, az], -1), xp=np)
+    for n in (2, 4):
+        total = np.zeros(az.size)
+        for k in range(n):
+            m = np.asarray(_sector_mask(jnp.asarray(s, jnp.float32),
+                                        k, n))
+            # antipodal pairing
+            m2 = np.asarray(_sector_mask(jnp.asarray(
+                geom.altaz2dircos(np.stack(
+                    [alt, (az + 180.0) % 360.0], -1), xp=np),
+                jnp.float32), k, n))
+            np.testing.assert_array_equal(m, m2)
+            total += m
+        np.testing.assert_allclose(total, 1.0)
+
+
+def test_sectors_per_snapshot_membership(tmp_path):
+    """A drifting source near a wedge boundary lands in DIFFERENT
+    sectors at different accumulations (the reference's per-snapshot
+    ROI sectoring, run_prisim.py:1859-1875; round-3 partitioned once
+    at the mean LST)."""
+    from prisim_tpu import geometry as geom
+    from prisim_tpu.driver import run_simulation
+
+    # source at dec=-50 (lat=-30): azimuth swings through the sector-0/
+    # sector-1 boundary (az=225 for n=2) between HA=20 and HA=60 deg
+    lst_centers = np.array([20.05, 60.16])          # from t_acc=9600
+    ra = 0.0
+    dec = -50.0
+    ha = lst_centers - ra
+    altaz = geom.hadec2altaz(
+        np.stack([ha, np.full(2, dec)], -1), -30.0, xp=np)
+    assert np.all(altaz[:, 0] > 0.0)                # above horizon
+    fold = np.mod(altaz[:, 1] + 45.0, 180.0)
+    sector_of = np.floor(fold / 90.0).astype(int)
+    assert sector_of[0] != sector_of[1], \
+        "test geometry must cross the wedge boundary"
+
+    p = _one_source_parms(
+        tmp_path, ra, dec,
+        extra={"processing": {"n_sky_sectors": 2}, "pp": {"key": "none"}})
+    outs, _ = run_simulation(p, verbose=False, save=False)
+    p_full = _one_source_parms(tmp_path, ra, dec,
+                               extra={"pp": {"key": "none"}})
+    vs_full, _ = run_simulation(p_full, verbose=False, save=False)
+    full = np.abs(np.asarray(vs_full.skyvis))       # (B, C, T)
+    assert full[..., 0].max() > 0 and full[..., 1].max() > 0
+    for k in range(2):
+        vk = outs[k]
+        mag = np.zeros((1, 1, 2)) if vk is None \
+            else np.abs(np.asarray(vk.skyvis))
+        for t in range(2):
+            if sector_of[t] == k:
+                assert mag[..., t].max() > 1e-6, (k, t)
+            else:
+                np.testing.assert_allclose(mag[..., t], 0.0, atol=1e-7)
+
+
+def test_sectors_partition_full_sky(tmp_path):
+    """Sector outputs sum to the full-sky run at every accumulation."""
+    from prisim_tpu.driver import run_simulation
+    base = {
+        "telescope": {"latitude": -30.0},
+        "bandpass": {"nchan": 8, "freq": 150e6,
+                     "freq_resolution": 195312.5},
+        "array": {"layout": "HERA-7"},
+        "obsparm": {"n_acc": 2, "t_acc": 3600.0},
+        "skyparm": {"model": "random", "nsrc": 96, "seed": 7},
+        "pp": {"key": "none"},
+    }
+    p_full = load_parms(dict(base))
+    vs_full, _ = run_simulation(p_full, verbose=False, save=False)
+    p_sec = load_parms(dict(base, processing={"n_sky_sectors": 3}))
+    outs, _ = run_simulation(p_sec, verbose=False, save=False)
+    tot = None
+    for vk in outs:
+        if vk is None:
+            continue
+        v = np.asarray(vk.skyvis)
+        tot = v if tot is None else tot + v
+    full = np.asarray(vs_full.skyvis)
+    np.testing.assert_allclose(tot, full, atol=2e-4 * np.abs(full).max())
+
+
+def test_phased_array_per_snapshot_pointing(tmp_path):
+    """Track-mode beamformed array steers per accumulation: snapshot t
+    of a 2-acc track run equals a 1-acc run at the same LST/pointing
+    (primary_beams.py:288-316; round-3 froze snapshot-0 pointing)."""
+    from prisim_tpu.driver import run_simulation
+
+    def parms(lst_init, n_acc):
+        return load_parms({
+            "telescope": {"id": "mwa", "latitude": -26.7},
+            "antenna": {"shape": "dipole", "size": 0.74,
+                        "phased_array": True},
+            "phasedarray": {"delayerr": 0.0, "gainerr": 0.0},
+            "bandpass": {"nchan": 8, "freq": 150e6,
+                         "freq_resolution": 195312.5},
+            "array": {"layout": "HERA-7"},
+            "obsparm": {"n_acc": n_acc, "t_acc": 3600.0,
+                        "obs_mode": "track"},
+            "pointing": {"lst_init": lst_init,
+                         "track_init": {"ra": 30.0, "dec": -26.7}},
+            "skyparm": {"model": "random", "nsrc": 48, "seed": 3},
+            "pp": {"key": "none"},
+        })
+
+    sid_per_sec = 360.0 / 86164.0905
+    p2 = parms(0.0, 2)
+    vs2, _ = run_simulation(p2, verbose=False, save=False)
+    # 1-acc run centered on the 2-acc run's SECOND accumulation:
+    # lst_init + 1.5*t_acc*sidereal = lst_init' + 0.5*t_acc*sidereal
+    p1 = parms(3600.0 * sid_per_sec / 15.0, 1)   # lst_init in hours
+    vs1, _ = run_simulation(p1, verbose=False, save=False)
+    a = np.asarray(vs2.skyvis)[..., 1]
+    b = np.asarray(vs1.skyvis)[..., 0]
+    scale = np.abs(a).max()
+    np.testing.assert_allclose(a, b, atol=2e-5 * scale)
+    # and it must DIFFER from the first accumulation's steering
+    assert np.abs(a - np.asarray(vs2.skyvis)[..., 0]).max() > 1e-3 * scale
