@@ -851,9 +851,17 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
             base = os.path.join(dir_x, "simdata", "simvis_dualpol")
             save_uvfits(vs_x, base + ".uvfits", vs_second=vs_y)
             save_uvh5(vs_x, base + ".uvh5", vs_second=vs_y)
+            # standard 4-pol products (XX, YY + explicit zero flagged
+            # cross-pols) so downstream tools see the full linear
+            # polarization axis (interferometry.py:9528-9618)
+            base4 = os.path.join(dir_x, "simdata", "simvis_4pol")
+            save_uvfits(vs_x, base4 + ".uvfits", vs_second=vs_y,
+                        four_pol=True)
+            save_uvh5(vs_x, base4 + ".uvh5", vs_second=vs_y,
+                      four_pol=True)
             if verbose:
                 print("[prisim_tpu] dual-pol exports -> %s.{uvfits,"
-                      "uvh5}" % base)
+                      "uvh5} + %s.{uvfits,uvh5}" % (base, base4))
         return [vs_x, vs_y], dir_x
     if pol not in ("X", "Y"):
         raise ValueError("beam.pol must be X, Y, or XY")

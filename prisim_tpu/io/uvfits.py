@@ -125,13 +125,18 @@ def uvdata_arrays(vs, datatype="noiseless"):
 
 
 def save_uvfits(vs, path, datatype="noiseless", vs_second=None,
-                pols=None):
+                pols=None, four_pol=False):
     """Write a VisibilitySet as a UVFITS file.
 
     vs_second: optional second-polarization VisibilitySet (same
     layout/axes) -> NAXIS3=2 STOKES axis. pols: AIPS codes along the
     STOKES axis, contiguous descending per the UVFITS convention
-    (default (-5,) = XX, or (-5, -6) = XX, YY with vs_second)."""
+    (default (-5,) = XX, or (-5, -6) = XX, YY with vs_second).
+    four_pol: with vs_second, write the standard 4-pol linear STOKES
+    axis (-5..-8 = XX, YY, XY, YX) with explicit zero, weight-flagged
+    cross-pols — downstream tools then see the full polarization axis
+    (reference exports via pyuvdata carry the same convention,
+    interferometry.py:9528-9618; the reference itself is single-pol)."""
     a = uvdata_arrays(vs, datatype)
     cubes = [a["data"]]
     if vs_second is not None:
@@ -139,6 +144,13 @@ def save_uvfits(vs, path, datatype="noiseless", vs_second=None,
         if a2["data"].shape != a["data"].shape:
             raise ValueError("second-pol VisibilitySet shape mismatch")
         cubes.append(a2["data"])
+    if four_pol:
+        if vs_second is None:
+            raise ValueError("four_pol requires vs_second (the Y feed)")
+        zero = np.zeros_like(cubes[0])
+        cubes += [zero, zero]
+        if pols is None:
+            pols = (-5, -6, -7, -8)
     if pols is None:
         pols = (-5, -6)[:len(cubes)]
     if len(pols) != len(cubes):
@@ -180,6 +192,9 @@ def save_uvfits(vs, path, datatype="noiseless", vs_second=None,
             np.float32(1.0), np.float32(-1.0))
     else:
         data[..., 2] = 1.0
+    if four_pol:
+        # unsimulated cross-pols: zero data, negative weight (flagged)
+        data[..., 2:, 2] = -np.abs(data[..., 2:, 2])
 
     object_name = vs.telescope.get("id", "custom")
     cards = [

@@ -24,13 +24,16 @@ __all__ = ["save_uvh5", "read_uvh5_arrays"]
 
 
 def save_uvh5(vs, path, datatype="noiseless", vs_second=None,
-              pols=None):
+              pols=None, four_pol=False):
     """Write a VisibilitySet as a UVH5 file.
 
     vs_second: optional second-polarization VisibilitySet with the same
     layout/axes (Npols=2 output, e.g. XX + YY from a beam.pol='XY'
     run). pols: AIPS polarization codes (default (-5,) = XX, or
-    (-5, -6) with vs_second)."""
+    (-5, -6) with vs_second). four_pol: with vs_second, write the
+    standard 4-pol linear axis (-5..-8 = XX, YY, XY, YX) with explicit
+    zero cross-pols flagged and nsample=0 (interferometry.py:9528-9618
+    export conventions; the reference itself is single-pol)."""
     if h5py is None:
         raise ImportError("h5py required")
     a = uvdata_arrays(vs, datatype)
@@ -40,6 +43,13 @@ def save_uvh5(vs, path, datatype="noiseless", vs_second=None,
         if a2["data"].shape != a["data"].shape:
             raise ValueError("second-pol VisibilitySet shape mismatch")
         cubes.append(a2["data"])
+    if four_pol:
+        if vs_second is None:
+            raise ValueError("four_pol requires vs_second (the Y feed)")
+        zero = np.zeros_like(cubes[0])
+        cubes += [zero, zero]
+        if pols is None:
+            pols = (-5, -6, -7, -8)
     if pols is None:
         pols = (-5, -6)[:len(cubes)]
     if len(pols) != len(cubes):
@@ -119,10 +129,12 @@ def save_uvh5(vs, path, datatype="noiseless", vs_second=None,
                 (nblts, nchan, npol)).copy()
         else:
             flags = np.zeros((nblts, nchan, npol), dtype=bool)
+        nsamples = np.ones((nblts, nchan, npol), dtype=np.float32)
+        if four_pol:
+            flags[..., 2:] = True          # unsimulated cross-pols
+            nsamples[..., 2:] = 0.0
         d.create_dataset("flags", data=flags)
-        d.create_dataset("nsamples",
-                         data=np.ones((nblts, nchan, npol),
-                                      dtype=np.float32))
+        d.create_dataset("nsamples", data=nsamples)
 
 
 def read_uvh5_arrays(path):

@@ -15,7 +15,16 @@ def test_resource_monitor(tmp_path):
     path = str(tmp_path / "mon.jsonl")
     with ResourceMonitor(path, interval=0.05):
         x = np.random.randn(200, 200) @ np.random.randn(200, 200)
-        time.sleep(0.3)
+        # a loaded machine can starve the sampler thread: wait until it
+        # has produced the two samples the assertions need (bounded)
+        deadline = time.time() + 10.0
+        while time.time() < deadline:
+            try:
+                if sum(1 for _ in open(path)) >= 2:
+                    break
+            except OSError:
+                pass
+            time.sleep(0.05)
     rows = [json.loads(l) for l in open(path)]
     assert len(rows) >= 2
     assert all("rss_bytes" in r and r["rss_bytes"] > 0 for r in rows)

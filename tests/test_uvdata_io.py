@@ -231,3 +231,68 @@ def test_dual_pol_run_and_exports(tmp_path):
     gh = next(h for h in read_fits(base + ".uvfits") if "pars" in h)
     assert gh["header"]["NAXIS3"] == 2
     assert gh["header"]["CRVAL3"] == -5.0
+    # combined standard 4-pol products are written alongside
+    base4 = os.path.join(outdir, "simdata", "simvis_4pol")
+    with h5py.File(base4 + ".uvh5") as f:
+        assert int(f["Header/Npols"][()]) == 4
+        assert f["Data/flags"][()][:, :, 2:].all()
+    gh4 = next(h for h in read_fits(base4 + ".uvfits") if "pars" in h)
+    assert gh4["header"]["NAXIS3"] == 4
+
+
+def test_four_pol_exports(tmp_path):
+    """four_pol=True writes the standard 4-pol linear axis (XX, YY +
+    explicit zero cross-pols): UVFITS STOKES -5..-8 with cross-pol
+    weights flagged, UVH5 polarization_array [-5,-6,-7,-8] with
+    cross-pol flags set and nsample 0 (interferometry.py:9528-9618
+    conventions)."""
+    import dataclasses
+    import h5py
+    vs_x = _vs()
+    vs_y = dataclasses.replace(vs_x, skyvis=vs_x.skyvis * 0.5)
+
+    p4 = str(tmp_path / "four.uvfits")
+    save_uvfits(vs_x, p4, vs_second=vs_y, four_pol=True)
+    gh = next(h for h in read_fits(p4) if "pars" in h)
+    hdr = gh["header"]
+    assert hdr["NAXIS3"] == 4
+    assert hdr["CRVAL3"] == -5.0 and hdr["CDELT3"] == -1.0
+    nblts = vs_x.skyvis.shape[0] * vs_x.skyvis.shape[2]
+    nchan = vs_x.freqs.size
+    data = gh["data"].reshape(nblts, nchan, 4, 3)
+    # XX / YY carry the data; XY / YX are explicit zeros, flagged
+    expect_x = np.conj(np.transpose(vs_x.skyvis, (2, 0, 1))
+                       ).reshape(nblts, nchan)
+    np.testing.assert_allclose(data[:, :, 0, 0] + 1j * data[:, :, 0, 1],
+                               expect_x, rtol=1e-6)
+    np.testing.assert_allclose(
+        data[:, :, 1, 0] + 1j * data[:, :, 1, 1], expect_x * 0.5,
+        rtol=1e-6)
+    assert np.all(data[:, :, 2:, :2] == 0.0)
+    assert np.all(data[:, :, :2, 2] > 0)      # sim pols unflagged
+    assert np.all(data[:, :, 2:, 2] <= 0)     # cross-pols flagged
+
+    ph = str(tmp_path / "four.uvh5")
+    save_uvh5(vs_x, ph, vs_second=vs_y, four_pol=True)
+    with h5py.File(ph) as f:
+        assert int(f["Header/Npols"][()]) == 4
+        np.testing.assert_array_equal(
+            f["Header/polarization_array"][()], [-5, -6, -7, -8])
+        vd = f["Data/visdata"][()]
+        assert vd.shape[-1] == 4
+        np.testing.assert_allclose(vd[:, :, 0], expect_x, rtol=1e-6)
+        np.testing.assert_allclose(vd[:, :, 1], expect_x * 0.5,
+                                   rtol=1e-6)
+        assert np.all(vd[:, :, 2:] == 0)
+        flags = f["Data/flags"][()]
+        ns = f["Data/nsamples"][()]
+        assert not flags[:, :, :2].any() and flags[:, :, 2:].all()
+        assert np.all(ns[:, :, :2] == 1.0) and np.all(ns[:, :, 2:] == 0)
+
+
+def test_four_pol_requires_second(tmp_path):
+    vs_x = _vs()
+    with pytest.raises(ValueError):
+        save_uvfits(vs_x, str(tmp_path / "x.uvfits"), four_pol=True)
+    with pytest.raises(ValueError):
+        save_uvh5(vs_x, str(tmp_path / "x.uvh5"), four_pol=True)
