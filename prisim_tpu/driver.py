@@ -17,6 +17,7 @@ Pipeline (mirroring run_prisim.py top-to-bottom):
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import os
 import time
@@ -1432,15 +1433,26 @@ def _finalize_simulation(parms, vs_inputs, outdir, verbose, save, t0):
         float(tp.get("A_eff") or 154.0), df, float(obs.t_acc[0]),
         tsys, nbl=bls.nbl, nchan=freqs.size, ntimes=obs.n_acc,
         eff_Q=float(tp.get("eff_Q") or 1.0), xp=np))
+    import jax
     import jax.random as jr
-    key = jr.PRNGKey(int(parms["skyparm"].get("seed") or 0))
     chunk = (parms.get("pp") or {}).get("_chunk")
-    if chunk is not None:
-        # chunked runs must draw INDEPENDENT noise per chunk while a
-        # single-shot run with the same seed stays reproducible
-        key = jr.fold_in(key, int(chunk["index"]))
     _fphase("Tsys + radiometer rms")
-    noise = get_complex(generate_noise(key, rms))
+    # Draw the thermal noise on the HOST CPU backend: threefry2x32 is
+    # bit-identical across jax backends, so the values match a device
+    # draw while the (B, C, T) cube never pays the device->host tunnel
+    # transfer (42 s of the round-3 north-star tail was this fetch).
+    try:
+        cpu0 = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu0 = None
+    with jax.default_device(cpu0) if cpu0 is not None \
+            else contextlib.nullcontext():
+        key = jr.PRNGKey(int(parms["skyparm"].get("seed") or 0))
+        if chunk is not None:
+            # chunked runs must draw INDEPENDENT noise per chunk while
+            # a single-shot run with the same seed stays reproducible
+            key = jr.fold_in(key, int(chunk["index"]))
+        noise = np.asarray(generate_noise(key, rms))
     _fphase("thermal noise drawn")
     gains = 1.0
     if parms["gains"].get("file"):

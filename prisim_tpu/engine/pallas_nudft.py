@@ -560,6 +560,16 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
                                    memory_space=pltpu.VMEM)] * 6
         out_shape += [jax.ShapeDtypeStruct((Q, L, B_pad),
                                            jnp.float32)] * 6
+    # Mosaic's scoped-vmem accounting defaults to a conservative 16M;
+    # the grad/ext expression trees measure 16.2-27.2M at the usable
+    # tilings (round 3) while v5e has 128M of physical VMEM. Raising
+    # the limit for those modes is what lets them compile on hardware
+    # (round 4); the tuned plain kernel stays at the default so its
+    # measured double-buffering headroom is untouched.
+    cparams = None
+    if (grad or ext) and not interpret:
+        cparams = pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -571,6 +581,7 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
                         pltpu.VMEM((Q, L, BT), jnp.float32),
                         pltpu.VMEM((Q, L, BT), jnp.float32)],
         interpret=interpret,
+        compiler_params=cparams,
         cost_estimate=pl.CostEstimate(
             flops=(10 + (30 if grad else 0) + (4 if ext else 0))
             * S_pad * B_pad * C_pad,
