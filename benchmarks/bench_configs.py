@@ -1,11 +1,15 @@
-"""BASELINE.json configs #2 and #5 measurements (VERDICT r2 item 6).
+"""BASELINE.json config measurements (VERDICT r2 item 6, r3 item 3).
 
 #2: MWA-128-scale point-source catalog sim — 128-antenna array,
     256 chans, chromatic dipole beam, 10 accumulations.
+#3: HERA-37 drift + thermal noise -> delay power spectrum with CLEAN
+    (the full analysis stack on-device).
+#4: HERA-331 chromatic FEKO external beam at north-star scale
+    (nside-256 sky, 1024 chans, 100 accumulations).
 #5: SKA-low-scale closure phases — 512 antennas, redundant triads
     through the bispectrum-phase pipeline.
 
-    python benchmarks/bench_configs.py [2|5] [--small]
+    python benchmarks/bench_configs.py [2|3|4|5] [--small]
 
 Each prints one JSON line with wall-clock and shape details. --small
 shrinks for CPU smoke runs (the full sizes want the chip).
@@ -161,6 +165,149 @@ def config5(small=False):
                 P_shape=list(np.asarray(ps["P"]).shape))
 
 
+def config3(small=False):
+    """HERA-37 drift scan + thermal noise -> delay power spectrum
+    (BASELINE config #3): driver end-to-end with noise to a
+    reference-schema HDF5, then the `tools delay-ps` pipeline with
+    delay-CLEAN on — the one config exercising the analysis stack
+    (DelaySpectrum.delayClean / DelayPowerSpectrum.compute_power_spectrum,
+    /root/reference/prisim/delay_spectrum.py:1622,3982) on-device at
+    scale."""
+    import shutil
+    from prisim_tpu.config import load_parms
+    from prisim_tpu.driver import run_simulation
+    from prisim_tpu.tools import delay_ps
+
+    nchan = 32 if small else 256
+    nside = 16 if small else 128
+    n_acc = 2 if small else 10
+    root = "/tmp/bench_cfg3"
+    shutil.rmtree(root, ignore_errors=True)
+    parms = load_parms({
+        "dirstruct": {"rootdir": root, "project": "hera37_dps"},
+        "telescope": {"id": "hera", "latitude": -30.7224,
+                      "A_eff": 154.0, "eff_Q": 0.96, "Trx": 100.0},
+        "array": {"layout": "HERA-37", "redundant": True},
+        "antenna": {"shape": "dish", "size": 14.0},
+        "bandpass": {"freq": 150e6, "freq_resolution": 390625.0,
+                     "nchan": nchan},
+        "obsparm": {"obs_mode": "drift", "n_acc": n_acc,
+                    "t_acc": 60.0},
+        "pointing": {"lst_init": 0.0},
+        "skyparm": {"model": "usm", "nside": nside},
+        "save_formats": {"fmt": "HDF5", "npz": False},
+    })
+    t0 = time.perf_counter()
+    vs, outdir = run_simulation(parms, verbose=False, save=True)
+    t_sim = time.perf_counter() - t0
+    import os
+    simfile = os.path.join(outdir, "simdata", "simvis.hdf5")
+    t0 = time.perf_counter()
+    dps = delay_ps(simfile, os.path.join(root, "delay_ps.hdf5"),
+                   pad=1.0, nside_beam=32, clean=True,
+                   gain=0.1, maxiter=100 if small else 200,
+                   threshold=5e-3)
+    t_ps = time.perf_counter() - t0
+    assert np.isfinite(np.asarray(dps["skyvis"])).all()
+    assert "cc_skyvis_ps" in dps
+    return dict(config="hera37-drift-dps", nbl=vs.skyvis.shape[0],
+                nchan=nchan, nside=nside, n_acc=n_acc,
+                sim_seconds=t_sim, delay_ps_seconds=t_ps,
+                noise_rms=float(np.std(np.asarray(vs.vis_noise).real)))
+
+
+def _write_synthetic_feko(path, freqs_hz, ntheta=91, nphi=73,
+                          d_eff=14.0):
+    """Synthesize a FEKO far-field text export: per-frequency
+    '#Frequency' blocks over a (theta, phi) grid with gain dB in the
+    last column. The pattern is a chromatic tapered-aperture power
+    beam with a mild phi-dependent ellipticity — structure enough to
+    exercise the spline + chromatic interpolation paths
+    (scripts/FEKO_beam_to_healpix.py input format)."""
+    from prisim_tpu import constants as CNST
+    theta = np.linspace(0.0, 90.0, ntheta)
+    phi = np.linspace(0.0, 360.0, nphi)
+    with open(path, "w") as f:
+        for nu in freqs_hz:
+            f.write('#Request Name: FarField\n')
+            f.write('#Frequency: %.1f\n' % nu)
+            f.write('#No. of Theta Samples: %d\n' % ntheta)
+            f.write('#No. of Phi Samples: %d\n' % nphi)
+            f.write('#  "Theta" "Phi" "Gain(Total)"\n')
+            tt = np.radians(theta)[:, None]
+            pp = np.radians(phi)[None, :]
+            # elliptical gaussian-in-sin(theta) beam, width ~ lambda/D
+            sig0 = 0.42 * CNST.c / (nu * d_eff)
+            sx = sig0 * 1.08
+            sy = sig0 * 0.94
+            st = np.sin(tt)
+            arg = ((st * np.cos(pp)) / sx) ** 2 \
+                + ((st * np.sin(pp)) / sy) ** 2
+            gdb = -10.0 * arg / np.log(10.0)
+            # first sidelobe-ish ripple so the spline has structure
+            gdb = gdb + 3.0 * np.sin(4.0 * st / sig0) ** 2 \
+                * np.exp(-0.5 * arg) * 0.05
+            for j in range(nphi):
+                for i in range(ntheta):
+                    f.write("%.4f %.4f %.6f\n"
+                            % (theta[i], phi[j], gdb[i, j]))
+    return path
+
+
+def config4(small=False):
+    """HERA-331 chromatic FEKO external-beam sim at north-star scale
+    (BASELINE config #4): synthetic FEKO text export -> `tools
+    feko2hpx` (spline, chromatic multi-frequency) -> external-beam
+    driver path, nside-256 sky x 1024 chans x 100 accumulations
+    (reference flow: scripts/FEKO_beam_to_healpix.py ->
+    run_prisim.py:1897-1912 external pbinfo)."""
+    import os
+    import shutil
+    from prisim_tpu.config import load_parms
+    from prisim_tpu.driver import run_simulation
+    from prisim_tpu.tools import feko_to_healpix
+
+    nchan = 64 if small else 1024
+    nside = 16 if small else 256
+    n_acc = 2 if small else 100
+    beam_nside = 16 if small else 64
+    root = "/tmp/bench_cfg4"
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    t0 = time.perf_counter()
+    feko_txt = _write_synthetic_feko(
+        os.path.join(root, "feko_beam.txt"),
+        freqs_hz=np.linspace(100e6, 200e6, 3 if small else 8))
+    beam_h5 = os.path.join(root, "feko_beam.hdf5")
+    feko_to_healpix(feko_txt, beam_h5, nside=beam_nside,
+                    interp="spline")
+    t_beam = time.perf_counter() - t0
+    parms = load_parms({
+        "dirstruct": {"rootdir": root, "project": "hera331_feko"},
+        "telescope": {"id": "hera", "latitude": -30.7224,
+                      "A_eff": 154.0, "eff_Q": 0.96, "Trx": 100.0},
+        "array": {"layout": "HERA-331", "redundant": True},
+        "antenna": {"shape": "dish", "size": 14.0},
+        "beam": {"use_external": True, "file": beam_h5,
+                 "chromatic": True},
+        "bandpass": {"freq": 150e6, "freq_resolution": 97656.25,
+                     "nchan": nchan},
+        "obsparm": {"obs_mode": "drift", "n_acc": n_acc,
+                    "t_acc": 60.0},
+        "pointing": {"lst_init": 0.0},
+        "skyparm": {"model": "usm", "nside": nside},
+        "save_formats": {"fmt": "HDF5", "npz": False},
+    })
+    t0 = time.perf_counter()
+    vs, outdir = run_simulation(parms, verbose=True, save=True)
+    t_sim = time.perf_counter() - t0
+    assert np.isfinite(vs.skyvis).all()
+    return dict(config="hera331-feko-northstar",
+                nbl=vs.skyvis.shape[0], nchan=nchan, nside_sky=nside,
+                nside_beam=beam_nside, n_acc=n_acc,
+                beam_convert_seconds=t_beam, sim_seconds=t_sim)
+
+
 def _grid_positions(shape, spacing=7.0):
     ny, nx = shape
     xs, ys = np.meshgrid(np.arange(nx), np.arange(ny))
@@ -173,11 +320,12 @@ def _grid_positions(shape, spacing=7.0):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("which", choices=["2", "5"])
+    ap.add_argument("which", choices=["2", "3", "4", "5"])
     ap.add_argument("--small", action="store_true")
     args = ap.parse_args()
-    rec = config2(args.small) if args.which == "2" else \
-        config5(args.small)
+    fn = {"2": config2, "3": config3, "4": config4,
+          "5": config5}[args.which]
+    rec = fn(args.small)
     print(json.dumps(rec))
 
 
