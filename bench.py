@@ -167,27 +167,16 @@ def _tpu_macs_per_sec(nbl=666, nchan=1024, nsrc=49152, repeats=3):
                 run_b = make_banded_snapshot_fns(
                     inst, sky, lambda s, f: airy_beam(s, f, 14.0),
                     plan, pinvQ, Q)
-                if run_b.n_chunks == 1:
-                    prep, spread, post = run_b.stages
-                    post_ri = jax.jit(lambda o: (lambda v: (
-                        jnp.real(v), jnp.imag(v)))(post(o)))
+                # time the public run() — the production fused one-jit
+                # path (round 4; jitted re/im split: eager complex ops
+                # wedge the tunnel)
+                split_ri = jax.jit(lambda v: (jnp.real(v),
+                                              jnp.imag(v)))
 
-                    def banded(mh, ml, ph, pl):
-                        u_h, u_l, P_r, ok = prep(mh, ml, ph, pl,
-                                                 *run_b.sky_args)
-                        re, im = post_ri(spread(u_h, u_l, P_r))
-                        return re, im, ok
-                else:
-                    # source-chunked sweep: stages is (sweep, post) —
-                    # time the public run() instead (jitted re/im
-                    # split: eager complex ops wedge the tunnel)
-                    split_ri = jax.jit(lambda v: (jnp.real(v),
-                                                  jnp.imag(v)))
-
-                    def banded(mh, ml, ph, pl):
-                        v, ok = run_b(mh, ml, ph, pl)
-                        re, im = split_ri(v)
-                        return re, im, ok
+                def banded(mh, ml, ph, pl):
+                    v, ok = run_b(mh, ml, ph, pl)
+                    re, im = split_ri(v)
+                    return re, im, ok
                 br, bi, ok = map(np.asarray, jax.block_until_ready(
                     banded(*args)))
                 vb = br + 1j * bi

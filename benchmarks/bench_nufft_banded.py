@@ -163,8 +163,26 @@ def main():
     _sync1(out)
     best = (time.perf_counter() - t0) / sreps
     times["banded"] = best
-    print(f"banded: {best:.4f} s/snapshot ({macs/best/1e12:.1f} "
-          f"TMAC-equiv/s)", flush=True)
+    print(f"banded (3-stage): {best:.4f} s/snapshot "
+          f"({macs/best/1e12:.1f} TMAC-equiv/s)", flush=True)
+
+    # fused one-jit production path (round 4): prep+spread+post in a
+    # single dispatch
+    split_ri = jax.jit(lambda v: (jnp.real(v), jnp.imag(v)))
+
+    def fused(mh, ml, ph, pl_):
+        v, ok = run_banded(mh, ml, ph, pl_)
+        return split_ri(v) + (ok,)
+
+    _sync1(fused(*margs))
+    t0 = time.perf_counter()
+    for _ in range(sreps):
+        out = fused(*margs)
+    _sync1(out)
+    best = (time.perf_counter() - t0) / sreps
+    times["banded_fused"] = best
+    print(f"banded (fused): {best:.4f} s/snapshot "
+          f"({macs/best/1e12:.1f} TMAC-equiv/s)", flush=True)
 
     # accuracy vs the exact direct XLA engine
     @jax.jit

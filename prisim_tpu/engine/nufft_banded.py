@@ -732,21 +732,45 @@ def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
     def stage_post(out):
         return _post(plan, out, Q_j, matmul_fft=not interpret)
 
+    # ONE fused jit program per snapshot: prep -> spread -> post in a
+    # single dispatch. The three-stage split remains (run.stages) for
+    # the tuning bench and first-call stall isolation, but the
+    # production path pays one tunnel dispatch instead of three and
+    # lets XLA schedule the post's reshape/FFT immediately after the
+    # Pallas sweep (measured round 4: the per-snapshot dispatch+glue
+    # overhead was ~40% of the banded snapshot wall-clock,
+    # bench_nufft_banded stage rows vs fused row).
     if n_chunks == 1:
+        def _prep_impl(Mh, Ml, pch, pcl, s_eq_hi, s_eq_lo, flux):
+            sh, sl = df_rotate3(Mh, Ml, s_eq_hi, s_eq_lo)
+            seh, sel = tf.df_add(sh, sl, -pch[None, :], -pcl[None, :])
+            amps = _beam_and_flux(sh, flux, freqs_f32, beam_fn, pc=pch)
+            P = spectral_project(amps, pinvQ_j)
+            return _prep(plan, seh, sel, P)
+
+        @jax.jit
+        def _fused(Mh, Ml, pch, pcl, seqh, seql, flux):
+            u_h, u_l, P_r, ok = _prep_impl(Mh, Ml, pch, pcl, seqh,
+                                           seql, flux)
+            out = _banded_spread(plan, u_h, u_l, P_r,
+                                 interpret=interpret)
+            return _post(plan, out, Q_j, matmul_fft=not interpret), ok
+
         def run(Mh, Ml, pch, pcl):
-            u_h, u_l, P_r, ok = stage_prep(Mh, Ml, pch, pcl,
-                                           seqh_a, seql_a, flux_a)
-            out = stage_spread(u_h, u_l, P_r)
-            return stage_post(out), ok
+            return _fused(Mh, Ml, pch, pcl, seqh_a, seql_a, flux_a)
 
         run.stages = (stage_prep, stage_spread, stage_post)
     else:
+        @jax.jit
+        def _fused_chunked(Mh, Ml, pch, pcl, seqh, seql, flux):
+            out, ok = _chunk_sweep(Mh, Ml, pch, pcl, seqh, seql, flux)
+            return _post(plan, out, Q_j, matmul_fft=not interpret), ok
+
         sweep_jit = jax.jit(_chunk_sweep)
 
         def run(Mh, Ml, pch, pcl):
-            out, ok = sweep_jit(Mh, Ml, pch, pcl, seqh_a, seql_a,
-                                flux_a)
-            return stage_post(out), ok
+            return _fused_chunked(Mh, Ml, pch, pcl, seqh_a, seql_a,
+                                  flux_a)
 
         run.stages = (sweep_jit, stage_post)
     def _gate_impl(Mh, Ml, pch, pcl, seqh, seql, flux):
