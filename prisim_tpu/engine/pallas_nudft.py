@@ -52,7 +52,7 @@ def pallas_available():
 
 
 def _kernel(*refs, Q, L, WB, ST, BT, k_mode, layout, grad, ext, recur,
-            aq, aw):
+            aq, aw, ext_mode="exact"):
     (seh_ref, sel_ref, blh_ref, bll_ref, amps_ref, scal_ref) = refs[:6]
     idx = 6
     ssk_ref = None
@@ -267,17 +267,24 @@ def _kernel(*refs, Q, L, WB, ST, BT, k_mode, layout, grad, ext, recur,
                 if ext:
                     # channel index c = chan0 + q*L + r0 + j; weight
                     # w = exp(-alpha (nu_c/c)^2) with nu_c/c = g0 + c*d
-                    # in plain f32 (amplitude-accuracy arithmetic)
-                    cidx = jax.lax.broadcasted_iota(
-                        jnp.int32, (WB, 1, BT), 0).astype(jnp.float32)
-                    cf = (cidx + jnp.float32(r0)
-                          + q.astype(jnp.float32) * jnp.float32(L)
-                          + ch0[0:1, :].reshape(1, 1, BT))
-                    invwl = (g0h[0:1, :].reshape(1, 1, BT)
-                             + gdh[0:1, :].reshape(1, 1, BT) * cf)
-                    w = jnp.exp(-alpha[None, :, :] * (invwl * invwl))
-                    Pr = Pr * w
-                    Pi = Pi * w
+                    # in plain f32 (amplitude-accuracy arithmetic).
+                    # ext_mode is a diagnostic knob for on-chip cost
+                    # attribution (benchmarks/probe_ext_kernel.py):
+                    # 'noexp' keeps every op but the transcendental,
+                    # 'none' skips the weight entirely.
+                    if ext_mode != "none":
+                        cidx = jax.lax.broadcasted_iota(
+                            jnp.int32, (WB, 1, BT), 0).astype(jnp.float32)
+                        cf = (cidx + jnp.float32(r0)
+                              + q.astype(jnp.float32) * jnp.float32(L)
+                              + ch0[0:1, :].reshape(1, 1, BT))
+                        invwl = (g0h[0:1, :].reshape(1, 1, BT)
+                                 + gdh[0:1, :].reshape(1, 1, BT) * cf)
+                        z = alpha[None, :, :] * (invwl * invwl)
+                        w = jnp.exp(-z) if ext_mode == "exact" \
+                            else 1.0 - z * jnp.float32(1e-9)
+                        Pr = Pr * w
+                        Pi = Pi * w
                 vr = jnp.sum(Pr, axis=1)                 # (WB, BT)
                 vi = jnp.sum(Pi, axis=1)
                 if grad:
@@ -346,12 +353,13 @@ def _kernel(*refs, Q, L, WB, ST, BT, k_mode, layout, grad, ext, recur,
                                              "amps_layout",
                                              "interpret", "k_mode",
                                              "gradient", "recur",
-                                             "anchor_q", "anchor_w"))
+                                             "anchor_q", "anchor_w",
+                                             "ext_mode"))
 def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
                  chan0=0, src_tile=None, bl_tile=None, w_block=None,
                  amps_layout=None, interpret=False, k_mode=None,
                  s_sky=None, src_shape_sigma=None, gradient=False,
-                 recur=None, anchor_q=4, anchor_w=4):
+                 recur=None, anchor_q=4, anchor_w=4, ext_mode="exact"):
     """Pallas NUDFT: complex64 (B, C) (and (3, B, C) gradient moments
     when gradient=True; extended sources when src_shape_sigma given —
     both need s_sky (S, 3) f32 sky dircos, matching nudft_visibilities).
@@ -516,7 +524,7 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
     kernel = functools.partial(_kernel, Q=Q, L=L, WB=WB, ST=ST, BT=BT,
                                k_mode=k_mode, layout=amps_layout,
                                grad=grad, ext=ext, recur=recur, aq=aq,
-                               aw=aw)
+                               aw=aw, ext_mode=str(ext_mode))
     # (Q, L, S_total): the per-q read indexes the LEADING dim — traced
     # dynamic indexing on non-leading VMEM dims trapped the device at
     # runtime (verified on hardware: kernel ran, then all subsequent
