@@ -585,11 +585,15 @@ def _post(plan, out, Qc, matmul_fft=False):
     half = C // 2
     Gk = jnp.concatenate([Gf[:, n - half:, :], Gf[:, :C - half, :]],
                          axis=1)                              # (B, C, r)
-    Gk = Gk * jnp.asarray(plan.ramp)[:, :, None]
-    dec = jnp.asarray(plan.deconv)[None, :, None]
-    return jnp.einsum("bcr,cr->bc", Gk * dec,
-                      jnp.asarray(Qc, jnp.float32),
-                      precision=_jax.lax.Precision.HIGHEST)
+    # deconvolution folded into the basis (one (C, r) host-size
+    # multiply) and the per-baseline ramp applied AFTER the rank
+    # combine on (B, C): the previous order paid two full (B, C, r)
+    # elementwise passes (round-4 prep/post shave)
+    Qd = jnp.asarray(Qc, jnp.float32) \
+        * jnp.asarray(plan.deconv)[:, None]                   # (C, r)
+    V = jnp.einsum("bcr,cr->bc", Gk, Qd,
+                   precision=_jax.lax.Precision.HIGHEST)
+    return V * jnp.asarray(plan.ramp)
 
 
 def nufft_banded_visibilities(plan, seh, sel, P, Qc, interpret=False):

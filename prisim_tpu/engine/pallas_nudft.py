@@ -134,7 +134,17 @@ def _kernel(*refs, Q, L, WB, ST, BT, k_mode, layout, grad, ext, recur,
             kh, kl = tf.df_add(kh, kl, qh, ql)
 
     alpha = None
+    g0s = gds = c0s = sj = None
     if ext:
+        # scalar grid constants for the weight path (see q_body ext
+        # branch: plain scalars are fine for amplitude arithmetic)
+        g0s = g0h[0, 0]
+        gds = gdh[0, 0]
+        c0s = ch0[0, 0]
+        # (WB, 1, 1) channel-offset-in-block vector, built ONCE per
+        # grid step (pallas rejects closed-over array constants)
+        sj = jax.lax.broadcasted_iota(jnp.int32, (WB, 1, 1),
+                                      0).astype(jnp.float32)
         # extended-source weight precompute (per grid step, f32):
         # u_proj = sqrt(|b|^2 - (s_sky.b)^2)/lambda_c;
         # alpha = proj^2 / (2 sigma^2) so w_c = exp(-alpha (nu_c/c)^2).
@@ -268,19 +278,29 @@ def _kernel(*refs, Q, L, WB, ST, BT, k_mode, layout, grad, ext, recur,
                     # channel index c = chan0 + q*L + r0 + j; weight
                     # w = exp(-alpha (nu_c/c)^2) with nu_c/c = g0 + c*d
                     # in plain f32 (amplitude-accuracy arithmetic).
-                    # ext_mode is a diagnostic knob for on-chip cost
-                    # attribution (benchmarks/probe_ext_kernel.py):
-                    # 'noexp' keeps every op but the transcendental,
-                    # 'none' skips the weight entirely.
+                    # The channel factor is a SCALAR per (q, j): build
+                    # the (WB, ST, BT) weight as WB scalar-scaled
+                    # (ST, BT) exps. The first formulation derived it
+                    # from a broadcasted_iota + (1, 1, BT) reshapes of
+                    # the scal-tile rows per q_body — those relayouts
+                    # ran 26x slower than the exp itself on hardware
+                    # (10.2 s vs 0.39 s at the bench shape with the
+                    # weight skipped; probe_ext_kernel round 4). Plain
+                    # scalar reads are safe HERE (amplitude path): the
+                    # compiler collapsing constants costs two-float
+                    # PHASE accuracy only.
+                    #
+                    # ext_mode is the probe's diagnostic knob: 'noexp'
+                    # keeps the arithmetic but swaps the transcendental
+                    # for a mul, 'none' skips the weight entirely.
                     if ext_mode != "none":
-                        cidx = jax.lax.broadcasted_iota(
-                            jnp.int32, (WB, 1, BT), 0).astype(jnp.float32)
-                        cf = (cidx + jnp.float32(r0)
-                              + q.astype(jnp.float32) * jnp.float32(L)
-                              + ch0[0:1, :].reshape(1, 1, BT))
-                        invwl = (g0h[0:1, :].reshape(1, 1, BT)
-                                 + gdh[0:1, :].reshape(1, 1, BT) * cf)
-                        z = alpha[None, :, :] * (invwl * invwl)
+                        qf = q.astype(jnp.float32)
+                        cq = (qf * jnp.float32(L) + jnp.float32(r0)
+                              + c0s)                       # scalar
+                        # sj is a STATIC numpy vector (no runtime
+                        # iota); iv = g0 + gd*c per j is (WB, 1, 1)
+                        iv = (g0s + gds * cq) + gds * sj
+                        z = (iv * iv) * alpha[None, :, :]  # (WB, ST, BT)
                         w = jnp.exp(-z) if ext_mode == "exact" \
                             else 1.0 - z * jnp.float32(1e-9)
                         Pr = Pr * w
