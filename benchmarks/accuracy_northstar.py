@@ -51,10 +51,13 @@ def build_problem(nside=256, nchan=1024, lst_deg=30.0, seed=0):
     dec = 90.0 - np.degrees(theta)
     loc = np.stack([ra, dec], axis=-1)
     nsrc = loc.shape[0]
+    flux_parms = dict(flux_scale=rng.uniform(0.1, 10.0, nsrc),
+                      freq_ref=np.full(nsrc, 150e6),
+                      power_law_index=np.full(nsrc, -0.8))
     model = sm.SkyModel(location=loc, spec_kind="power-law", spec_parms={
-        "flux-scale": rng.uniform(0.1, 10.0, nsrc),
-        "freq-ref": np.full(nsrc, 150e6),
-        "power-law-index": np.full(nsrc, -0.8),
+        "flux-scale": flux_parms["flux_scale"],
+        "freq-ref": flux_parms["freq_ref"],
+        "power-law-index": flux_parms["power_law_index"],
         "flux-offset": np.zeros(nsrc)})
     sky = SkySources.from_skymodel(model, freqs)
 
@@ -69,7 +72,8 @@ def build_problem(nside=256, nchan=1024, lst_deg=30.0, seed=0):
     pc = np.array([0.0, 0.0, 1.0])
     s_eff64 = s_enu - pc[None, :]
     return dict(inst=inst, sky=sky, bset=bset, freqs=freqs, M64=M64,
-                s_eff64=s_eff64, s_enu=s_enu, pc=pc, nsrc=nsrc)
+                s_eff64=s_eff64, s_enu=s_enu, pc=pc, nsrc=nsrc,
+                flux_parms=flux_parms)
 
 
 def baseline_slice(prob, nbl_slice):
@@ -193,8 +197,55 @@ def run_engines(prob, sh, sl, amps_np, bl_idx, nchan, recur=None,
     return out, timing
 
 
+def f64_amps(prob, diameter=14.0):
+    """(S, C) f64 model amps — the truth yardstick. Airy (power) via
+    the same Chebyshev J1 model the engine evaluates in f32, times the
+    f64 power-law flux, horizon-masked. The reference computes beams
+    in f64 (primary_beams.py:517 uses scipy), so THIS is the
+    reference-parity golden; the round-3 shared-f32-amps golden
+    contains the engine amps' own ~1e-6-class coherent f32 jitter
+    (probe_truth, round 4)."""
+    from prisim_tpu import constants as CNST
+    from prisim_tpu.beams.analytic import _J1_CHEB
+    s = prob["s_enu"]
+    freqs = np.asarray(prob["freqs"], np.float64)
+    sin_t = np.sqrt(np.clip(s[:, 0] ** 2 + s[:, 1] ** 2, 0.0, 1.0))
+    below = s[:, 2] < 0.0
+    k = 2.0 * np.pi * freqs / CNST.c
+    pb = np.empty((s.shape[0], freqs.size))
+    chunk = 65536
+    for i0 in range(0, s.shape[0], chunk):
+        slc = slice(i0, min(i0 + chunk, s.shape[0]))
+        arg = k[None, :] * (0.5 * diameter) * sin_t[slc, None]
+        t = arg * arg / 32.0 - 1.0
+        g = np.polynomial.chebyshev.chebval(t, _J1_CHEB)
+        pat = np.where(np.abs(arg) < 8.0, 2.0 * g,
+                       _j1_asymptotic_over_x(arg))
+        pb[slc] = pat * pat
+    fp = prob["flux_parms"]
+    flux = fp["flux_scale"][:, None] * (
+        freqs[None, :] / fp["freq_ref"][:, None]) \
+        ** fp["power_law_index"][:, None]
+    return np.where(below[:, None], 0.0, pb * flux)
+
+
+def _j1_asymptotic_over_x(x):
+    """2*J1(x)/x via the A&S asymptotic branch (|x| >= 8), f64."""
+    ax = np.abs(x)
+    z = 8.0 / np.maximum(ax, 1e-20)
+    y2 = z * z
+    p1 = 1.0 + y2 * (0.183105e-2 + y2 * (-0.3516396496e-4
+         + y2 * (0.2457520174e-5 + y2 * (-0.240337019e-6))))
+    p2 = 0.04687499995 + y2 * (-0.2002690873e-3 + y2 * (0.8449199096e-5
+         + y2 * (-0.88228987e-6 + y2 * 0.105787412e-6)))
+    xx = ax - 2.356194491
+    j1 = np.sqrt(0.636619772 / np.maximum(ax, 1e-20)) * \
+        (np.cos(xx) * p1 - z * np.sin(xx) * p2) * np.sign(x)
+    return 2.0 * j1 / np.where(x == 0.0, 1.0, x)
+
+
 def run_banded(prob, sh, sl, amps_np, bl_idx, nchan, ktaps=None,
-               tile=None, gblk=None, rank=24):
+               tile=None, gblk=None, rank=24, node_model=False):
     """Banded-spread NUFFT engine on the baseline slice, full sources.
 
     The plan is built on the sliced vectors only — the banded engine is
@@ -232,6 +283,40 @@ def run_banded(prob, sh, sl, amps_np, bl_idx, nchan, ktaps=None,
     interp = not banded_spread_available()
     pch, pcl = tf.split_f64(prob["pc"])
 
+    if node_model:
+        # round-4 production form: beam x flux at the rank Chebyshev
+        # nodes, coefficients by interpolation (zero fit residual vs
+        # the model; see engine/nufft_banded.make_banded_snapshot_fns)
+        from prisim_tpu.engine.nufft_delay import chebyshev_node_model
+        from prisim_tpu.beams import airy_beam
+        nm = chebyshev_node_model(prob["freqs"], rank)
+        nodes_f32 = jnp.asarray(nm.nu_nodes, jnp.float32)
+        hi = jax.lax.Precision.HIGHEST
+
+        @jax.jit
+        def banded(sh, sl, flux):
+            seh, sel = tf.df_add(sh, sl, -jnp.asarray(pch)[None, :],
+                                 -jnp.asarray(pcl)[None, :])
+            fluxC = spectral_project(flux, jnp.asarray(pinvQ))
+            fluxn = jnp.einsum("sr,nr->sn", fluxC, jnp.asarray(nm.V),
+                               precision=hi)
+            pb = airy_beam(sh, nodes_f32, 14.0)
+            ampsn = jnp.where((sh[:, 2] > 0.0)[:, None], pb * fluxn,
+                              0.0)
+            P = jnp.einsum("sn,nr->sr", ampsn,
+                           jnp.asarray(nm.node2coef), precision=hi)
+            v, ok = nufft_banded_visibilities(plan, seh, sel, P, Q,
+                                              interpret=interp)
+            return jnp.real(v), jnp.imag(v), ok
+
+        t0 = time.perf_counter()
+        vr, vi, ok = jax.block_until_ready(
+            banded(sh, sl, jnp.asarray(prob["sky"].flux)))
+        dt = time.perf_counter() - t0
+        if not bool(np.asarray(jax.device_get(ok))):
+            print(json.dumps({"warning": "banded span check failed"}))
+        return np.asarray(vr) + 1j * np.asarray(vi), dt, plan
+
     @jax.jit
     def banded(sh, sl, amps):
         seh, sel = tf.df_add(sh, sl, -jnp.asarray(pch)[None, :],
@@ -267,6 +352,15 @@ def main():
     ap.add_argument("--banded-tile", type=int, default=None)
     ap.add_argument("--banded-gblk", type=int, default=None)
     ap.add_argument("--banded-rank", type=int, default=24)
+    ap.add_argument("--node-model", action="store_true",
+                    help="banded engine consumes the rank-r node "
+                         "model (round-4 production form)")
+    ap.add_argument("--golden", default="f32amps",
+                    choices=["f32amps", "f64amps"],
+                    help="f32amps: f64 transform of the shared f32 "
+                         "engine amps (round-3 yardstick; contains "
+                         "their ~1e-6 coherent jitter). f64amps: f64 "
+                         "model amps — the reference-parity truth")
     args = ap.parse_args()
 
     prob = build_problem(nside=args.nside, nchan=args.nchan)
@@ -289,15 +383,19 @@ def main():
         eng["banded"], timing["banded"], plan = run_banded(
             prob, sh, sl, amps_np, bl_idx, args.nchan,
             ktaps=args.banded_k, tile=args.banded_tile,
-            gblk=args.banded_gblk, rank=args.banded_rank)
+            gblk=args.banded_gblk, rank=args.banded_rank,
+            node_model=args.node_model)
 
-    cache = "/tmp/acc_ns_golden_%d_%d_%d.npz" % (
+    cache = "/tmp/acc_ns_golden%s_%d_%d_%d.npz" % (
+        "64" if args.golden == "f64amps" else "",
         args.nside, args.nchan, args.nbl_slice)
     if os.path.exists(cache):
         z = np.load(cache)
         Vg, tg, n_up = z["Vg"], float(z["tg"]), int(z["n_up"])
     else:
-        Vg, tg, n_up = golden_slice(prob, amps_np, bl_idx)
+        gold_amps = f64_amps(prob) if args.golden == "f64amps" \
+            else amps_np
+        Vg, tg, n_up = golden_slice(prob, gold_amps, bl_idx)
         np.savez(cache, Vg=Vg, tg=tg, n_up=n_up)
     scale = np.abs(Vg).max()
     mask = np.abs(Vg) > 1e-3 * scale
@@ -307,6 +405,9 @@ def main():
         rel_elem = float((err[mask] / np.abs(Vg)[mask]).max())
         rec = {
             "engine": name,
+            "golden": args.golden,
+            "node_model": (args.node_model if name == "banded"
+                           else None),
             "recur": args.recur if name == "pallas" else None,
             "anchors": ([args.anchor_q, args.anchor_w]
                         if name == "pallas" and args.recur == "rot"

@@ -62,6 +62,9 @@ def main():
     ap.add_argument("--nbl-slice", type=int, default=8)
     ap.add_argument("--rank", type=int, default=32)
     ap.add_argument("--ksweep", type=int, nargs="*", default=[9, 13])
+    ap.add_argument("--beta", type=float, nargs="*", default=[2.0])
+    ap.add_argument("--v1-cache", default=None,
+                    help="npz path to cache the fitted-amps direct V1")
     args = ap.parse_args()
 
     from prisim_tpu.engine.nufft_delay import chebyshev_projection
@@ -86,18 +89,25 @@ def main():
         np.abs(Afit - A64).max() / np.abs(A64).max())}), flush=True)
 
     t0 = time.perf_counter()
-    V1 = direct_f64(prob, Afit, bl_idx)
+    if args.v1_cache and os.path.exists(args.v1_cache):
+        V1 = np.load(args.v1_cache)["V1"]
+    else:
+        V1 = direct_f64(prob, Afit, bl_idx)
+        if args.v1_cache:
+            np.savez(args.v1_cache, V1=V1)
     print(json.dumps({
         "err_fit_scaled": float(np.abs(V1 - Vg).max() / scale),
         "direct_seconds": time.perf_counter() - t0}), flush=True)
 
-    for K in args.ksweep:
-        Vb = banded_f64_eval(prob, bl_idx, P64, Q, args.nchan, K=K)
-        print(json.dumps({
-            "K": K,
-            "err_kb_scaled": float(np.abs(Vb - V1).max() / scale),
-            "err_total_scaled": float(np.abs(Vb - Vg).max() / scale)}),
-            flush=True)
+    for beta in args.beta:
+        for K in args.ksweep:
+            Vb = banded_f64_eval(prob, bl_idx, P64, Q, args.nchan, K=K,
+                                 beta=beta)
+            print(json.dumps({
+                "K": K, "beta": beta,
+                "err_kb_scaled": float(np.abs(Vb - V1).max() / scale),
+                "err_total_scaled": float(np.abs(Vb - Vg).max()
+                                          / scale)}), flush=True)
 
 
 if __name__ == "__main__":

@@ -21,17 +21,54 @@ import numpy as np
 from .. import constants as CNST
 
 
+def _j1_cheb_coeffs(deg=26):
+    """Chebyshev coefficients of g(u) = J1(sqrt(u))/sqrt(u) on
+    u in [0, 64] (t = u/32 - 1), fit in f64 at import time against the
+    J1 power series (exact to ~1e-14 on [0, 8])."""
+    nodes = np.cos(np.pi * (np.arange(2 * deg + 2) + 0.5)
+                   / (2 * deg + 2))                    # t in (-1, 1)
+    u = 32.0 * (nodes + 1.0)
+    xh = np.sqrt(u) / 2.0                              # x/2, <= 4
+    # J1(x) = sum_m (-1)^m / (m! (m+1)!) (x/2)^(2m+1)
+    # => g = J1/x = 0.5 * sum_m (-1)^m / (m! (m+1)!) (x/2)^(2m) / ...
+    g = np.zeros_like(u)
+    term = 0.5 * np.ones_like(u)                       # m = 0: 1/(0!1!)/2
+    x2 = xh * xh
+    for m in range(1, 40):
+        g += term
+        term = -term * x2 / (m * (m + 1))
+    return np.polynomial.chebyshev.chebfit(nodes, g, deg)
+
+
+_J1_CHEB = _j1_cheb_coeffs()
+
+
 def bessel_j1(x):
-    """Bessel J1 via the Abramowitz-Stegun rational approximations
-    (float32-accurate to ~1e-7; jax has no TPU-ready j1)."""
+    """Bessel J1, float32-clean on TPU (jax has no TPU-ready j1).
+
+    |x| < 8: J1(x) = x * g(x^2) with g a degree-26 Chebyshev fit on
+    [0, 64], Clenshaw-evaluated — coefficients are O(0.1) so the f32
+    evaluation carries ~eps absolute error. The previous
+    Abramowitz-Stegun rational form summed terms of ~1e12 magnitude to
+    a ~1e10 result near x=8 (a ~75x cancellation): ~4e-6 relative
+    noise in f32 that dominated the WHOLE framework's visibility error
+    budget at north-star source counts (the beam-amps jitter summed
+    coherently to ~1.8e-6 of scale and no engine knob could move it —
+    benchmarks/probe_truth.py, round 4). The reference evaluates J1 in
+    f64 scipy (primary_beams.py:517) where the cancellation is
+    harmless.
+
+    |x| >= 8: the A&S asymptotic form (O(1) coefficients, f32-safe)."""
     ax = jnp.abs(x)
-    # |x| < 8 branch
-    y = x * x
-    num = x * (72362614232.0 + y * (-7895059235.0 + y * (242396853.1
-          + y * (-2972611.439 + y * (15704.48260 + y * (-30.16036606))))))
-    den = 144725228442.0 + y * (2300535178.0 + y * (18583304.74
-          + y * (99447.43394 + y * (376.9991397 + y))))
-    small = num / den
+    # |x| < 8 branch: Clenshaw on t = x^2/32 - 1
+    t = x * x * jnp.float32(1.0 / 32.0) - 1.0
+    t2 = 2.0 * t
+    b1 = jnp.zeros_like(t)
+    b2 = jnp.zeros_like(t)
+    for c in _J1_CHEB[:0:-1]:
+        b1, b2 = t2 * b1 - b2 + jnp.float32(c), b1
+    g = t * b1 - b2 + jnp.float32(_J1_CHEB[0])
+    small = x * g
     # |x| >= 8 asymptotic branch
     z = 8.0 / jnp.maximum(ax, 1e-20)
     y2 = z * z

@@ -105,7 +105,17 @@ DEFAULT_PARMS = {
                    # the 1e-6-class north-star spec), 1e-4 for
                    # cross-program gates whose yardstick carries the
                    # coherent beam-recompute term (BASELINE.md round 3)
-                   "nufft_crosscheck_tol": None},
+                   "nufft_crosscheck_tol": None,
+                   # Banded engine spectral form (round 4): True =
+                   # evaluate beam x flux at the rank Chebyshev nodes
+                   # (zero fit residual vs the model, S*r instead of
+                   # S*C prep transcendentals); False = project the
+                   # full (S, C) amps table (the round-3 form). The
+                   # shared-program gate checks EITHER form against
+                   # the true full-channel amps and demotes on
+                   # mismatch, so tabulated/non-smooth spectra are
+                   # safe under both.
+                   "nufft_node_model": True},
     "pp": {"key": "freq", "eqvol": True, "method": "pool",
            "mesh_axes": None, "n_chunks": 1},
     "flags": {"flag_chan": -1, "bp_flag_repeat": False,

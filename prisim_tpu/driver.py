@@ -1146,7 +1146,9 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
             # stalls per stage; executables reused across snapshots)
             snap_b = make_banded_snapshot_fns(
                 inst, sks, beam_fn, plan, pinvQ, Q, interpret=interp,
-                gate_src_block=src_block)
+                gate_src_block=src_block,
+                node_model=bool(parms["processing"].get(
+                    "nufft_node_model", True)))
             if parms["processing"].get("nufft_crosscheck", True):
                 # shared-amps gate (run BEFORE the snapshot pipeline so
                 # its direct working set has the whole HBM): one jit

@@ -632,8 +632,23 @@ def simulate_snapshot_nufft_banded(instrument, sky, Mh, Ml, pch, pcl,
 
 def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
                              interpret=False, spatial_sort=True,
-                             src_chunk=None, gate_src_block=512):
+                             src_chunk=None, gate_src_block=512,
+                             node_model=True):
     """Three separately-jitted stages for one banded snapshot.
+
+    ``node_model`` (round 4, default): evaluate beam x flux at the
+    rank Chebyshev NODES of the band and take the interpolant's
+    coefficients directly (nufft_delay.chebyshev_node_model) instead
+    of projecting a full (S, C) f32 amps table. The projection form's
+    residual is floored at 1.2-1.8e-6 of scale at north-star source
+    counts by f32 channel-jitter in the amps themselves (probe_truth,
+    round 4); the node form has zero fit residual vs its model, whose
+    own error vs the exact f64 beam is the smooth rank-r Chebyshev
+    convergence. It also skips the full-channel beam evaluation and
+    the (S, C) materialization: prep does S*r transcendentals instead
+    of S*C. The flux table rides through its rank-r coefficients
+    (power-law/smooth spectra fit to ~1e-9; arbitrary tabulated
+    spectra are exactly what the driver's cross-check gate demotes).
 
     The sorted predecessor NEEDED the split because its fused compile
     was pathological; the sweep keeps it because it still isolates
@@ -666,6 +681,28 @@ def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
     freqs_f32 = jnp.asarray(instrument.freqs, dtype=jnp.float32)
     pinvQ_j = jnp.asarray(pinvQ)
     Q_j = jnp.asarray(Q, jnp.float32)
+
+    nm = None
+    if node_model:
+        from .nufft_delay import chebyshev_node_model
+        nm = chebyshev_node_model(instrument.freqs, plan.rank)
+        nodes_f32 = jnp.asarray(nm.nu_nodes, jnp.float32)
+        n2c_j = jnp.asarray(nm.node2coef)                  # (r, r)
+        V_j = jnp.asarray(nm.V)                            # (r, r)
+    hi = jax.lax.Precision.HIGHEST
+
+    def _coeffs(sh, fx, pch):
+        """(S, r) spectral coefficients of the beam-weighted fluxes
+        (+ the (S, r) node amps when node_model, else None)."""
+        if not node_model:
+            amps = _beam_and_flux(sh, fx, freqs_f32, beam_fn, pc=pch)
+            return spectral_project(amps, pinvQ_j), None
+        fluxC = spectral_project(fx, pinvQ_j)              # (S, r)
+        fluxn = jnp.einsum("sr,nr->sn", fluxC, V_j,
+                           precision=hi)                   # (S, r) nodes
+        ampsn = _beam_and_flux(sh, fluxn, nodes_f32, beam_fn, pc=pch)
+        P = jnp.einsum("sn,nr->sr", ampsn, n2c_j, precision=hi)
+        return P, ampsn
 
     # Source chunking: prep materializes a (2 x D_dirs x S_chunk) f32
     # two-float u plus several temps of the same shape — at HERA-331's
@@ -705,9 +742,7 @@ def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
             fx_c = jax.lax.dynamic_slice_in_dim(flux, s0, src_chunk)
             sh, sl = df_rotate3(Mh, Ml, sh_c, sl_c)
             seh, sel = tf.df_add(sh, sl, -pch[None, :], -pcl[None, :])
-            amps = _beam_and_flux(sh, fx_c, freqs_f32, beam_fn,
-                                  pc=pch)
-            P = spectral_project(amps, pinvQ_j)
+            P, _ = _coeffs(sh, fx_c, pch)
             u_h, u_l, P_r, ok = _prep(plan, seh, sel, P)
             out = _banded_spread(plan, u_h, u_l, P_r,
                                  interpret=interpret)
@@ -723,8 +758,7 @@ def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
     def stage_prep(Mh, Ml, pch, pcl, s_eq_hi, s_eq_lo, flux):
         sh, sl = df_rotate3(Mh, Ml, s_eq_hi, s_eq_lo)
         seh, sel = tf.df_add(sh, sl, -pch[None, :], -pcl[None, :])
-        amps = _beam_and_flux(sh, flux, freqs_f32, beam_fn, pc=pch)
-        P = spectral_project(amps, pinvQ_j)
+        P, _ = _coeffs(sh, flux, pch)
         return _prep(plan, seh, sel, P)
 
     @jax.jit
@@ -748,8 +782,7 @@ def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
         def _prep_impl(Mh, Ml, pch, pcl, s_eq_hi, s_eq_lo, flux):
             sh, sl = df_rotate3(Mh, Ml, s_eq_hi, s_eq_lo)
             seh, sel = tf.df_add(sh, sl, -pch[None, :], -pcl[None, :])
-            amps = _beam_and_flux(sh, flux, freqs_f32, beam_fn, pc=pch)
-            P = spectral_project(amps, pinvQ_j)
+            P, _ = _coeffs(sh, flux, pch)
             return _prep(plan, seh, sel, P)
 
         @jax.jit
@@ -778,9 +811,19 @@ def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
 
         run.stages = (sweep_jit, stage_post)
     def _gate_impl(Mh, Ml, pch, pcl, seqh, seql, flux):
-        """Shared-amps cross-check: ONE jit program computes the source
-        vectors and beam amps once per chunk and feeds BOTH the exact
-        direct NUDFT and the banded pipeline from the SAME tensors.
+        """Shared-program cross-check: ONE jit program computes the
+        source vectors once per chunk and feeds BOTH the exact direct
+        NUDFT and the banded pipeline. Under the node model the direct
+        reference consumes the TRUE full-channel beam x flux amps while
+        the banded side consumes the rank-r node interpolant, so the
+        gate measures transform error AND model inadequacy (a rank too
+        low for the band trips it — tests/test_round4.py demotion
+        test). The comparison's floor is the per-element f32
+        beam-evaluation difference between the two paths summed over
+        sources; with the Chebyshev J1 (beams/analytic.py) that noise
+        is ~1ulp incoherent rounding, not the old A&S cancellation
+        jitter, so the 2e-6 default holds at north-star source counts
+        (probe_truth round 4).
 
         Comparing engines that re-evaluate the beam in separate jit
         programs carries a ~1e-7 per-element cross-program beam
@@ -801,9 +844,9 @@ def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
             fx_c = jax.lax.dynamic_slice_in_dim(flux, s0, src_chunk)
             sh, sl = df_rotate3(Mh, Ml, sh_c, sl_c)
             seh, sel = tf.df_add(sh, sl, -pch[None, :], -pcl[None, :])
+            P, _ = _coeffs(sh, fx_c, pch)
             amps = _beam_and_flux(sh, fx_c, freqs_f32, beam_fn,
                                   pc=pch)
-            P = spectral_project(amps, pinvQ_j)
             u_h, u_l, P_r, ok = _prep(plan, seh, sel, P)
             out = _banded_spread(plan, u_h, u_l, P_r,
                                  interpret=interpret)
@@ -839,4 +882,5 @@ def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
     run.n_chunks = n_chunks
     run.src_chunk = src_chunk
     run.sky_args = (seqh_a, seql_a, flux_a)
+    run.node_model = nm
     return run

@@ -50,6 +50,8 @@ spreading onto the MXU as a banded dense matrix.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import numpy as np
 
 __all__ = ["nufft_delay_visibilities", "nufft_delay_visibilities_spectral",
@@ -738,6 +740,59 @@ def chebyshev_projection(freqs, rank):
     Qf = Q.astype(np.float32)
     return (np.linalg.pinv(Qf.astype(np.float64)).T.astype(np.float32),
             Qf)
+
+
+def chebyshev_node_model(freqs, rank):
+    """Node form of the rank-r spectral model (round 4).
+
+    The projection form (P = amps @ pinvQ) cannot take the banded
+    engine under 1e-6 at north-star scale: the f32-evaluated (S, C)
+    amps carry ~1ulp channel-jitter (beam-slope x position-quantization
+    + per-element rounding) that no smooth basis represents, and its
+    coherent sum over ~4e5 sources measured 1.2-1.8e-6 of scale — for
+    the f32-amps golden and the direct engines too
+    (benchmarks/probe_truth.py). The node form makes the spectral
+    model EXPLICIT instead: evaluate beam x flux at the rank
+    Chebyshev nodes of the band and define the amps as the unique
+    degree-(r-1) interpolant. The fit residual vs this model is zero
+    by construction; the model's error vs the exact f64 beam is the
+    smooth Chebyshev convergence (measured in f64 by
+    benchmarks/probe_truth.py --node-model), and the engine never
+    materializes an (S, C) table at all.
+
+    Returns a NodeModel with
+      nu_nodes  (r,)  f64  node frequencies
+      node2coef (r, r) f32  P = amps_at_nodes @ node2coef
+      V         (r, r) f32  values_at_nodes = coefficients @ V.T
+      Q         (C, r) f32  full-grid basis (matches
+                            chebyshev_projection's x = scaled ln nu)
+      expand    (C, r) f32  amps_full = amps_at_nodes @ expand.T"""
+    freqs = np.asarray(freqs, dtype=np.float64)
+    C = freqs.size
+    x = np.log(freqs / freqs[C // 2])
+    xlo, xhi = x.min(), x.max()
+    xs = 2.0 * (x - xlo) / (xhi - xlo) - 1.0
+    t = np.polynomial.chebyshev.chebpts1(rank)             # (r,)
+    x_nodes = xlo + (t + 1.0) * 0.5 * (xhi - xlo)
+    nu_nodes = freqs[C // 2] * np.exp(x_nodes)
+    V = np.polynomial.chebyshev.chebvander(t, rank - 1)    # (r, r)
+    Vinv = np.linalg.inv(V)
+    Q = np.polynomial.chebyshev.chebvander(xs, rank - 1)   # (C, r)
+    return NodeModel(
+        nu_nodes=nu_nodes, node2coef=Vinv.T.astype(np.float32),
+        V=V.astype(np.float32), Q=Q.astype(np.float32),
+        expand=(Q @ Vinv).astype(np.float32))
+
+
+@dataclass
+class NodeModel:
+    """Static pieces of the rank-r spectral node model
+    (chebyshev_node_model)."""
+    nu_nodes: np.ndarray
+    node2coef: np.ndarray
+    V: np.ndarray
+    Q: np.ndarray
+    expand: np.ndarray
 
 
 def spectral_project(amps, pinvQ, block=128):

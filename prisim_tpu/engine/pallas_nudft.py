@@ -55,9 +55,12 @@ def _kernel(*refs, Q, L, WB, ST, BT, k_mode, layout, grad, ext, recur,
             aq, aw, ext_mode="exact"):
     (seh_ref, sel_ref, blh_ref, bll_ref, amps_ref, scal_ref) = refs[:6]
     idx = 6
-    ssk_ref = None
+    ssk_ref = kc2_ref = None
     if grad or ext:
         ssk_ref = refs[idx]
+        idx += 1
+    if ext:
+        kc2_ref = refs[idx]
         idx += 1
     vr_ref, vi_ref = refs[idx], refs[idx + 1]
     idx += 2
@@ -134,17 +137,7 @@ def _kernel(*refs, Q, L, WB, ST, BT, k_mode, layout, grad, ext, recur,
             kh, kl = tf.df_add(kh, kl, qh, ql)
 
     alpha = None
-    g0s = gds = c0s = sj = None
     if ext:
-        # scalar grid constants for the weight path (see q_body ext
-        # branch: plain scalars are fine for amplitude arithmetic)
-        g0s = g0h[0, 0]
-        gds = gdh[0, 0]
-        c0s = ch0[0, 0]
-        # (WB, 1, 1) channel-offset-in-block vector, built ONCE per
-        # grid step (pallas rejects closed-over array constants)
-        sj = jax.lax.broadcasted_iota(jnp.int32, (WB, 1, 1),
-                                      0).astype(jnp.float32)
         # extended-source weight precompute (per grid step, f32):
         # u_proj = sqrt(|b|^2 - (s_sky.b)^2)/lambda_c;
         # alpha = proj^2 / (2 sigma^2) so w_c = exp(-alpha (nu_c/c)^2).
@@ -293,18 +286,53 @@ def _kernel(*refs, Q, L, WB, ST, BT, k_mode, layout, grad, ext, recur,
                     # ext_mode is the probe's diagnostic knob: 'noexp'
                     # keeps the arithmetic but swaps the transcendental
                     # for a mul, 'none' skips the weight entirely.
-                    if ext_mode != "none":
-                        qf = q.astype(jnp.float32)
-                        cq = (qf * jnp.float32(L) + jnp.float32(r0)
-                              + c0s)                       # scalar
-                        # sj is a STATIC numpy vector (no runtime
-                        # iota); iv = g0 + gd*c per j is (WB, 1, 1)
-                        iv = (g0s + gds * cq) + gds * sj
-                        z = (iv * iv) * alpha[None, :, :]  # (WB, ST, BT)
-                        w = jnp.exp(-z) if ext_mode == "exact" \
-                            else 1.0 - z * jnp.float32(1e-9)
+                    if ext_mode == "const":
+                        # broadcast multiply only (cost bisect)
+                        w = alpha[None, :, :]
                         Pr = Pr * w
                         Pi = Pi * w
+                    elif ext_mode == "expnoscalar":
+                        # exp + broadcast, no channel factor
+                        w = jnp.exp(-alpha)[None, :, :]
+                        Pr = Pr * w
+                        Pi = Pi * w
+                    elif ext_mode == "exact3d":
+                        # one 3-D (WB, ST, BT) exp: measured 26x the
+                        # whole remaining kernel on hardware (kept as
+                        # the probe's negative control)
+                        kc2 = kc2_ref[q, r0:r0 + WB]       # (WB, BT)
+                        z = alpha[None, :, :] * kc2[:, None, :]
+                        w = jnp.exp(-z)
+                        Pr = Pr * w
+                        Pi = Pi * w
+                    elif ext_mode != "none":
+                        # (nu_c/c)^2 rides in as a precomputed
+                        # (Q, L, BT) VMEM table sliced exactly like the
+                        # accumulators (leading-dim dynamic q + static
+                        # r-slice). The weight is applied as WB
+                        # STATICALLY-UNROLLED 2-D (ST, BT) exps: every
+                        # variant that evaluated one 3-D (WB, ST, BT)
+                        # exp — however the channel factor arrived
+                        # (broadcasted_iota, traced scalars, VMEM
+                        # table) — ran ~26x the whole remaining kernel
+                        # on hardware, while the 2-D exp costs ~3% of
+                        # it (probe_ext_kernel round 4: exact3d 10.2 s;
+                        # const 1.04 s vs expnoscalar 1.07 s at the
+                        # bench shape). Mosaic's transcendental
+                        # lowering is only fast on rank-2 tiles.
+                        rows_r = []
+                        rows_i = []
+                        for j in range(WB):
+                            kc2_j = kc2_ref[q, r0 + j].reshape(1, BT)
+                            z = alpha * kc2_j              # (ST, BT)
+                            w = jnp.exp(-z) if ext_mode == "exact" \
+                                else 1.0 - z * jnp.float32(1e-9)
+                            Prj = Pr[j] * w
+                            Pij = Pi[j] * w
+                            rows_r.append(Prj[None])
+                            rows_i.append(Pij[None])
+                        Pr = jnp.concatenate(rows_r, axis=0)
+                        Pi = jnp.concatenate(rows_i, axis=0)
                 vr = jnp.sum(Pr, axis=1)                 # (WB, BT)
                 vi = jnp.sum(Pi, axis=1)
                 if grad:
@@ -504,7 +532,7 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
         # mode (8); accumulator coefficient grows by the 3 gradient
         # plane pairs (24 B per (Q, L, BT) element)
         tmp_c = 16 + (8 if (grad or ext) else 0) + (8 if ext else 0)
-        acc_c = 16 + (24 if grad else 0)
+        acc_c = 16 + (24 if grad else 0) + (4 if ext else 0)
         # Mode-specific budgets: the model underestimates the Mosaic
         # stack by ~2.5M in gradient mode (16.2M measured at a
         # 13.7M-modeled config) and more in ext mode (27.2M at BT=256)
@@ -579,6 +607,22 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
         in_specs.append(pl.BlockSpec((ST, 8), lambda i, j: (j, 0),
                                      memory_space=pltpu.VMEM))
         inputs.append(ssk_p)
+    if ext:
+        # (Q, L, BT) channel factor (nu_c/c)^2, pre-broadcast along
+        # the baseline-tile lane dim; the kernel slices it like the
+        # accumulators ([q, r0:r0+WB]) — see the q_body ext branch for
+        # why no in-kernel derivation survives Mosaic
+        cidx = jnp.asarray(chan0, jnp.float32) \
+            + jnp.arange(C_pad, dtype=jnp.float32)
+        invwl = (jnp.asarray(g0h, jnp.float32)
+                 + jnp.asarray(g0l, jnp.float32)) \
+            + (jnp.asarray(gdh, jnp.float32)
+               + jnp.asarray(gdl, jnp.float32)) * cidx
+        kc2 = jnp.broadcast_to((invwl * invwl)
+                               .reshape(Q, L, 1), (Q, L, BT))
+        in_specs.append(pl.BlockSpec((Q, L, BT), lambda i, j: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(kc2)
     out_specs = [pl.BlockSpec((Q, L, BT), lambda i, j: (0, 0, i),
                               memory_space=pltpu.VMEM)] * 2
     out_shape = [jax.ShapeDtypeStruct((Q, L, B_pad), jnp.float32)] * 2

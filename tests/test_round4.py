@@ -364,3 +364,50 @@ def test_phased_array_per_snapshot_pointing(tmp_path):
     np.testing.assert_allclose(a, b, atol=2e-5 * scale)
     # and it must DIFFER from the first accumulation's steering
     assert np.abs(a - np.asarray(vs2.skyvis)[..., 0]).max() > 1e-3 * scale
+
+
+def test_chebyshev_node_model_exact_on_rank_polynomials():
+    """The node model's interpolation operators are mutually
+    consistent: coefficients -> node values -> coefficients round-trips
+    exactly, and the full-grid expansion of node values equals the
+    basis evaluation of the coefficients (f32)."""
+    from prisim_tpu.engine.nufft_delay import chebyshev_node_model
+    freqs = 100e6 + 195312.5 * np.arange(64)
+    nm = chebyshev_node_model(freqs, rank=6)
+    rng = np.random.RandomState(7)
+    coef = rng.standard_normal((5, 6)).astype(np.float32)
+    vals = coef @ np.asarray(nm.V, np.float64).T         # (5, r) nodes
+    back = vals @ np.asarray(nm.node2coef, np.float64)
+    np.testing.assert_allclose(back, coef, rtol=0, atol=1e-5)
+    full = vals @ np.asarray(nm.expand, np.float64).T    # (5, C)
+    direct = coef @ np.asarray(nm.Q, np.float64).T
+    np.testing.assert_allclose(full, direct, rtol=0,
+                               atol=1e-5 * np.abs(direct).max())
+    # node frequencies live strictly inside the band
+    assert nm.nu_nodes.min() > freqs[0] - 1.0
+    assert nm.nu_nodes.max() < freqs[-1] + 1.0
+
+
+def test_banded_node_model_knob_matches_projection_form():
+    """processing.nufft_node_model=False routes the banded engine
+    through the round-3 projection form; both forms agree with each
+    other and pass the gate on a smooth sky."""
+    from prisim_tpu.driver import run_simulation
+    base = {
+        "bandpass": {"nchan": 16, "freq": 150e6,
+                     "freq_resolution": 195312.5},
+        "array": {"layout": "HERA-7"},
+        "obsparm": {"n_acc": 1, "t_acc": 60.0},
+        "skyparm": {"model": "random", "nsrc": 64, "seed": 5},
+        "pp": {"key": "none"},
+    }
+    pn = load_parms(dict(base, processing={
+        "engine": "nufft", "nufft_spread": "banded"}))
+    vs_n, _ = run_simulation(pn, verbose=False, save=False)
+    pp_ = load_parms(dict(base, processing={
+        "engine": "nufft", "nufft_spread": "banded",
+        "nufft_node_model": False}))
+    vs_p, _ = run_simulation(pp_, verbose=False, save=False)
+    a, b = np.asarray(vs_n.skyvis), np.asarray(vs_p.skyvis)
+    scale = np.abs(a).max()
+    np.testing.assert_allclose(a, b, atol=5e-6 * scale)
