@@ -29,7 +29,7 @@ def main():
     ap.add_argument("--nside", type=int, default=64)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--modes", nargs="*",
-                    default=["none", "noexp", "exact"])
+                    default=["none", "exact"])
     ap.add_argument("--w-block", type=int, default=None)
     ap.add_argument("--src-tile", type=int, default=None)
     ap.add_argument("--bl-tile", type=int, default=None)

@@ -1083,7 +1083,9 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
             vis_cube, ok_b = simulate_drift_banded_sharded(
                 inst, sks, obs, beam_fn, nmesh,
                 rank=min(rank, freqs.size),
-                interpret=jax.devices()[0].platform != "tpu")
+                interpret=jax.devices()[0].platform != "tpu",
+                node_model=bool(parms["processing"].get(
+                    "nufft_node_model", True)))
             if not ok_b:
                 print("[prisim_tpu] banded NUFFT unit-source check "
                       "failed; re-running with the sorted spread")

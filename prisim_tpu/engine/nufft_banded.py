@@ -630,6 +630,45 @@ def simulate_snapshot_nufft_banded(instrument, sky, Mh, Ml, pch, pcl,
                                      interpret=interpret)
 
 
+def make_coeff_fn(freqs, rank, pinvQ, beam_fn, node_model=True):
+    """coeffs(sh, fx, pch) -> (S, rank) spectral coefficients of the
+    beam-weighted fluxes, in either spectral form (round-4 node model
+    or the round-3 full-channel projection) — shared by the
+    single-device banded stages and the 'bl'-mesh sharded path so both
+    compute identical models. The returned function carries the
+    NodeModel (or None) as ``coeffs.node_model``."""
+    import jax
+    import jax.numpy as jnp
+    from .nufft_delay import spectral_project, chebyshev_node_model
+    from .observe import _beam_and_flux
+
+    freqs_f32 = jnp.asarray(freqs, dtype=jnp.float32)
+    pinvQ_j = jnp.asarray(pinvQ)
+    if not node_model:
+        def coeffs(sh, fx, pch):
+            amps = _beam_and_flux(sh, fx, freqs_f32, beam_fn, pc=pch)
+            return spectral_project(amps, pinvQ_j)
+
+        coeffs.node_model = None
+        return coeffs
+
+    nm = chebyshev_node_model(freqs, rank)
+    nodes_f32 = jnp.asarray(nm.nu_nodes, jnp.float32)
+    n2c_j = jnp.asarray(nm.node2coef)                      # (r, r)
+    V_j = jnp.asarray(nm.V)                                # (r, r)
+    hi = jax.lax.Precision.HIGHEST
+
+    def coeffs(sh, fx, pch):
+        fluxC = spectral_project(fx, pinvQ_j)              # (S, r)
+        fluxn = jnp.einsum("sr,nr->sn", fluxC, V_j,
+                           precision=hi)                   # node values
+        ampsn = _beam_and_flux(sh, fluxn, nodes_f32, beam_fn, pc=pch)
+        return jnp.einsum("sn,nr->sr", ampsn, n2c_j, precision=hi)
+
+    coeffs.node_model = nm
+    return coeffs
+
+
 def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
                              interpret=False, spatial_sort=True,
                              src_chunk=None, gate_src_block=512,
@@ -682,27 +721,9 @@ def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
     pinvQ_j = jnp.asarray(pinvQ)
     Q_j = jnp.asarray(Q, jnp.float32)
 
-    nm = None
-    if node_model:
-        from .nufft_delay import chebyshev_node_model
-        nm = chebyshev_node_model(instrument.freqs, plan.rank)
-        nodes_f32 = jnp.asarray(nm.nu_nodes, jnp.float32)
-        n2c_j = jnp.asarray(nm.node2coef)                  # (r, r)
-        V_j = jnp.asarray(nm.V)                            # (r, r)
-    hi = jax.lax.Precision.HIGHEST
-
-    def _coeffs(sh, fx, pch):
-        """(S, r) spectral coefficients of the beam-weighted fluxes
-        (+ the (S, r) node amps when node_model, else None)."""
-        if not node_model:
-            amps = _beam_and_flux(sh, fx, freqs_f32, beam_fn, pc=pch)
-            return spectral_project(amps, pinvQ_j), None
-        fluxC = spectral_project(fx, pinvQ_j)              # (S, r)
-        fluxn = jnp.einsum("sr,nr->sn", fluxC, V_j,
-                           precision=hi)                   # (S, r) nodes
-        ampsn = _beam_and_flux(sh, fluxn, nodes_f32, beam_fn, pc=pch)
-        P = jnp.einsum("sn,nr->sr", ampsn, n2c_j, precision=hi)
-        return P, ampsn
+    _coeffs = make_coeff_fn(instrument.freqs, plan.rank, pinvQ,
+                            beam_fn, node_model=node_model)
+    nm = _coeffs.node_model
 
     # Source chunking: prep materializes a (2 x D_dirs x S_chunk) f32
     # two-float u plus several temps of the same shape — at HERA-331's
@@ -742,7 +763,7 @@ def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
             fx_c = jax.lax.dynamic_slice_in_dim(flux, s0, src_chunk)
             sh, sl = df_rotate3(Mh, Ml, sh_c, sl_c)
             seh, sel = tf.df_add(sh, sl, -pch[None, :], -pcl[None, :])
-            P, _ = _coeffs(sh, fx_c, pch)
+            P = _coeffs(sh, fx_c, pch)
             u_h, u_l, P_r, ok = _prep(plan, seh, sel, P)
             out = _banded_spread(plan, u_h, u_l, P_r,
                                  interpret=interpret)
@@ -758,7 +779,7 @@ def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
     def stage_prep(Mh, Ml, pch, pcl, s_eq_hi, s_eq_lo, flux):
         sh, sl = df_rotate3(Mh, Ml, s_eq_hi, s_eq_lo)
         seh, sel = tf.df_add(sh, sl, -pch[None, :], -pcl[None, :])
-        P, _ = _coeffs(sh, flux, pch)
+        P = _coeffs(sh, flux, pch)
         return _prep(plan, seh, sel, P)
 
     @jax.jit
@@ -782,7 +803,7 @@ def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
         def _prep_impl(Mh, Ml, pch, pcl, s_eq_hi, s_eq_lo, flux):
             sh, sl = df_rotate3(Mh, Ml, s_eq_hi, s_eq_lo)
             seh, sel = tf.df_add(sh, sl, -pch[None, :], -pcl[None, :])
-            P, _ = _coeffs(sh, flux, pch)
+            P = _coeffs(sh, flux, pch)
             return _prep(plan, seh, sel, P)
 
         @jax.jit
@@ -844,7 +865,7 @@ def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
             fx_c = jax.lax.dynamic_slice_in_dim(flux, s0, src_chunk)
             sh, sl = df_rotate3(Mh, Ml, sh_c, sl_c)
             seh, sel = tf.df_add(sh, sl, -pch[None, :], -pcl[None, :])
-            P, _ = _coeffs(sh, fx_c, pch)
+            P = _coeffs(sh, fx_c, pch)
             amps = _beam_and_flux(sh, fx_c, freqs_f32, beam_fn,
                                   pc=pch)
             u_h, u_l, P_r, ok = _prep(plan, seh, sel, P)

@@ -211,9 +211,9 @@ def simulate_snapshot(instrument, sky, Mh, Ml, pch, pcl, beam_fn,
     center dircos. All jit-safe; beam_fn(dircos, freqs)->(S, C).
     use_pallas: route the NUDFT through the Pallas TPU kernel
     (engine.pallas_nudft) — point sources, gradients, and extended
-    are in-kernel since round 3; extended sources route to the XLA
-    engine when compiling for hardware (the ext kernel's Mosaic stack
-    exceeds the scoped-vmem limit; bench_gradext round 3).
+    sources are all in-kernel (the round-4 multiplicative-recurrence
+    gaussian weights put compiled ext at ~5x the XLA ext path on
+    hardware; probe_ext_kernel/bench_gradext round 4).
     """
     sh, sl = df_rotate3(Mh, Ml, sky.s_eq_hi, sky.s_eq_lo)
     seh, sel = tf.df_add(sh, sl, -pch[None, :], -pcl[None, :])
@@ -225,11 +225,7 @@ def simulate_snapshot(instrument, sky, Mh, Ml, pch, pcl, beam_fn,
                   inv_wl=freqs_f32 / CNST.c)
     elif gradient:
         kw = dict(s_sky=sh)
-    # Extended sources stay on the XLA engine when compiling for real
-    # hardware: the ext Pallas kernel runs in interpret mode (tested)
-    # but its compiled Mosaic stack exceeds the 16M scoped-vmem limit
-    # at every tiling tried (18.1-27.2M; bench_gradext round 3).
-    if use_pallas and (interpret or sky.src_shape_sigma is None):
+    if use_pallas:
         from .pallas_nudft import nudft_pallas
         return nudft_pallas(seh, sel, instrument.bl_hi,
                             instrument.bl_lo, amps,

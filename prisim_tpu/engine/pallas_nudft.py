@@ -59,7 +59,7 @@ def _kernel(*refs, Q, L, WB, ST, BT, k_mode, layout, grad, ext, recur,
     if grad or ext:
         ssk_ref = refs[idx]
         idx += 1
-    if ext:
+    if ext and ext_mode == "exact3d":
         kc2_ref = refs[idx]
         idx += 1
     vr_ref, vi_ref = refs[idx], refs[idx + 1]
@@ -77,6 +77,9 @@ def _kernel(*refs, Q, L, WB, ST, BT, k_mode, layout, grad, ext, recur,
         g_refs = refs[idx:idx + 6]
         idx += 6
     wc_ref, ws_ref, cr_ref, ci_ref = refs[idx:idx + 4]
+    we_ref = mq_ref = None
+    if ext:
+        we_ref, mq_ref = refs[idx + 4], refs[idx + 5]
     # NOTE on scal_ref: the frequency-grid scalars are passed as
     # pre-broadcast (7, ST, BT) VMEM tiles, NOT SMEM scalars (and not
     # (1, 1) VMEM values either). SMEM scalar reads reach the fused
@@ -137,6 +140,7 @@ def _kernel(*refs, Q, L, WB, ST, BT, k_mode, layout, grad, ext, recur,
             kh, kl = tf.df_add(kh, kl, qh, ql)
 
     alpha = None
+    g0f = gdf = mmj = mqj = M2 = None
     if ext:
         # extended-source weight precompute (per grid step, f32):
         # u_proj = sqrt(|b|^2 - (s_sky.b)^2)/lambda_c;
@@ -151,6 +155,29 @@ def _kernel(*refs, Q, L, WB, ST, BT, k_mode, layout, grad, ext, recur,
         proj2 = jnp.maximum(bl2 - ksky * ksky, 0.0)
         sig = ssk_ref[:, 3].reshape(ST, 1)
         alpha = 0.5 * proj2 / (sig * sig)                      # (ST, BT)
+        # Multiplicative-recurrence constants (ext_mode 'exact'): the
+        # exponent E(c) = alpha * (g0 + gd*c)^2 is an EXACT quadratic
+        # in the channel index, so the per-channel gaussian weight
+        # follows the same anchored-recurrence design as the phasors:
+        # w(c+t) = w(c) * m(c); m(c+t) = m(c) * exp(-2 alpha gd^2 t^2)
+        # with the second-difference factor CONSTANT per (s, b). One
+        # exp per (s, b, c) — the naive form every earlier variant
+        # evaluated — is the hardware exp-throughput wall: ~3.2e9
+        # exp/s on v5e puts S*B*C exps at 10.2-10.4 s at the bench
+        # shape however they are arranged (3-D, per-j 2-D, XLA engine
+        # alike; probe_ext_kernel round 4). The recurrence needs 3
+        # grid-step exps here + 3 per r-block, all (ST, BT) 2-D.
+        # Amplitude-class f32 arithmetic throughout (plain adds of the
+        # two-float halves): weight drift is <= ~(WB + 2Q) mult
+        # roundings, random-signed across (s, b) — measured against
+        # the f64 reference in tests/test_pallas_nudft.py.
+        g0f = g0h + g0l                                        # (ST, BT)
+        gdf = gdh + gdl
+        agd2 = alpha * (gdf * gdf)
+        Lf = jnp.float32(L)
+        mmj = jnp.exp(-2.0 * agd2)           # j-stride 2nd difference
+        mqj = jnp.exp(-2.0 * agd2 * Lf)      # Mq growth across j
+        M2 = jnp.exp(-2.0 * agd2 * (Lf * Lf))  # q-stride 2nd difference
 
     # cycle counts: p0 = k*nu0/c + chan0*d, d = k*dnu/c (two-float,
     # frac-reduced). chan0 is an exact small integer in f32.
@@ -255,6 +282,24 @@ def _kernel(*refs, Q, L, WB, ST, BT, k_mode, layout, grad, ext, recur,
         Wc = wc_ref[:]
         Ws = ws_ref[:]
 
+        if ext and ext_mode == "exact":
+            # r-block weight init: w at q=0 for the WB block channels
+            # (j-stride recurrence) and the q-stride multipliers Mq_j
+            # (their j-dependence is geometric with ratio mqj). All
+            # (ST, BT) 2-D f32; 3 exps + ~3*WB mults per r-block.
+            iv0 = g0f + gdf * (ch0 + jnp.float32(r0))
+            w2 = jnp.exp(-alpha * (iv0 * iv0))
+            mj = jnp.exp(-alpha * gdf * (2.0 * iv0 + gdf))
+            Lf = jnp.float32(L)
+            Mq = jnp.exp(-alpha * gdf * Lf * (2.0 * iv0 + gdf * Lf))
+            for jj in range(WB):
+                we_ref[jj] = w2
+                mq_ref[jj] = Mq
+                if jj + 1 < WB:
+                    w2 = w2 * mj
+                    mj = mj * mmj
+                    Mq = Mq * mqj
+
         def q_body(q, uc, us):
             # us is the NEGATED sine plane (phasor e^{-i theta})
             if layout == "ls":                           # (Q, L, ST)
@@ -305,34 +350,20 @@ def _kernel(*refs, Q, L, WB, ST, BT, k_mode, layout, grad, ext, recur,
                         w = jnp.exp(-z)
                         Pr = Pr * w
                         Pi = Pi * w
-                    elif ext_mode != "none":
-                        # (nu_c/c)^2 rides in as a precomputed
-                        # (Q, L, BT) VMEM table sliced exactly like the
-                        # accumulators (leading-dim dynamic q + static
-                        # r-slice). The weight is applied as WB
-                        # STATICALLY-UNROLLED 2-D (ST, BT) exps: every
-                        # variant that evaluated one 3-D (WB, ST, BT)
-                        # exp — however the channel factor arrived
-                        # (broadcasted_iota, traced scalars, VMEM
-                        # table) — ran ~26x the whole remaining kernel
-                        # on hardware, while the 2-D exp costs ~3% of
-                        # it (probe_ext_kernel round 4: exact3d 10.2 s;
-                        # const 1.04 s vs expnoscalar 1.07 s at the
-                        # bench shape). Mosaic's transcendental
-                        # lowering is only fast on rank-2 tiles.
-                        rows_r = []
-                        rows_i = []
-                        for j in range(WB):
-                            kc2_j = kc2_ref[q, r0 + j].reshape(1, BT)
-                            z = alpha * kc2_j              # (ST, BT)
-                            w = jnp.exp(-z) if ext_mode == "exact" \
-                                else 1.0 - z * jnp.float32(1e-9)
-                            Prj = Pr[j] * w
-                            Pij = Pi[j] * w
-                            rows_r.append(Prj[None])
-                            rows_i.append(Pij[None])
-                        Pr = jnp.concatenate(rows_r, axis=0)
-                        Pi = jnp.concatenate(rows_i, axis=0)
+                    elif ext_mode == "exact":
+                        # multiplicative recurrence (see the grid-step
+                        # precompute): apply the running weights, then
+                        # step them by the q-stride factors. The naive
+                        # exp-per-(s,b,c) alternatives all sit at the
+                        # ~3.2e9 exp/s hardware wall (10.2-10.4 s at
+                        # the bench shape, probe_ext_kernel round 4);
+                        # here the hot path is 4 elementwise mults.
+                        w3 = we_ref[:]                 # (WB, ST, BT)
+                        Pr = Pr * w3
+                        Pi = Pi * w3
+                        mq3 = mq_ref[:]
+                        we_ref[:] = w3 * mq3
+                        mq_ref[:] = mq3 * M2[None]
                 vr = jnp.sum(Pr, axis=1)                 # (WB, BT)
                 vi = jnp.sum(Pi, axis=1)
                 if grad:
@@ -531,7 +562,7 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
         # grad/ext mode (8) plus the weight tensor + iota temp in ext
         # mode (8); accumulator coefficient grows by the 3 gradient
         # plane pairs (24 B per (Q, L, BT) element)
-        tmp_c = 16 + (8 if (grad or ext) else 0) + (8 if ext else 0)
+        tmp_c = 16 + (8 if (grad or ext) else 0) + (16 if ext else 0)
         acc_c = 16 + (24 if grad else 0) + (4 if ext else 0)
         # Mode-specific budgets: the model underestimates the Mosaic
         # stack by ~2.5M in gradient mode (16.2M measured at a
@@ -607,11 +638,10 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
         in_specs.append(pl.BlockSpec((ST, 8), lambda i, j: (j, 0),
                                      memory_space=pltpu.VMEM))
         inputs.append(ssk_p)
-    if ext:
-        # (Q, L, BT) channel factor (nu_c/c)^2, pre-broadcast along
-        # the baseline-tile lane dim; the kernel slices it like the
-        # accumulators ([q, r0:r0+WB]) — see the q_body ext branch for
-        # why no in-kernel derivation survives Mosaic
+    if ext and ext_mode == "exact3d":
+        # (Q, L, BT) channel factor (nu_c/c)^2 for the 3-D-exp probe
+        # control only; the production 'exact' path derives weights by
+        # in-kernel multiplicative recurrence and needs no table
         cidx = jnp.asarray(chan0, jnp.float32) \
             + jnp.arange(C_pad, dtype=jnp.float32)
         invwl = (jnp.asarray(g0h, jnp.float32)
@@ -651,7 +681,9 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
         scratch_shapes=[pltpu.VMEM((WB, ST, BT), jnp.float32),
                         pltpu.VMEM((WB, ST, BT), jnp.float32),
                         pltpu.VMEM((Q, L, BT), jnp.float32),
-                        pltpu.VMEM((Q, L, BT), jnp.float32)],
+                        pltpu.VMEM((Q, L, BT), jnp.float32)]
+        + ([pltpu.VMEM((WB, ST, BT), jnp.float32),
+            pltpu.VMEM((WB, ST, BT), jnp.float32)] if ext else []),
         interpret=interpret,
         compiler_params=cparams,
         cost_estimate=pl.CostEstimate(

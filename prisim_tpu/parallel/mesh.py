@@ -258,7 +258,8 @@ def simulate_drift_nufft_sharded(instrument, sky, observation, beam_fn,
 
 
 def simulate_drift_banded_sharded(instrument, sky, observation, beam_fn,
-                                  mesh, rank=32, interpret=False):
+                                  mesh, rank=32, interpret=False,
+                                  node_model=True):
     """Drift scan through the banded-spread NUFFT engine (the TPU-fast
     path, engine/nufft_banded.py), sharded over the 'bl' mesh axis.
 
@@ -277,10 +278,8 @@ def simulate_drift_banded_sharded(instrument, sky, observation, beam_fn,
     from ..engine.nufft_banded import (make_banded_plan, _prep,
                                        _banded_spread, _post,
                                        spatial_permutation,
-                                       reorder_sources)
-    from ..engine.nufft_delay import (chebyshev_projection,
-                                      spectral_project)
-    from ..engine.observe import _beam_and_flux
+                                       reorder_sources, make_coeff_fn)
+    from ..engine.nufft_delay import chebyshev_projection
 
     axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
     n_bl = axis_sizes.get("bl", 1)
@@ -314,9 +313,9 @@ def simulate_drift_banded_sharded(instrument, sky, observation, beam_fn,
 
     Mh, Ml = observation.rotations(instrument.latitude)
     pch, pcl = tf.split_f64(observation.pc_dircos())
-    freqs_f32 = jnp.asarray(instrument.freqs, dtype=jnp.float32)
-    pinvQ_j = jnp.asarray(pinvQ)
     Q_j = jnp.asarray(Q, jnp.float32)
+    coeff_fn = make_coeff_fn(instrument.freqs, rank, pinvQ, beam_fn,
+                             node_model=node_model)
 
     def fn(dofb, blo, nblk, blh, bll, ramp, seqh, seql, flux,
            mh_t, ml_t, pch_t, pcl_t):
@@ -328,9 +327,7 @@ def simulate_drift_banded_sharded(instrument, sky, observation, beam_fn,
             mh, ml, ph, pl_ = mt
             sh, sl = df_rotate3(mh, ml, seqh, seql)
             seh, sel = tf.df_add(sh, sl, -ph[None, :], -pl_[None, :])
-            amps = _beam_and_flux(sh, flux, freqs_f32, beam_fn,
-                                  pc=ph)
-            Pc = spectral_project(amps, pinvQ_j)
+            Pc = coeff_fn(sh, flux, ph)
             u_h, u_l, P_r, ok = _prep(lplan, seh, sel, Pc)
             out = _banded_spread(lplan, u_h, u_l, P_r,
                                  interpret=interpret)
