@@ -1,5 +1,7 @@
 """BASELINE.json config measurements (VERDICT r2 item 6, r3 item 3).
 
+#1: HERA-7 hex snapshot - 64 chans, nside-64 diffuse sky, Airy beam.
+
 #2: MWA-128-scale point-source catalog sim — 128-antenna array,
     256 chans, chromatic dipole beam, 10 accumulations.
 #3: HERA-37 drift + thermal noise -> delay power spectrum with CLEAN
@@ -9,7 +11,7 @@
 #5: SKA-low-scale closure phases — 512 antennas, redundant triads
     through the bispectrum-phase pipeline.
 
-    python benchmarks/bench_configs.py [2|3|4|5] [--small]
+    python benchmarks/bench_configs.py [1|2|3|4|5] [--small]
 
 Each prints one JSON line with wall-clock and shape details. --small
 shrinks for CPU smoke runs (the full sizes want the chip).
@@ -20,6 +22,41 @@ import json
 import time
 
 import numpy as np
+
+
+def config1(small=False):
+    """HERA-7 hex snapshot (BASELINE config #1): 64 chans, nside-64
+    diffuse (USM) sky, Airy beam — the smallest reference config,
+    measured driver end-to-end. Dominated by fixed costs (compile +
+    tunnel round-trips), so it bounds the framework's minimum-job
+    latency rather than throughput."""
+    import shutil
+    from prisim_tpu.config import load_parms
+    from prisim_tpu.driver import run_simulation
+
+    nchan = 16 if small else 64
+    nside = 16 if small else 64
+    root = "/tmp/bench_cfg1"
+    shutil.rmtree(root, ignore_errors=True)
+    parms = load_parms({
+        "dirstruct": {"rootdir": root, "project": "hera7_snapshot"},
+        "telescope": {"id": "hera", "latitude": -30.7224,
+                      "A_eff": 154.0, "eff_Q": 0.96, "Trx": 100.0},
+        "array": {"layout": "HERA-7", "redundant": True},
+        "antenna": {"shape": "dish", "size": 14.0},
+        "bandpass": {"freq": 150e6, "freq_resolution": 781250.0,
+                     "nchan": nchan},
+        "obsparm": {"obs_mode": "drift", "n_acc": 1, "t_acc": 60.0},
+        "pointing": {"lst_init": 0.0},
+        "skyparm": {"model": "usm", "nside": nside},
+        "save_formats": {"fmt": "HDF5", "npz": False},
+    })
+    t0 = time.perf_counter()
+    vs, outdir = run_simulation(parms, verbose=False, save=True)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(vs.skyvis).all()
+    return dict(config="hera7-snapshot", nbl=vs.skyvis.shape[0],
+                nchan=nchan, nside=nside, seconds=dt)
 
 
 def config2(small=False):
@@ -320,11 +357,11 @@ def _grid_positions(shape, spacing=7.0):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("which", choices=["2", "3", "4", "5"])
+    ap.add_argument("which", choices=["1", "2", "3", "4", "5"])
     ap.add_argument("--small", action="store_true")
     args = ap.parse_args()
-    fn = {"2": config2, "3": config3, "4": config4,
-          "5": config5}[args.which]
+    fn = {"1": config1, "2": config2, "3": config3,
+          "4": config4, "5": config5}[args.which]
     rec = fn(args.small)
     print(json.dumps(rec))
 
