@@ -158,10 +158,21 @@ class BandedPlan:
     deconv: np.ndarray         # (C,) f32 1/what(k/n)
     ramp: np.ndarray           # (B, C) c64 exact bin-offset phase ramp
     consts: dict = field(default_factory=dict)
+    # redundancy collapse (round 4): the sweep runs over UNIQUE
+    # canonical baseline vectors only; expand_idx/conj recover the full
+    # set afterward (V(-b) = conj(V(b)) exactly — the amps are real).
+    # None => identity (collapse=False or no redundancy found).
+    expand_idx: np.ndarray = None   # (B_full,) int32 row of unique set
+    conj: np.ndarray = None         # (B_full,) bool conjugate the row
 
     @property
     def nbl(self):
         return self.d_of_b.shape[0]
+
+    @property
+    def nbl_full(self):
+        return (self.d_of_b.shape[0] if self.expand_idx is None
+                else self.expand_idx.shape[0])
 
     @property
     def ndir(self):
@@ -194,9 +205,20 @@ def _friendly_fft_length(n0):
 
 
 def make_banded_plan(bl_vectors, nu0, dnu, nchan, rank, beta=2.0, K=9,
-                     T_s=2048, G_blk=None, tap_degree=10):
+                     T_s=2048, G_blk=None, tap_degree=10,
+                     collapse=True):
     """Build the static plan for a set of baseline vectors (meters) and
     a uniform frequency grid. Exact for arbitrary (3-D) baselines.
+
+    ``collapse`` (default): sweep only UNIQUE canonical baseline
+    vectors. Identical vectors give identical visibilities, and
+    V(-b) = conj(V(b)) exactly (the beam x flux amps are real), so a
+    sign-canonicalized dedup is exact — the TPU-side analog of the
+    reference's redundancy compression (simulate unique baselines,
+    duplicate_measurements, interferometry.py:1465,6823), applied
+    transparently inside the engine. An all-pairs HERA-37 snapshot
+    collapses 666 -> 63 swept rows (10.6x fewer kernel steps); a
+    pre-uniqued set (the north-star 630) passes through unchanged.
 
     Raises ValueError when the longest baseline's per-baseline output
     rows would blow the VMEM budget (callers fall back to the sorted /
@@ -205,6 +227,21 @@ def make_banded_plan(bl_vectors, nu0, dnu, nchan, rank, beta=2.0, K=9,
     bl = np.asarray(bl_vectors, dtype=np.float64)
     if K % 2 == 0:
         raise ValueError("K must be odd (tap rows -half..+half)")
+    expand_idx = conj_mask = None
+    if collapse:
+        key = np.round(bl, 6)                      # um-level identity
+        neg = ((key[:, 0] < 0)
+               | ((key[:, 0] == 0) & (key[:, 1] < 0))
+               | ((key[:, 0] == 0) & (key[:, 1] == 0)
+                  & (key[:, 2] < 0)))
+        can = np.where(neg[:, None], -bl, bl)
+        _, first, inv = np.unique(np.round(can, 6), axis=0,
+                                  return_index=True,
+                                  return_inverse=True)
+        if first.shape[0] < bl.shape[0] or neg.any():
+            expand_idx = inv.astype(np.int32)
+            conj_mask = neg
+            bl = can[first]                        # exact f64 rows
     alpha = np.pi * K * (1.0 - 0.5 / beta) - 0.01
     n = _friendly_fft_length(int(np.ceil(beta * nchan)))
     h = 1.0 / (n * dnu)
@@ -265,7 +302,8 @@ def make_banded_plan(bl_vectors, nu0, dnu, nchan, rank, beta=2.0, K=9,
         tap_w=kb_tap_coeffs(K, alpha, degree=tap_degree),
         deconv=deconv, ramp=ramp,
         consts=dict(inv_ch=inv_ch, numid_c=numid / CNST.c,
-                    n_blk_mean=float(np.mean(n_blk))))
+                    n_blk_mean=float(np.mean(n_blk))),
+        expand_idx=expand_idx, conj=conj_mask)
 
 
 # --------------------------------------------------------------------------
@@ -593,7 +631,15 @@ def _post(plan, out, Qc, matmul_fft=False):
         * jnp.asarray(plan.deconv)[:, None]                   # (C, r)
     V = jnp.einsum("bcr,cr->bc", Gk, Qd,
                    precision=_jax.lax.Precision.HIGHEST)
-    return V * jnp.asarray(plan.ramp)
+    V = V * jnp.asarray(plan.ramp)
+    if plan.expand_idx is not None:
+        # redundancy expansion: gather unique rows onto the full
+        # baseline list, conjugating sign-flipped vectors (exact)
+        V = V[jnp.asarray(plan.expand_idx)]
+        if plan.conj is not None and bool(np.any(plan.conj)):
+            V = jnp.where(jnp.asarray(plan.conj)[:, None],
+                          jnp.conj(V), V)
+    return V
 
 
 def nufft_banded_visibilities(plan, seh, sel, P, Qc, interpret=False):
@@ -855,7 +901,7 @@ def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
         from .nudft import nudft_visibilities
         gs = instrument.grid_scalars()
         nchan = instrument.nchan
-        nbl = plan.nbl
+        nbl = plan.nbl_full        # direct side runs the FULL bl set
 
         def chunk(carry, c):
             tot, okc, vd, comp = carry

@@ -303,8 +303,12 @@ def simulate_drift_banded_sharded(instrument, sky, observation, beam_fn,
         # rejected by the direction grouping); padded rows are trimmed
         bl64 = np.concatenate(
             [bl64, np.repeat(bl64[:1], B_pad - B, axis=0)], axis=0)
+    # collapse=False: the shard_map below shards the plan tables over
+    # the 'bl' mesh axis positionally — a collapsed plan's expansion
+    # gather would cross shard boundaries. Redundant inputs are rare on
+    # the mesh path (the driver already simulates unique baselines).
     plan = make_banded_plan(bl64, instrument.nu0, instrument.dnu,
-                            nchan, rank=rank)
+                            nchan, rank=rank, collapse=False)
     pinvQ, Q = chebyshev_projection(np.asarray(instrument.freqs), rank)
 
     perm = spatial_permutation(np.asarray(sky.s_eq_hi, np.float64)
