@@ -1146,11 +1146,23 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
             interp = jax.devices()[0].platform != "tpu"
             # three separately-jitted stages (isolates tunnel upload
             # stalls per stage; executables reused across snapshots)
+            node_model = bool(parms["processing"].get(
+                "nufft_node_model", True))
+            if node_model and not parms["processing"].get(
+                    "nufft_crosscheck", True):
+                # The node model fits each source's FLUX spectrum at
+                # Chebyshev nodes before beam evaluation — exact for
+                # smooth spectra, but tabulated/non-smooth spectra lose
+                # accuracy vs the projection form, and with the gate
+                # off nothing would catch it.
+                print("[prisim_tpu] warning: nufft_node_model is on "
+                      "with nufft_crosscheck disabled — non-smooth "
+                      "source spectra may lose accuracy ungated "
+                      "(set nufft_node_model: false for the "
+                      "projection form)")
             snap_b = make_banded_snapshot_fns(
                 inst, sks, beam_fn, plan, pinvQ, Q, interpret=interp,
-                gate_src_block=src_block,
-                node_model=bool(parms["processing"].get(
-                    "nufft_node_model", True)))
+                gate_src_block=src_block, node_model=node_model)
             if parms["processing"].get("nufft_crosscheck", True):
                 # shared-amps gate (run BEFORE the snapshot pipeline so
                 # its direct working set has the whole HBM): one jit

@@ -213,10 +213,15 @@ def make_banded_plan(bl_vectors, nu0, dnu, nchan, rank, beta=2.0, K=9,
     ``collapse`` (default): sweep only UNIQUE canonical baseline
     vectors. Identical vectors give identical visibilities, and
     V(-b) = conj(V(b)) exactly (the beam x flux amps are real), so a
-    sign-canonicalized dedup is exact — the TPU-side analog of the
-    reference's redundancy compression (simulate unique baselines,
-    duplicate_measurements, interferometry.py:1465,6823), applied
-    transparently inside the engine. An all-pairs HERA-37 snapshot
+    sign-canonicalized dedup loses no accuracy — the TPU-side analog
+    of the reference's redundancy compression (simulate unique
+    baselines, duplicate_measurements, interferometry.py:1465,6823),
+    applied transparently inside the engine. Rows are keyed at
+    round(bl, 6): baselines within ~1 um share the first occurrence's
+    exact f64 vector (sub-microradian phase difference — far below the
+    f32 engine floor, and far tighter than the 0.01 m redundancy key
+    `baselines.uniq_baselines` uses, so near-redundant rows surviving a
+    redundant=False run are NOT merged). An all-pairs HERA-37 snapshot
     collapses 666 -> 63 swept rows (10.6x fewer kernel steps); a
     pre-uniqued set (the north-star 630) passes through unchanged.
 
@@ -926,7 +931,11 @@ def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
             return (tot + out, jnp.logical_and(okc, ok), t,
                     (t - vd) - y), None
 
-        init = (jnp.zeros((nbl, plan.R_max, 2 * plan.rank),
+        # The banded accumulator runs over the COLLAPSED (unique
+        # canonical) rows — _banded_spread returns plan.nbl rows and
+        # _post re-expands to nbl_full; the direct-side vd/comp
+        # accumulators run over the FULL set.
+        init = (jnp.zeros((plan.nbl, plan.R_max, 2 * plan.rank),
                           jnp.float32), jnp.bool_(True),
                 jnp.zeros((nbl, nchan), jnp.complex64),
                 jnp.zeros((nbl, nchan), jnp.complex64))

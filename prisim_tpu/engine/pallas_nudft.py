@@ -328,9 +328,9 @@ def _kernel(*refs, Q, L, WB, ST, BT, k_mode, layout, grad, ext, recur,
                     # compiler collapsing constants costs two-float
                     # PHASE accuracy only.
                     #
-                    # ext_mode is the probe's diagnostic knob: 'noexp'
-                    # keeps the arithmetic but swaps the transcendental
-                    # for a mul, 'none' skips the weight entirely.
+                    # ext_mode is the probe's diagnostic knob; the
+                    # implemented set ('exact'/'exact3d'/'expnoscalar'
+                    # /'const') is validated in nudft_pallas.
                     if ext_mode == "const":
                         # broadcast multiply only (cost bisect)
                         w = alpha[None, :, :]
@@ -487,6 +487,13 @@ def nudft_pallas(seh, sel, blh, bll, amps, grid_scalars, nchan,
         amps_layout = "sl" if padded < 2e9 else "ls"
     if amps_layout not in ("sl", "ls"):
         raise ValueError("amps_layout must be 'sl' or 'ls'")
+    if ext and ext_mode not in ("exact", "exact3d", "expnoscalar",
+                                "const"):
+        # An unknown mode would silently fall through every weight
+        # branch in the kernel and apply NO gaussian weight.
+        raise ValueError("ext_mode must be one of "
+                         "'exact'/'exact3d'/'expnoscalar'/'const', "
+                         "got %r" % (ext_mode,))
     if src_tile is None:
         # ext halves the source tile: its per-(r, s, b) weight tensor
         # pushed the Mosaic stack to 18.1M at ST=64/BT=128 (16M limit;
