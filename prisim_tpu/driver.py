@@ -1033,11 +1033,12 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
         pinvQ, Q = chebyshev_projection(freqs, min(rank, freqs.size))
         ndev_nufft = len(jax.devices())
         direct0 = None
-        single_banded = spread == "banded" and not (
-            ndev_nufft > 1 and ((parms.get("pp") or {}).get("key")
-                                or "freq").lower() != "none")
+        # Both banded routes (single-device and 'bl'-mesh) carry their
+        # own shared-amps gate at the 2e-6 default — the cross-program
+        # direct0 yardstick below is only for the sorted spread.
+        banded_gated = spread == "banded"
         if parms["processing"].get("nufft_crosscheck", True) \
-                and not single_banded:
+                and not banded_gated:
             # The gate's direct reference snapshot runs BEFORE the fast
             # engine so its working set (full (S, C) beam amps + phase
             # blocks) has the whole HBM to itself — evaluating it after
@@ -1080,12 +1081,64 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
                       % ndev_nufft)
             nmesh = make_mesh(axis_names=("bl", "chan"),
                               shape=(ndev_nufft, 1))
+            interp_m = jax.devices()[0].platform != "tpu"
+            node_model_m = bool(parms["processing"].get(
+                "nufft_node_model", True))
+            if parms["processing"].get("nufft_crosscheck", True):
+                # Shared-amps gate for the mesh path (VERDICT r4 item
+                # 5): one single-device jit program feeds the exact
+                # direct NUDFT and the banded pipeline the SAME coeff
+                # model the shards consume (same rank, node model, and
+                # collapse=False plan geometry — per-baseline banded
+                # arithmetic is shard-invariant), so the default
+                # tolerance enforces the 2e-6 spec instead of the
+                # ~3e-5 cross-program beam-recompute floor.
+                from .engine.nufft_banded import (
+                    make_banded_plan, make_banded_snapshot_fns)
+                rank_m = min(rank, max(2, freqs.size // 2))
+                try:
+                    gplan = make_banded_plan(
+                        np.asarray(bls.vectors), inst.nu0, inst.dnu,
+                        freqs.size, rank=rank_m, collapse=False)
+                except ValueError as exc:
+                    print("[prisim_tpu] banded NUFFT plan rejected "
+                          "(%s); re-running with the sorted spread"
+                          % exc)
+                    p2 = dict(parms)
+                    p2["processing"] = dict(parms["processing"],
+                                            nufft_spread="sorted")
+                    return _run_simulation_inner(p2, outdir, verbose,
+                                                 save, _sky_override,
+                                                 t0)
+                gsnap = make_banded_snapshot_fns(
+                    inst, sks, beam_fn, gplan, pinvQ, Q,
+                    interpret=interp_m, gate_src_block=src_block,
+                    node_model=node_model_m)
+                tol = float(parms["processing"].get(
+                    "nufft_crosscheck_tol") or 2e-6)
+                dg, bg, okg = gsnap.gate_fn(
+                    jnp.asarray(Mh[0]), jnp.asarray(Ml[0]),
+                    jnp.asarray(pch[0]), jnp.asarray(pcl[0]))
+                scale = max(float(np.abs(dg).max()), 1e-30)
+                rel = float(np.abs(bg - dg).max()) / scale
+                if not okg or rel > tol:
+                    print("[prisim_tpu] banded NUFFT mesh shared-amps "
+                          "cross-check FAILED (rel=%.2e > %.0e, ok=%s)"
+                          "; falling back to the direct engine"
+                          % (rel, tol, okg))
+                    p2 = dict(parms)
+                    p2["processing"] = dict(parms["processing"],
+                                            engine="direct")
+                    return _run_simulation_inner(p2, outdir, verbose,
+                                                 save, _sky_override,
+                                                 t0)
+                if verbose:
+                    print("[prisim_tpu] banded/direct mesh shared-amps"
+                          " cross-check ok (rel=%.2e)" % rel)
             vis_cube, ok_b = simulate_drift_banded_sharded(
                 inst, sks, obs, beam_fn, nmesh,
                 rank=min(rank, freqs.size),
-                interpret=jax.devices()[0].platform != "tpu",
-                node_model=bool(parms["processing"].get(
-                    "nufft_node_model", True)))
+                interpret=interp_m, node_model=node_model_m)
             if not ok_b:
                 print("[prisim_tpu] banded NUFFT unit-source check "
                       "failed; re-running with the sorted spread")
@@ -1239,7 +1292,7 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
                 jnp.asarray(pch[t]), jnp.asarray(pcl[t])))
                 for t in range(obs.n_acc)]
         if parms["processing"].get("nufft_crosscheck", True) \
-                and not single_banded:
+                and not banded_gated:
             # Automatic accuracy gate: the fast engine's first snapshot
             # is re-evaluated with the exact direct NUDFT; a mismatch
             # beyond tolerance falls the WHOLE run back to the direct
@@ -1247,8 +1300,8 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
             # trusted; cf. the reference's always-exact loop,
             # run_prisim.py:1858-2210). This cross-program comparison
             # carries the ~1e-7/element beam-recompute yardstick term
-            # (coherent over sources), so its default stays 1e-4; the
-            # single-device banded path above gates shared-amps at 2e-6.
+            # (coherent over sources), so its default stays 1e-4; both
+            # banded paths above gate shared-amps at 2e-6 instead.
             tol = float(parms["processing"].get("nufft_crosscheck_tol")
                         or 1e-4)
             dump = os.environ.get("PRISIM_DEBUG_XCHECK_DUMP")
