@@ -245,7 +245,8 @@ def _j1_asymptotic_over_x(x):
 
 
 def run_banded(prob, sh, sl, amps_np, bl_idx, nchan, ktaps=None,
-               tile=None, gblk=None, rank=24, node_model=False):
+               tile=None, gblk=None, rank=24, node_model=False,
+               truth=False):
     """Banded-spread NUFFT engine on the baseline slice, full sources.
 
     The plan is built on the sliced vectors only — the banded engine is
@@ -282,6 +283,50 @@ def run_banded(prob, sh, sl, amps_np, bl_idx, nchan, ktaps=None,
                             rank=rank, **kw)
     interp = not banded_spread_available()
     pch, pcl = tf.split_f64(prob["pc"])
+
+    if truth:
+        # round-5 truth-amps path: two-float node amps (df32 Airy +
+        # host-f64 flux node values) with a dual spread — the whole
+        # node-amps chain at ~1e-9/element instead of the f32 chain's
+        # ~1e-7 (engine/nufft_banded.make_coeff_fn_truth)
+        from prisim_tpu.engine.nufft_banded import make_coeff_fn_truth
+        from prisim_tpu.engine.nufft_banded import (_prep,
+                                                    _banded_spread,
+                                                    _post)
+        from prisim_tpu.beams.analytic import airy_beam_df
+        cf = make_coeff_fn_truth(prob["freqs"], rank,
+                                 lambda a, b, f:
+                                 airy_beam_df(a, b, f, 14.0))
+        nm = cf.node_model
+        fp = prob["flux_parms"]
+        fluxn64 = fp["flux_scale"][:, None] * (
+            nm.nu_nodes[None, :] / fp["freq_ref"][:, None]) \
+            ** fp["power_law_index"][:, None]
+        fnh, fnl = tf.split_f64(fluxn64)
+        Q_j = jnp.asarray(Q, jnp.float32)
+
+        @jax.jit
+        def banded(sh, sl, fnh, fnl):
+            seh, sel = tf.df_add(sh, sl, -jnp.asarray(pch)[None, :],
+                                 -jnp.asarray(pcl)[None, :])
+            Ph, Pl = cf(sh, sl, fnh, fnl)
+            u_h, u_l, P_r, ok = _prep(plan, seh, sel, Ph)
+            v = _post(plan, _banded_spread(plan, u_h, u_l, P_r,
+                                           interpret=interp),
+                      Q_j, matmul_fft=not interp)
+            Pl_r = jnp.transpose(jnp.asarray(Pl, jnp.float32))
+            v = v + _post(plan, _banded_spread(plan, u_h, u_l, Pl_r,
+                                               interpret=interp),
+                          Q_j, matmul_fft=not interp)
+            return jnp.real(v), jnp.imag(v), ok
+
+        t0 = time.perf_counter()
+        vr, vi, ok = jax.block_until_ready(
+            banded(sh, sl, jnp.asarray(fnh), jnp.asarray(fnl)))
+        dt = time.perf_counter() - t0
+        if not bool(np.asarray(jax.device_get(ok))):
+            print(json.dumps({"warning": "banded span check failed"}))
+        return np.asarray(vr) + 1j * np.asarray(vi), dt, plan
 
     if node_model:
         # round-4 production form: beam x flux at the rank Chebyshev
@@ -355,6 +400,9 @@ def main():
     ap.add_argument("--node-model", action="store_true",
                     help="banded engine consumes the rank-r node "
                          "model (round-4 production form)")
+    ap.add_argument("--truth-amps", action="store_true",
+                    help="two-float node amps + dual spread (round-5 "
+                         "production form)")
     ap.add_argument("--golden", default="f32amps",
                     choices=["f32amps", "f64amps"],
                     help="f32amps: f64 transform of the shared f32 "
@@ -384,7 +432,7 @@ def main():
             prob, sh, sl, amps_np, bl_idx, args.nchan,
             ktaps=args.banded_k, tile=args.banded_tile,
             gblk=args.banded_gblk, rank=args.banded_rank,
-            node_model=args.node_model)
+            node_model=args.node_model, truth=args.truth_amps)
 
     cache = "/tmp/acc_ns_golden%s_%d_%d_%d.npz" % (
         "64" if args.golden == "f64amps" else "",
@@ -407,6 +455,8 @@ def main():
             "engine": name,
             "golden": args.golden,
             "node_model": (args.node_model if name == "banded"
+                           else None),
+            "truth_amps": (args.truth_amps if name == "banded"
                            else None),
             "recur": args.recur if name == "pallas" else None,
             "anchors": ([args.anchor_q, args.anchor_w]

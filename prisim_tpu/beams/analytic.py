@@ -100,6 +100,146 @@ def _offaxis_sin(dircos, pointing_dircos=None):
     return sinang, below
 
 
+def _j1_true(x, N=4096):
+    """True J1 in f64 via the integral representation
+    J1(x) = (1/pi) * int_0^pi cos(theta - x sin(theta)) dtheta,
+    midpoint rule (geometric convergence for analytic integrands;
+    validated to ~5e-17 against tabulated J1(1), J1(8)). Fit-time
+    only — never traced."""
+    x = np.asarray(x, np.float64)
+    th = (np.arange(N) + 0.5) * np.pi / N
+    return np.mean(np.cos(th[None, :] - x[:, None]
+                          * np.sin(th)[None, :]), axis=1)
+
+
+_AIRY_TAIL_HI = 32.0
+
+
+def _airy_tail_cheb(deg=40):
+    """Chebyshev coefficients of h(x) = 2 J1(x)/x on x in [8, 32]
+    (t = (x - 20)/12), fit in f64 against the true J1 integral.
+    Residual ~1e-16: on this domain the truth path needs no
+    trigonometry at all (the A&S asymptotic form is itself good to
+    2.3e-10 here, but its f32 evaluation loses ~3e-7 absolute to
+    sin/cos argument reduction at x~30)."""
+    xs = np.linspace(8.0, _AIRY_TAIL_HI, 4001)
+    h = 2.0 * _j1_true(xs) / xs
+    t = (xs - 20.0) / 12.0
+    return np.polynomial.chebyshev.chebfit(t, h, deg)
+
+
+_AIRY_TAIL_CHEB = _airy_tail_cheb()
+
+
+def _df_clenshaw(th, tl, coeffs):
+    """Two-float Clenshaw evaluation of a Chebyshev series at the
+    two-float argument (th + tl), coefficients host f64 (split into
+    exact two-float pairs). Absolute error ~deg * 2^-45 * max|b| —
+    f64-class for O(1) coefficient scales.
+
+    The recurrence runs as a lax.scan over the coefficient table: a
+    fully unrolled two-float chain of this depth sends the XLA CPU
+    optimizer super-linear (two such chains in one jit never finished
+    compiling), while the scan body is a handful of ops compiled
+    once."""
+    import jax
+    from .. import twofloat as tf
+    t2h, t2l = tf.df_add(th, tl, th, tl)
+    cs = np.asarray(coeffs, np.float64)
+    chs = cs.astype(np.float32)
+    cls = (cs - chs.astype(np.float64)).astype(np.float32)
+    ctab = jnp.asarray(np.stack([chs[:0:-1], cls[:0:-1]], axis=-1))
+    z = jnp.zeros_like(th)
+
+    def step(carry, c):
+        b1h, b1l, b2h, b2l = carry
+        ph, pl = tf.df_mul(t2h, t2l, b1h, b1l)
+        ph, pl = tf.df_add(ph, pl, -b2h, -b2l)
+        nh, nl = tf.df_add(ph, pl, c[0], c[1])
+        return (nh, nl, b1h, b1l), None
+
+    (b1h, b1l, b2h, b2l), _ = jax.lax.scan(step, (z, z, z, z), ctab)
+    c0h = np.float32(cs[0])
+    c0l = np.float32(cs[0] - np.float64(c0h))
+    ph, pl = tf.df_mul(th, tl, b1h, b1l)
+    ph, pl = tf.df_add(ph, pl, -b2h, -b2l)
+    return tf.df_add(ph, pl, c0h, c0l)
+
+
+def airy_beam_df(s_hi, s_lo, freqs, diameter, power=True):
+    """Two-float32 Airy power pattern at static frequencies —
+    ~f64-accurate on TPU hardware (no float64 anywhere).
+
+    The f32 `airy_beam` carries ~1-3e-7/element rounding whose
+    incoherent sum over north-star source counts floors every
+    engine's visibility error at ~3.5e-6 of scale vs the f64 truth
+    (benchmarks/accuracy_northstar.py --golden f64amps, round 5); the
+    reference never sees this because its beams are f64 numpy
+    (primary_beams.py:517). This path reproduces the f64 model to
+    ~1e-9: sin(theta) from the two-float source vectors via df_sqrt,
+    x = pi*D*nu/c * sin(theta) with exactly-split f64 constants, and
+    2*J1(x)/x by two-float Clenshaw — the existing [0,8) Chebyshev
+    plus a degree-40 true-J1 fit on [8,32] (no division, no trig).
+
+    s_hi, s_lo : (S, 3) two-float ENU direction cosines
+    freqs      : (r,) HOST f64 frequencies (static at trace time);
+                 requires pi*D*max(freqs)/c <= 32 (callers gate on
+                 airy_df_available)
+    Returns (hi, lo) of the (S, r) power (or field) pattern, zeroed
+    below the horizon (sign of the two-float Up component, matching
+    the f64 golden's mask)."""
+    from .. import twofloat as tf
+    freqs = np.asarray(freqs, np.float64)
+    a = np.pi * freqs * (diameter / CNST.c)      # x = a * sin(theta)
+    if a.max() > _AIRY_TAIL_HI:
+        raise ValueError("airy_beam_df: pi*D*nu/c = %.1f exceeds the "
+                         "[8,32] tail fit domain" % a.max())
+    ah = a.astype(np.float32)
+    al = (a - ah.astype(np.float64)).astype(np.float32)
+    ah = jnp.asarray(ah)[None, :]
+    al = jnp.asarray(al)[None, :]
+
+    lh, ll = s_hi[:, 0], s_lo[:, 0]
+    mh, ml = s_hi[:, 1], s_lo[:, 1]
+    s2h, s2l = tf.df_add(*tf.df_mul(lh, ll, lh, ll),
+                         *tf.df_mul(mh, ml, mh, ml))
+    over = (s2h + s2l) >= 1.0
+    s2h = jnp.where(over, 1.0, s2h)
+    s2l = jnp.where(over, 0.0, s2l)
+    sth, stl = tf.df_sqrt(s2h, s2l)
+
+    xh, xl = tf.df_mul(sth[:, None], stl[:, None], ah, al)   # (S, r)
+    # branch A: x < 8, g(u) = J1(x)/x on u = x^2
+    uh, ul = tf.df_mul(xh, xl, xh, xl)
+    tsh, tsl = tf.df_add_f(*(uh * np.float32(1.0 / 32.0),
+                             ul * np.float32(1.0 / 32.0)),
+                           np.float32(-1.0))
+    gh, gl = _df_clenshaw(tsh, tsl, _J1_CHEB)
+    smh, sml = 2.0 * gh, 2.0 * gl
+    # branch B: 8 <= x <= 32, h(x) = 2 J1(x)/x directly
+    c12 = 1.0 / 12.0
+    c12h = np.float32(c12)
+    c12l = np.float32(c12 - np.float64(c12h))
+    tth, ttl = tf.df_mul(*tf.df_add_f(xh, xl, np.float32(-20.0)),
+                         c12h, c12l)
+    bgh, bgl = _df_clenshaw(tth, ttl, _AIRY_TAIL_CHEB)
+    tail = xh >= 8.0
+    ph = jnp.where(tail, bgh, smh)
+    pl = jnp.where(tail, bgl, sml)
+    if power:
+        ph, pl = tf.df_mul(ph, pl, ph, pl)
+    above = (s_hi[:, 2] + s_lo[:, 2]) > 0.0
+    ph = jnp.where(above[:, None], ph, 0.0)
+    pl = jnp.where(above[:, None], pl, 0.0)
+    return ph, pl
+
+
+def airy_df_available(freqs, diameter):
+    """True when airy_beam_df's tail fit covers the band."""
+    return (np.pi * float(np.max(freqs)) * diameter / CNST.c
+            <= _AIRY_TAIL_HI)
+
+
 def airy_beam(dircos, freqs, diameter, pointing_dircos=None, power=True):
     """Airy pattern of a uniformly illuminated dish: 2 J1(x)/x with
     x = k (D/2) sin(theta) (cf. primary_beams.py:611-626)."""

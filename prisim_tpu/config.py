@@ -115,7 +115,18 @@ DEFAULT_PARMS = {
                    # the true full-channel amps and demotes on
                    # mismatch, so tabulated/non-smooth spectra are
                    # safe under both.
-                   "nufft_node_model": True},
+                   "nufft_node_model": True,
+                   # 'auto': two-float node amps + dual spread when
+                   # the beam has a two-float form (plain chromatic
+                   # Airy) — the ≤1e-6-vs-f64-truth path (round 5);
+                   # the f32 amps chain floors at ~3.5e-6 at
+                   # north-star source counts. false restores the
+                   # f32 node model.
+                   "nufft_truth_amps": "auto",
+                   # truth-mode model-adequacy gate: max |rank-r model
+                   # - true f32 amps| / max|amps| (healthy ~5e-7;
+                   # rank-4-on-an-octave ~1e-1)
+                   "nufft_resid_tol": 1e-4},
     "pp": {"key": "freq", "eqvol": True, "method": "pool",
            "mesh_axes": None, "n_chunks": 1},
     "flags": {"flag_chan": -1, "bp_flag_repeat": False,

@@ -894,6 +894,40 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
 
     beam_fn.needs_pointing = pointing_info is not None
 
+    # Two-float beam form for the truth-amps NUFFT path (round 5):
+    # attached when the configured beam reduces to a plain chromatic
+    # zenith Airy power pattern — the flagship drift configs. Anything
+    # steering, sectoring, ground-plane-modified, or non-dish keeps
+    # the f32 path (the engine falls back automatically).
+    if (_sector is None and pointing_info is None and not achromatic
+            and not (parms.get("beam") or {}).get("use_external")
+            and pol in ("X", "Y")
+            and not telescope.get("groundplane")):
+        from .beams.analytic import airy_beam_df, airy_df_available
+        tid = telescope.get("id")
+        odc = telescope.get("orientation_dircos")
+        # hera/hirax steer the Airy axis by orientation_dircos; the
+        # two-float form is zenith-only, so require it to BE zenith
+        # (the default [alt=90] orientation). The generic 'dish' shape
+        # ignores orientation entirely (dispatch.py).
+        zenith = odc is None or (abs(odc[0]) < 1e-12
+                                 and abs(odc[1]) < 1e-12
+                                 and odc[2] > 0)
+        dia = ((14.0 if tid == "hera" else 6.0) if
+               (tid in ("hera", "hirax") and zenith)
+               else telescope.get("size")
+               if (tid not in ("vla", "gmrt", "ugmrt", "mwa",
+                               "mwa_dipole", "paper", "hera", "hirax")
+                   and telescope.get("aperture_locs") is None
+                   and telescope.get("shape") == "dish") else None)
+        if dia and airy_df_available(freqs, float(dia)):
+            _dia = float(dia)
+
+            def _beam_df(s_hi, s_lo, f_nodes):
+                return airy_beam_df(s_hi, s_lo, f_nodes, _dia)
+
+            beam_fn.df_eval = _beam_df
+
     bm = parms.get("beam") or {}
     if bm.get("use_external") and bm.get("file"):
         # external HEALPix beam: host-side log-interp per snapshot
@@ -1116,7 +1150,7 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
                     node_model=node_model_m)
                 tol = float(parms["processing"].get(
                     "nufft_crosscheck_tol") or 2e-6)
-                dg, bg, okg = gsnap.gate_fn(
+                dg, bg, okg, _residg = gsnap.gate_fn(
                     jnp.asarray(Mh[0]), jnp.asarray(Ml[0]),
                     jnp.asarray(pch[0]), jnp.asarray(pcl[0]))
                 scale = max(float(np.abs(dg).max()), 1e-30)
@@ -1213,9 +1247,32 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
                       "source spectra may lose accuracy ungated "
                       "(set nufft_node_model: false for the "
                       "projection form)")
+            # truth-amps (round 5): the whole node-amps chain in
+            # two-float32 + a dual spread — takes the banded engine
+            # under 1e-6 vs the f64 model truth (the f32 chain floors
+            # at ~3.5e-6 at north-star source counts; BASELINE.md
+            # round 5). Auto-enabled when the beam carries a two-float
+            # form (plain chromatic Airy) and the node model is on.
+            truth_req = str(parms["processing"].get(
+                "nufft_truth_amps", "auto")).lower()
+            truth = None
+            if node_model and truth_req in ("auto", "true", "1",
+                                            "yes", "on") \
+                    and hasattr(beam_fn, "df_eval"):
+                from .engine.nufft_delay import chebyshev_node_model
+                nmt = chebyshev_node_model(freqs,
+                                           min(rank, freqs.size))
+                truth = {"beam_df": beam_fn.df_eval,
+                         "flux_nodes": sky.generate_spectrum(
+                             nmt.nu_nodes)}
+            elif truth_req in ("true", "1", "yes", "on"):
+                print("[prisim_tpu] nufft_truth_amps requested but "
+                      "unavailable (needs the node model and a "
+                      "two-float beam form); using the f32 path")
             snap_b = make_banded_snapshot_fns(
                 inst, sks, beam_fn, plan, pinvQ, Q, interpret=interp,
-                gate_src_block=src_block, node_model=node_model)
+                gate_src_block=src_block, node_model=node_model,
+                truth=truth)
             if parms["processing"].get("nufft_crosscheck", True):
                 # shared-amps gate (run BEFORE the snapshot pipeline so
                 # its direct working set has the whole HBM): one jit
@@ -1224,7 +1281,9 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
                 # instead of the ~3e-5 cross-program yardstick floor
                 tol = float(parms["processing"].get(
                     "nufft_crosscheck_tol") or 2e-6)
-                direct0, banded0, ok0 = snap_b.gate_fn(
+                rtol = float(parms["processing"].get(
+                    "nufft_resid_tol") or 1e-4)
+                direct0, banded0, ok0, resid0 = snap_b.gate_fn(
                     jnp.asarray(Mh[0]), jnp.asarray(Ml[0]),
                     jnp.asarray(pch[0]), jnp.asarray(pcl[0]))
                 dump = os.environ.get("PRISIM_DEBUG_XCHECK_DUMP")
@@ -1236,11 +1295,14 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
                              bl=np.asarray(bls.vectors), rank=rank)
                 scale = max(float(np.abs(direct0).max()), 1e-30)
                 rel = float(np.abs(banded0 - direct0).max()) / scale
-                if not ok0 or rel > tol:
+                resid_bad = truth is not None and resid0 > rtol
+                if not ok0 or rel > tol or resid_bad:
                     print("[prisim_tpu] banded NUFFT shared-amps "
-                          "cross-check FAILED (rel=%.2e > %.0e, ok=%s);"
-                          " falling back to the direct engine"
-                          % (rel, tol, ok0))
+                          "cross-check FAILED (rel=%.2e > %.0e, ok=%s"
+                          "%s); falling back to the direct engine"
+                          % (rel, tol, ok0,
+                             ", model resid=%.2e > %.0e"
+                             % (resid0, rtol) if resid_bad else ""))
                     p2 = dict(parms)
                     p2["processing"] = dict(parms["processing"],
                                             engine="direct")
@@ -1249,7 +1311,9 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
                                                  t0)
                 if verbose:
                     print("[prisim_tpu] banded/direct shared-amps "
-                          "cross-check ok (rel=%.2e)" % rel)
+                          "cross-check ok (rel=%.2e%s)"
+                          % (rel, ", truth amps, model resid=%.2e"
+                             % resid0 if truth is not None else ""))
                 direct0 = None        # generic gate below is bypassed
             # dispatch ahead of fetching (the tunnel's per-fetch
             # round-trip amortizes across queued snapshots), but BOUND

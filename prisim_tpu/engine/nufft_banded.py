@@ -720,10 +720,77 @@ def make_coeff_fn(freqs, rank, pinvQ, beam_fn, node_model=True):
     return coeffs
 
 
+def _df_matmul_rows(ah, al, M64):
+    """Two-float (S, k) @ f64 (k, n) -> (S, n) two-float.
+
+    M64 rides as exactly-split f32 pairs; the contraction runs as a
+    lax.scan over k with per-step df arithmetic (an unrolled two-float
+    chain of this size sends the XLA optimizer super-linear — see
+    beams/analytic._df_clenshaw)."""
+    import jax
+    import jax.numpy as jnp
+    from .. import twofloat as tf
+    M64 = np.asarray(M64, np.float64)
+    Mh = M64.astype(np.float32)
+    Ml = (M64 - Mh.astype(np.float64)).astype(np.float32)
+    z = jnp.zeros(ah.shape[:-1] + (M64.shape[1],), jnp.float32)
+
+    def step(carry, inp):
+        oh, ol = carry
+        avh, avl, rh, rl = inp
+        th, tl = tf.df_mul(avh[:, None], avl[:, None],
+                           rh[None, :], rl[None, :])
+        return tf.df_add(oh, ol, th, tl), None
+
+    (oh, ol), _ = jax.lax.scan(
+        step, (z, z),
+        (jnp.transpose(ah), jnp.transpose(al),
+         jnp.asarray(Mh), jnp.asarray(Ml)))
+    return oh, ol
+
+
+def make_coeff_fn_truth(freqs, rank, beam_df_fn):
+    """Two-float node-model coefficients — the round-5 truth-amps path.
+
+    The f32 amps chain floors EVERY engine's error vs the f64 model
+    truth at ~3.5e-6 of scale at north-star source counts: per-element
+    ~1e-7 evaluation/storage rounding, summed incoherently over ~4e5
+    sources (benchmarks/accuracy_northstar.py --golden f64amps,
+    round 5). The reference never sees this because its beam x flux
+    is f64 numpy (primary_beams.py:517, run_prisim.py catalog fluxes).
+    Here the whole node-amps chain is two-float32:
+
+      beam at the r Chebyshev nodes : beam_df_fn (e.g.
+                                      beams.analytic.airy_beam_df,
+                                      ~1e-9 vs the f64 model)
+      flux at the nodes             : HOST f64 (they are
+                                      time-independent), split hi/lo
+                                      and passed per call
+      values -> coefficients        : two-float scan matmul with the
+                                      exactly-split f64 node2coef
+
+    Returns coeffs_df(sh, sl, fnh, fnl) -> ((S, r) hi, (S, r) lo)
+    Chebyshev coefficient pairs; the caller runs the banded spread
+    twice (hi + lo payloads) and sums after the linear post stage.
+    Carries the NodeModel as .node_model."""
+    from .. import twofloat as tf
+    from .nufft_delay import chebyshev_node_model
+
+    nm = chebyshev_node_model(freqs, rank)
+
+    def coeffs_df(sh, sl, fnh, fnl):
+        bh, bl = beam_df_fn(sh, sl, nm.nu_nodes)
+        ah, al = tf.df_mul(bh, bl, fnh, fnl)
+        return _df_matmul_rows(ah, al, nm.node2coef64)
+
+    coeffs_df.node_model = nm
+    return coeffs_df
+
+
 def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
                              interpret=False, spatial_sort=True,
                              src_chunk=None, gate_src_block=512,
-                             node_model=True):
+                             node_model=True, truth=None):
     """Three separately-jitted stages for one banded snapshot.
 
     ``node_model`` (round 4, default): evaluate beam x flux at the
@@ -775,6 +842,17 @@ def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
     _coeffs = make_coeff_fn(instrument.freqs, plan.rank, pinvQ,
                             beam_fn, node_model=node_model)
     nm = _coeffs.node_model
+    _coeffs_df = None
+    if truth is not None:
+        # round-5 truth-amps path: two-float coefficient payloads,
+        # dual spread. truth = {"beam_df": fn(sh, sl, freqs_f64) ->
+        # (hi, lo), "flux_nodes": (S, r) HOST f64 in ORIGINAL source
+        # order} — permuted/padded here alongside the sky arrays.
+        _coeffs_df = make_coeff_fn_truth(instrument.freqs, plan.rank,
+                                         truth["beam_df"])
+        fluxn64 = np.asarray(truth["flux_nodes"], np.float64)
+        if spatial_sort:
+            fluxn64 = fluxn64[perm]
 
     # Source chunking: prep materializes a (2 x D_dirs x S_chunk) f32
     # two-float u plus several temps of the same shape — at HERA-331's
@@ -804,27 +882,56 @@ def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
         flux_a = jnp.concatenate(
             [flux_a, jnp.zeros((S_pad - S, flux_a.shape[1]),
                                flux_a.dtype)])
+    fnh_a = fnl_a = None
+    if truth is not None:
+        if S_pad != S:
+            fluxn64 = np.concatenate(
+                [fluxn64, np.zeros((S_pad - S, fluxn64.shape[1]))])
+        fnh_np, fnl_np = tf.split_f64(fluxn64)
+        fnh_a = jnp.asarray(fnh_np)
+        fnl_a = jnp.asarray(fnl_np)
 
-    def _chunk_sweep(Mh, Ml, pch, pcl, seqh, seql, flux):
+    def _payloads(sh, sl, fx_c, pch, fnh_c, fnl_c):
+        """Chunk spectral payloads: one P in the f32 forms, (P_hi,
+        P_lo) two-float pair in truth mode."""
+        if truth is not None:
+            return _coeffs_df(sh, sl, fnh_c, fnl_c)
+        return (_coeffs(sh, fx_c, pch),)
+
+    n_pay = 2 if truth is not None else 1
+
+    def _chunk_sweep(Mh, Ml, pch, pcl, seqh, seql, flux, fnh, fnl):
         def chunk(carry, c):
-            tot, okc = carry
+            tots, okc = carry
             s0 = c * src_chunk
             sh_c = jax.lax.dynamic_slice_in_dim(seqh, s0, src_chunk)
             sl_c = jax.lax.dynamic_slice_in_dim(seql, s0, src_chunk)
             fx_c = jax.lax.dynamic_slice_in_dim(flux, s0, src_chunk)
+            fnh_c = fnl_c = None
+            if truth is not None:
+                fnh_c = jax.lax.dynamic_slice_in_dim(fnh, s0,
+                                                     src_chunk)
+                fnl_c = jax.lax.dynamic_slice_in_dim(fnl, s0,
+                                                     src_chunk)
             sh, sl = df_rotate3(Mh, Ml, sh_c, sl_c)
             seh, sel = tf.df_add(sh, sl, -pch[None, :], -pcl[None, :])
-            P = _coeffs(sh, fx_c, pch)
-            u_h, u_l, P_r, ok = _prep(plan, seh, sel, P)
-            out = _banded_spread(plan, u_h, u_l, P_r,
-                                 interpret=interpret)
-            return (tot + out, jnp.logical_and(okc, ok)), None
+            Ps = _payloads(sh, sl, fx_c, pch, fnh_c, fnl_c)
+            u_h, u_l, P_r, ok = _prep(plan, seh, sel, Ps[0])
+            outs = [_banded_spread(plan, u_h, u_l, P_r,
+                                   interpret=interpret)]
+            for P2 in Ps[1:]:
+                P2_r = jnp.transpose(jnp.asarray(P2, jnp.float32))
+                outs.append(_banded_spread(plan, u_h, u_l, P2_r,
+                                           interpret=interpret))
+            return (tuple(t + o for t, o in zip(tots, outs)),
+                    jnp.logical_and(okc, ok)), None
 
-        init = (jnp.zeros((plan.nbl, plan.R_max, 2 * plan.rank),
-                          jnp.float32), jnp.bool_(True))
-        (tot, ok), _ = jax.lax.scan(chunk, init,
-                                    jnp.arange(n_chunks))
-        return tot, ok
+        zero = jnp.zeros((plan.nbl, plan.R_max, 2 * plan.rank),
+                         jnp.float32)
+        init = ((zero,) * n_pay, jnp.bool_(True))
+        (tots, ok), _ = jax.lax.scan(chunk, init,
+                                     jnp.arange(n_chunks))
+        return tots, ok
 
     @jax.jit
     def stage_prep(Mh, Ml, pch, pcl, s_eq_hi, s_eq_lo, flux):
@@ -851,108 +958,178 @@ def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
     # overhead was ~40% of the banded snapshot wall-clock,
     # bench_nufft_banded stage rows vs fused row).
     if n_chunks == 1:
-        def _prep_impl(Mh, Ml, pch, pcl, s_eq_hi, s_eq_lo, flux):
-            sh, sl = df_rotate3(Mh, Ml, s_eq_hi, s_eq_lo)
-            seh, sel = tf.df_add(sh, sl, -pch[None, :], -pcl[None, :])
-            P = _coeffs(sh, flux, pch)
-            return _prep(plan, seh, sel, P)
-
         @jax.jit
-        def _fused(Mh, Ml, pch, pcl, seqh, seql, flux):
-            u_h, u_l, P_r, ok = _prep_impl(Mh, Ml, pch, pcl, seqh,
-                                           seql, flux)
-            out = _banded_spread(plan, u_h, u_l, P_r,
-                                 interpret=interpret)
-            return _post(plan, out, Q_j, matmul_fft=not interpret), ok
+        def _fused(Mh, Ml, pch, pcl, seqh, seql, flux, fnh, fnl):
+            sh, sl = df_rotate3(Mh, Ml, seqh, seql)
+            seh, sel = tf.df_add(sh, sl, -pch[None, :], -pcl[None, :])
+            Ps = _payloads(sh, sl, flux, pch, fnh, fnl)
+            u_h, u_l, P_r, ok = _prep(plan, seh, sel, Ps[0])
+            v = _post(plan, _banded_spread(plan, u_h, u_l, P_r,
+                                           interpret=interpret),
+                      Q_j, matmul_fft=not interpret)
+            for P2 in Ps[1:]:
+                # truth mode: the lo payload rides the same u streams;
+                # _post is linear, and the correction (~60 ulp of the
+                # hi visibilities) adds cleanly in complex64
+                P2_r = jnp.transpose(jnp.asarray(P2, jnp.float32))
+                v = v + _post(plan,
+                              _banded_spread(plan, u_h, u_l, P2_r,
+                                             interpret=interpret),
+                              Q_j, matmul_fft=not interpret)
+            return v, ok
 
         def run(Mh, Ml, pch, pcl):
-            return _fused(Mh, Ml, pch, pcl, seqh_a, seql_a, flux_a)
+            return _fused(Mh, Ml, pch, pcl, seqh_a, seql_a, flux_a,
+                          fnh_a, fnl_a)
 
         run.stages = (stage_prep, stage_spread, stage_post)
     else:
         @jax.jit
-        def _fused_chunked(Mh, Ml, pch, pcl, seqh, seql, flux):
-            out, ok = _chunk_sweep(Mh, Ml, pch, pcl, seqh, seql, flux)
-            return _post(plan, out, Q_j, matmul_fft=not interpret), ok
+        def _fused_chunked(Mh, Ml, pch, pcl, seqh, seql, flux, fnh,
+                           fnl):
+            outs, ok = _chunk_sweep(Mh, Ml, pch, pcl, seqh, seql,
+                                    flux, fnh, fnl)
+            v = _post(plan, outs[0], Q_j, matmul_fft=not interpret)
+            for o in outs[1:]:
+                v = v + _post(plan, o, Q_j, matmul_fft=not interpret)
+            return v, ok
 
         sweep_jit = jax.jit(_chunk_sweep)
 
         def run(Mh, Ml, pch, pcl):
             return _fused_chunked(Mh, Ml, pch, pcl, seqh_a, seql_a,
-                                  flux_a)
+                                  flux_a, fnh_a, fnl_a)
 
         run.stages = (sweep_jit, stage_post)
-    def _gate_impl(Mh, Ml, pch, pcl, seqh, seql, flux):
+    def _gate_impl(Mh, Ml, pch, pcl, seqh, seql, flux, fnh, fnl):
         """Shared-program cross-check: ONE jit program computes the
         source vectors once per chunk and feeds BOTH the exact direct
-        NUDFT and the banded pipeline. Under the node model the direct
-        reference consumes the TRUE full-channel beam x flux amps while
-        the banded side consumes the rank-r node interpolant, so the
-        gate measures transform error AND model inadequacy (a rank too
-        low for the band trips it — tests/test_round4.py demotion
-        test). The comparison's floor is the per-element f32
-        beam-evaluation difference between the two paths summed over
-        sources; with the Chebyshev J1 (beams/analytic.py) that noise
-        is ~1ulp incoherent rounding, not the old A&S cancellation
-        jitter, so the 2e-6 default holds at north-star source counts
-        (probe_truth round 4).
+        NUDFT and the banded pipeline. Under the f32 node model the
+        direct reference consumes the TRUE full-channel beam x flux
+        amps while the banded side consumes the rank-r node
+        interpolant, so the gate measures transform error AND model
+        inadequacy (a rank too low for the band trips it —
+        tests/test_round4.py demotion test). The comparison's floor is
+        the per-element f32 beam-evaluation difference between the two
+        paths summed over sources; with the Chebyshev J1
+        (beams/analytic.py) that noise is ~1ulp incoherent rounding,
+        not the old A&S cancellation jitter, so the 2e-6 default holds
+        at north-star source counts (probe_truth round 4).
+
+        In TRUTH mode the banded engine is more accurate than an f32
+        direct reference (that's the point), so the direct side
+        consumes the same two-float model amps, the transform
+        comparison stays at the 2e-6 class, and model adequacy is
+        gated separately via the amps-space residual (`resid` return;
+        driver tol 1e-4 — rank-4-on-an-octave measures ~1e-1, the
+        healthy floor is ~5e-7).
 
         Comparing engines that re-evaluate the beam in separate jit
         programs carries a ~1e-7 per-element cross-program beam
         difference that sums coherently over north-star source counts
         into a ~3e-5 floor (round-3 yardstick lesson, BASELINE.md) —
         two orders looser than the 1e-6 spec the gate should enforce.
-        Returns (direct re, direct im, banded re, banded im, ok)."""
+        Returns (direct re, direct im, banded re, banded im, ok,
+        resid)."""
         from .nudft import nudft_visibilities
         gs = instrument.grid_scalars()
         nchan = instrument.nchan
         nbl = plan.nbl_full        # direct side runs the FULL bl set
 
         def chunk(carry, c):
-            tot, okc, vd, comp = carry
+            tots, okc, vd, comp, vdl, rmax, amax = carry
             s0 = c * src_chunk
             sh_c = jax.lax.dynamic_slice_in_dim(seqh, s0, src_chunk)
             sl_c = jax.lax.dynamic_slice_in_dim(seql, s0, src_chunk)
             fx_c = jax.lax.dynamic_slice_in_dim(flux, s0, src_chunk)
+            fnh_c = fnl_c = None
+            if truth is not None:
+                fnh_c = jax.lax.dynamic_slice_in_dim(fnh, s0,
+                                                     src_chunk)
+                fnl_c = jax.lax.dynamic_slice_in_dim(fnl, s0,
+                                                     src_chunk)
             sh, sl = df_rotate3(Mh, Ml, sh_c, sl_c)
             seh, sel = tf.df_add(sh, sl, -pch[None, :], -pcl[None, :])
-            P = _coeffs(sh, fx_c, pch)
+            Ps = _payloads(sh, sl, fx_c, pch, fnh_c, fnl_c)
             amps = _beam_and_flux(sh, fx_c, freqs_f32, beam_fn,
                                   pc=pch)
-            u_h, u_l, P_r, ok = _prep(plan, seh, sel, P)
-            out = _banded_spread(plan, u_h, u_l, P_r,
-                                 interpret=interpret)
-            vc = nudft_visibilities(seh, sel, instrument.bl_hi,
-                                    instrument.bl_lo, amps, gs, nchan,
-                                    src_block=gate_src_block)
+            u_h, u_l, P_r, ok = _prep(plan, seh, sel, Ps[0])
+            outs = [_banded_spread(plan, u_h, u_l, P_r,
+                                   interpret=interpret)]
+            for P2 in Ps[1:]:
+                P2_r = jnp.transpose(jnp.asarray(P2, jnp.float32))
+                outs.append(_banded_spread(plan, u_h, u_l, P2_r,
+                                           interpret=interpret))
+            if truth is None:
+                vc = nudft_visibilities(seh, sel, instrument.bl_hi,
+                                        instrument.bl_lo, amps, gs,
+                                        nchan,
+                                        src_block=gate_src_block)
+                vlo = jnp.zeros_like(vd)
+                rm = ra = jnp.float32(0.0)
+            else:
+                # truth mode: the direct reference consumes THE SAME
+                # two-float rank-r model amps the banded side spreads
+                # (expanded to channels in two-float; a single-f32
+                # direct side would re-introduce its own ~3.5e-6
+                # amps-rounding floor and trip the gate against a
+                # MORE accurate engine). Model adequacy is gated
+                # separately in amps space below.
+                amh, aml = _df_matmul_rows(
+                    Ps[0], Ps[1], _coeffs_df.node_model.Q64.T)
+                vc = nudft_visibilities(seh, sel, instrument.bl_hi,
+                                        instrument.bl_lo, amh, gs,
+                                        nchan,
+                                        src_block=gate_src_block)
+                vlo = nudft_visibilities(seh, sel, instrument.bl_hi,
+                                         instrument.bl_lo, aml, gs,
+                                         nchan,
+                                         src_block=gate_src_block)
+                # rank-r model residual vs the true full-channel f32
+                # amps: catches a rank too low for the band (or a
+                # non-smooth tabulated spectrum) that the shared-model
+                # transform comparison can no longer see
+                rm = jnp.max(jnp.abs((amh - amps) + aml))
+                ra = jnp.max(jnp.abs(amps))
             # Kahan across chunks (few, but free)
             y = vc - comp
             t = vd + y
-            return (tot + out, jnp.logical_and(okc, ok), t,
-                    (t - vd) - y), None
+            return (tuple(tt + o for tt, o in zip(tots, outs)),
+                    jnp.logical_and(okc, ok), t,
+                    (t - vd) - y, vdl + vlo,
+                    jnp.maximum(rmax, rm), jnp.maximum(amax, ra)), None
 
         # The banded accumulator runs over the COLLAPSED (unique
         # canonical) rows — _banded_spread returns plan.nbl rows and
         # _post re-expands to nbl_full; the direct-side vd/comp
         # accumulators run over the FULL set.
-        init = (jnp.zeros((plan.nbl, plan.R_max, 2 * plan.rank),
-                          jnp.float32), jnp.bool_(True),
+        zero = jnp.zeros((plan.nbl, plan.R_max, 2 * plan.rank),
+                         jnp.float32)
+        init = ((zero,) * n_pay, jnp.bool_(True),
                 jnp.zeros((nbl, nchan), jnp.complex64),
-                jnp.zeros((nbl, nchan), jnp.complex64))
-        (tot, ok, vd, _), _ = jax.lax.scan(chunk, init,
-                                           jnp.arange(n_chunks))
-        vb = _post(plan, tot, Q_j, matmul_fft=not interpret)
+                jnp.zeros((nbl, nchan), jnp.complex64),
+                jnp.zeros((nbl, nchan), jnp.complex64),
+                jnp.float32(0.0), jnp.float32(0.0))
+        (tots, ok, vd, _, vdl, rmax, amax), _ = jax.lax.scan(
+            chunk, init, jnp.arange(n_chunks))
+        vd = vd + vdl
+        vb = _post(plan, tots[0], Q_j, matmul_fft=not interpret)
+        for o in tots[1:]:
+            vb = vb + _post(plan, o, Q_j, matmul_fft=not interpret)
+        resid = rmax / jnp.maximum(amax, jnp.float32(1e-30))
         return (jnp.real(vd), jnp.imag(vd), jnp.real(vb),
-                jnp.imag(vb), ok)
+                jnp.imag(vb), ok, resid)
 
     gate_jit = jax.jit(_gate_impl)
 
     def gate(Mh, Ml, pch, pcl):
-        dr, di, br, bi, ok = gate_jit(Mh, Ml, pch, pcl, seqh_a,
-                                      seql_a, flux_a)
+        dr, di, br, bi, ok, resid = gate_jit(Mh, Ml, pch, pcl, seqh_a,
+                                             seql_a, flux_a, fnh_a,
+                                             fnl_a)
         direct0 = np.asarray(dr) + 1j * np.asarray(di)
         banded0 = np.asarray(br) + 1j * np.asarray(bi)
-        return direct0, banded0, bool(np.asarray(ok))
+        return direct0, banded0, bool(np.asarray(ok)), \
+            float(np.asarray(resid))
 
     run.gate_fn = gate
     run.n_chunks = n_chunks

@@ -781,7 +781,8 @@ def chebyshev_node_model(freqs, rank):
     return NodeModel(
         nu_nodes=nu_nodes, node2coef=Vinv.T.astype(np.float32),
         V=V.astype(np.float32), Q=Q.astype(np.float32),
-        expand=(Q @ Vinv).astype(np.float32))
+        expand=(Q @ Vinv).astype(np.float32),
+        node2coef64=Vinv.T, Q64=Q)
 
 
 @dataclass
@@ -793,6 +794,8 @@ class NodeModel:
     V: np.ndarray
     Q: np.ndarray
     expand: np.ndarray
+    node2coef64: np.ndarray = None   # f64 twins for the two-float
+    Q64: np.ndarray = None           # truth-amps path (round 5)
 
 
 def spectral_project(amps, pinvQ, block=128):

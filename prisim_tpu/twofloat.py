@@ -89,6 +89,24 @@ def df_neg(xh, xl):
     return -xh, -xl
 
 
+def df_sqrt(xh, xl, xp=jnp):
+    """sqrt(xh+xl) -> normalized two-float, for x >= 0.
+
+    One Newton refinement of the f32 rsqrt seed in two-float
+    arithmetic: s0 = x*r, e = x - s0^2 (exact via two_prod), s = s0 +
+    e*r/2. Relative error ~2^-45; x == 0 maps to (0, 0) exactly."""
+    safe = xp.maximum(xh, np.float32(1e-30))
+    r = 1.0 / xp.sqrt(safe)
+    s0 = safe * r                       # ~sqrt(x), f32
+    p, pe = two_prod(s0, s0)            # s0^2 exactly
+    # e = (x - s0^2) in two-float; |e| <~ ulp(x)
+    eh, el = df_add(xh, xl, -p, -pe)
+    corr = (eh + el) * (0.5 * r)
+    h, lo = fast_two_sum(s0, corr)
+    zero = xh <= 0.0
+    return xp.where(zero, 0.0, h), xp.where(zero, 0.0, lo)
+
+
 def df_frac(xh, xl, xp=jnp):
     """Reduce a two-float to its fractional part in [-0.5, 0.5].
 

@@ -344,10 +344,17 @@ def delay_transform(vs, pad=1.0, freq_wts=None):
     lags = win.spectral_axis(nchan, delx=df, shift=True, xp=np)
     updates = {"lags": lags, "bp_wts": np.asarray(bp_wts)}
 
+    # ONE jit program (shared across the vis cubes — same shape): the
+    # axon TPU backend leaves some ops unimplemented in EAGER dispatch
+    # (jnp.pad raised Unimplemented on-chip, flushed out by BASELINE
+    # config #3), and compiled execution is what this path wants
+    # anyway.
+    import jax
+    _dt_jit = jax.jit(lambda a: win.ifft_delay_transform(
+        a, df, pad=pad, axis=1))
+
     def _dt(arr):
-        out = win.ifft_delay_transform(jnp.asarray(arr * bp * bp_wts),
-                                       df, pad=pad, axis=1)
-        return np.asarray(out)
+        return np.asarray(_dt_jit(jnp.asarray(arr * bp * bp_wts)))
 
     for name, arr in vs._vis_cubes():
         updates[name + "_lag"] = _dt(np.asarray(arr))
