@@ -197,6 +197,85 @@ def run_engines(prob, sh, sl, amps_np, bl_idx, nchan, recur=None,
     return out, timing
 
 
+def model_amps_df(prob, rank, diameter=14.0, chunk=65536):
+    """(hi, lo) f32 pair of the rank-r node-model amps, computed on the
+    host in f64 — the channel-expanded twin of the engine truth-amps
+    path (engine/nufft_banded.make_coeff_fn_truth): Airy model beam
+    (Chebyshev [0,8) + true-J1 tail fit [8,32], beams/analytic.py) at
+    the Chebyshev node frequencies x f64 power-law flux, coefficients
+    by node interpolation, expanded with Q64."""
+    from prisim_tpu import constants as CNST
+    from prisim_tpu.beams.analytic import _J1_CHEB, _AIRY_TAIL_CHEB
+    from prisim_tpu.engine.nufft_delay import chebyshev_node_model
+
+    nm = chebyshev_node_model(prob["freqs"], rank)
+    s = prob["s_enu"]
+    S = s.shape[0]
+    C = prob["freqs"].size
+    fp = prob["flux_parms"]
+    sin_t = np.sqrt(np.clip(s[:, 0] ** 2 + s[:, 1] ** 2, 0.0, 1.0))
+    below = s[:, 2] < 0.0
+    a = np.pi * nm.nu_nodes * diameter / CNST.c
+    hi = np.empty((S, C), np.float32)
+    lo = np.empty((S, C), np.float32)
+    M = nm.node2coef64 @ nm.Q64.T                       # (r, C)
+    for i0 in range(0, S, chunk):
+        sl = slice(i0, min(i0 + chunk, S))
+        x = a[None, :] * sin_t[sl, None]                # (s, r)
+        small = 2.0 * np.polynomial.chebyshev.chebval(
+            x * x / 32.0 - 1.0, _J1_CHEB)
+        tail = np.polynomial.chebyshev.chebval((x - 20.0) / 12.0,
+                                               _AIRY_TAIL_CHEB)
+        pat = np.where(x < 8.0, small, tail) ** 2
+        fluxn = fp["flux_scale"][sl, None] * (
+            nm.nu_nodes[None, :] / fp["freq_ref"][sl, None]) \
+            ** fp["power_law_index"][sl, None]
+        amps = np.where(below[sl, None], 0.0,
+                        (pat * fluxn) @ M)              # (s, C) f64
+        hi[sl] = amps.astype(np.float32)
+        lo[sl] = (amps - hi[sl].astype(np.float64)).astype(np.float32)
+    return hi, lo
+
+
+def run_pallas_truth(prob, sh, sl, bl_idx, nchan, rank, recur=None,
+                     anchor_q=8, anchor_w=None):
+    """Direct Pallas kernel fed the TRUTH amps as a two-float pair —
+    two kernel passes (the NUDFT is linear; the lo visibilities are
+    ~60 ulp of the hi ones and add cleanly in complex128 on host).
+    Expected error vs the f64 truth: the kernel's own transform floor
+    (8.8e-7 measured round 3) + the rank-r model convergence (~1.5e-7)
+    with the f32 amps chain eliminated."""
+    import jax
+    import jax.numpy as jnp
+    from prisim_tpu import twofloat as tf
+    from prisim_tpu.engine.pallas_nudft import nudft_pallas
+
+    inst = prob["inst"]
+    pch, pcl = tf.split_f64(prob["pc"])
+    seh, sel = tf.df_add(sh, sl, -jnp.asarray(pch)[None, :],
+                         -jnp.asarray(pcl)[None, :])
+    blh = jnp.asarray(np.asarray(inst.bl_hi)[bl_idx])
+    bll = jnp.asarray(np.asarray(inst.bl_lo)[bl_idx])
+    gs = inst.grid_scalars()
+    amps_h, amps_l = model_amps_df(prob, rank)
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def pal(seh, sel, amps):
+        v = nudft_pallas(seh, sel, blh, bll, amps, gs, nchan,
+                         recur=recur, anchor_q=anchor_q,
+                         anchor_w=anchor_w)
+        return jnp.real(v), jnp.imag(v)
+
+    t0 = time.perf_counter()
+    vr, vi = jax.block_until_ready(pal(seh, sel, jnp.asarray(amps_h)))
+    V = (np.asarray(vr).astype(np.float64)
+         + 1j * np.asarray(vi).astype(np.float64))
+    vr, vi = jax.block_until_ready(pal(seh, sel, jnp.asarray(amps_l)))
+    V = V + (np.asarray(vr).astype(np.float64)
+             + 1j * np.asarray(vi).astype(np.float64))
+    return V, time.perf_counter() - t0
+
+
 def f64_amps(prob, diameter=14.0):
     """(S, C) f64 model amps — the truth yardstick. Airy (power) via
     the same Chebyshev J1 model the engine evaluates in f32, times the
@@ -403,6 +482,9 @@ def main():
     ap.add_argument("--truth-amps", action="store_true",
                     help="two-float node amps + dual spread (round-5 "
                          "production form)")
+    ap.add_argument("--pallas-truth", action="store_true",
+                    help="direct Pallas kernel on two-float model "
+                         "amps (dual pass) — the spec-accuracy mode")
     ap.add_argument("--golden", default="f32amps",
                     choices=["f32amps", "f64amps"],
                     help="f32amps: f64 transform of the shared f32 "
@@ -427,6 +509,11 @@ def main():
                                   anchor_q=args.anchor_q,
                                   anchor_w=args.anchor_w)
     plan = None
+    if args.pallas_truth:
+        eng["pallas_truth"], timing["pallas_truth"] = run_pallas_truth(
+            prob, sh, sl, bl_idx, args.nchan, args.banded_rank,
+            recur=args.recur, anchor_q=args.anchor_q,
+            anchor_w=args.anchor_w)
     if args.banded or args.banded_only:
         eng["banded"], timing["banded"], plan = run_banded(
             prob, sh, sl, amps_np, bl_idx, args.nchan,
