@@ -93,7 +93,16 @@ DEFAULT_PARMS = {
                    # silently overrode the auto logic and put an
                    # 8.4e-4 coherent octave-band fit error in every
                    # banded north-star run (root-caused round 3)
-                   "engine": "direct", "nufft_rank": None,
+                   # 'auto' (round 5, production default): the gated
+                   # banded NUFFT on TPU — with truth amps it measures
+                   # 1.28e-6 vs the f64 truth at north-star scale
+                   # where the direct engines floor at 3.6-4.8e-6
+                   # (BASELINE.md round 5), at 23x the direct kernel's
+                   # speed; the shared-amps + model-residual gates
+                   # demote any degraded run. CPU backends (and
+                   # gradient/extended runs on any backend) keep the
+                   # direct engine. 'direct' opts out explicitly.
+                   "engine": "auto", "nufft_rank": None,
                    # 'auto' = banded Pallas spread on TPU, sorted on
                    # CPU backends (a hard 'sorted' default silently
                    # kept TPU engine:nufft runs on the direct engine

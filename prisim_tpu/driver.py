@@ -1009,7 +1009,15 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
         src_block = min(src_block, mem_block)
     out = None
     pp = parms.get("pp") or {}
-    engine = (parms["processing"].get("engine") or "direct").lower()
+    engine = (parms["processing"].get("engine") or "auto").lower()
+    if engine == "auto":
+        # production default (round 5): gated banded NUFFT on TPU,
+        # direct elsewhere. Gradient/extended-source runs fall back
+        # inside the nufft branch as before.
+        from .engine.nufft_banded import banded_spread_available
+        engine = ("nufft" if (jax.devices()[0].platform == "tpu"
+                              and banded_spread_available())
+                  else "direct")
     if engine == "nufft" and jax.devices()[0].platform == "tpu":
         # TPU honesty gate (measured, BASELINE.md round 2): the sorted
         # XLA spread runs ~100x SLOWER than the direct Pallas kernel on
@@ -1118,6 +1126,18 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
             interp_m = jax.devices()[0].platform != "tpu"
             node_model_m = bool(parms["processing"].get(
                 "nufft_node_model", True))
+            rank_m = min(rank, max(2, freqs.size // 2))
+            truth_req_m = str(parms["processing"].get(
+                "nufft_truth_amps", "auto")).lower()
+            truth_m = None
+            if node_model_m and truth_req_m in ("auto", "true", "1",
+                                                "yes", "on") \
+                    and hasattr(beam_fn, "df_eval"):
+                from .engine.nufft_delay import chebyshev_node_model
+                nmt = chebyshev_node_model(freqs, rank_m)
+                truth_m = {"beam_df": beam_fn.df_eval,
+                           "flux_nodes": sky.generate_spectrum(
+                               nmt.nu_nodes)}
             if parms["processing"].get("nufft_crosscheck", True):
                 # Shared-amps gate for the mesh path (VERDICT r4 item
                 # 5): one single-device jit program feeds the exact
@@ -1129,7 +1149,6 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
                 # ~3e-5 cross-program beam-recompute floor.
                 from .engine.nufft_banded import (
                     make_banded_plan, make_banded_snapshot_fns)
-                rank_m = min(rank, max(2, freqs.size // 2))
                 try:
                     gplan = make_banded_plan(
                         np.asarray(bls.vectors), inst.nu0, inst.dnu,
@@ -1147,19 +1166,24 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
                 gsnap = make_banded_snapshot_fns(
                     inst, sks, beam_fn, gplan, pinvQ, Q,
                     interpret=interp_m, gate_src_block=src_block,
-                    node_model=node_model_m)
+                    node_model=node_model_m, truth=truth_m)
                 tol = float(parms["processing"].get(
                     "nufft_crosscheck_tol") or 2e-6)
-                dg, bg, okg, _residg = gsnap.gate_fn(
+                rtol_m = float(parms["processing"].get(
+                    "nufft_resid_tol") or 1e-4)
+                dg, bg, okg, residg = gsnap.gate_fn(
                     jnp.asarray(Mh[0]), jnp.asarray(Ml[0]),
                     jnp.asarray(pch[0]), jnp.asarray(pcl[0]))
                 scale = max(float(np.abs(dg).max()), 1e-30)
                 rel = float(np.abs(bg - dg).max()) / scale
-                if not okg or rel > tol:
+                resid_bad = truth_m is not None and residg > rtol_m
+                if not okg or rel > tol or resid_bad:
                     print("[prisim_tpu] banded NUFFT mesh shared-amps "
-                          "cross-check FAILED (rel=%.2e > %.0e, ok=%s)"
-                          "; falling back to the direct engine"
-                          % (rel, tol, okg))
+                          "cross-check FAILED (rel=%.2e > %.0e, ok=%s"
+                          "%s); falling back to the direct engine"
+                          % (rel, tol, okg,
+                             ", model resid=%.2e > %.0e"
+                             % (residg, rtol_m) if resid_bad else ""))
                     p2 = dict(parms)
                     p2["processing"] = dict(parms["processing"],
                                             engine="direct")
@@ -1168,11 +1192,14 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
                                                  t0)
                 if verbose:
                     print("[prisim_tpu] banded/direct mesh shared-amps"
-                          " cross-check ok (rel=%.2e)" % rel)
+                          " cross-check ok (rel=%.2e%s)"
+                          % (rel, ", truth amps, model resid=%.2e"
+                             % residg if truth_m is not None else ""))
             vis_cube, ok_b = simulate_drift_banded_sharded(
                 inst, sks, obs, beam_fn, nmesh,
                 rank=min(rank, freqs.size),
-                interpret=interp_m, node_model=node_model_m)
+                interpret=interp_m, node_model=node_model_m,
+                truth=truth_m)
             if not ok_b:
                 print("[prisim_tpu] banded NUFFT unit-source check "
                       "failed; re-running with the sorted spread")

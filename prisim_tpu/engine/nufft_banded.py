@@ -550,6 +550,20 @@ def _prep(plan, seh, sel, P):
     return uh.reshape(1, -1), ul.reshape(1, -1), P_r, ok
 
 
+def _payload_T(plan, P):
+    """Transpose (and T_s-pad) a SECOND spectral payload to ride the
+    u streams `_prep` built for the first one (truth mode's lo
+    payload). Must pad identically — `_banded_spread` derives S_pad
+    from the payload shape, and an unpadded payload silently swept
+    zero tiles."""
+    import jax.numpy as jnp
+    S = P.shape[0]
+    S_pad = -(-S // plan.T_s) * plan.T_s
+    if S_pad != S:
+        P = jnp.pad(P, ((0, S_pad - S), (0, 0)))
+    return jnp.transpose(jnp.asarray(P, jnp.float32))
+
+
 def _fft_matmul(x):
     """FFT along axis 1 of (B, n, r) complex64 via a 4-step
     Cooley-Tukey (n = n1*n2) with dense HIGHEST-precision twiddle
@@ -920,7 +934,7 @@ def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
             outs = [_banded_spread(plan, u_h, u_l, P_r,
                                    interpret=interpret)]
             for P2 in Ps[1:]:
-                P2_r = jnp.transpose(jnp.asarray(P2, jnp.float32))
+                P2_r = _payload_T(plan, P2)
                 outs.append(_banded_spread(plan, u_h, u_l, P2_r,
                                            interpret=interpret))
             return (tuple(t + o for t, o in zip(tots, outs)),
@@ -971,7 +985,7 @@ def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
                 # truth mode: the lo payload rides the same u streams;
                 # _post is linear, and the correction (~60 ulp of the
                 # hi visibilities) adds cleanly in complex64
-                P2_r = jnp.transpose(jnp.asarray(P2, jnp.float32))
+                P2_r = _payload_T(plan, P2)
                 v = v + _post(plan,
                               _banded_spread(plan, u_h, u_l, P2_r,
                                              interpret=interpret),
@@ -1057,7 +1071,7 @@ def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
             outs = [_banded_spread(plan, u_h, u_l, P_r,
                                    interpret=interpret)]
             for P2 in Ps[1:]:
-                P2_r = jnp.transpose(jnp.asarray(P2, jnp.float32))
+                P2_r = _payload_T(plan, P2)
                 outs.append(_banded_spread(plan, u_h, u_l, P2_r,
                                            interpret=interpret))
             if truth is None:

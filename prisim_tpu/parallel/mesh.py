@@ -259,7 +259,7 @@ def simulate_drift_nufft_sharded(instrument, sky, observation, beam_fn,
 
 def simulate_drift_banded_sharded(instrument, sky, observation, beam_fn,
                                   mesh, rank=32, interpret=False,
-                                  node_model=True):
+                                  node_model=True, truth=None):
     """Drift scan through the banded-spread NUFFT engine (the TPU-fast
     path, engine/nufft_banded.py), sharded over the 'bl' mesh axis.
 
@@ -277,7 +277,7 @@ def simulate_drift_banded_sharded(instrument, sky, observation, beam_fn,
     import dataclasses
     from ..engine.nufft_banded import (make_banded_plan, _prep,
                                        _banded_spread, _post,
-                                       spatial_permutation,
+                                       _payload_T, spatial_permutation,
                                        reorder_sources, make_coeff_fn)
     from ..engine.nufft_delay import chebyshev_projection
 
@@ -320,9 +320,23 @@ def simulate_drift_banded_sharded(instrument, sky, observation, beam_fn,
     Q_j = jnp.asarray(Q, jnp.float32)
     coeff_fn = make_coeff_fn(instrument.freqs, rank, pinvQ, beam_fn,
                              node_model=node_model)
+    coeffs_df = None
+    fnh = fnl = jnp.zeros((0,), jnp.float32)   # placeholder operands
+    if truth is not None:
+        # round-5 truth-amps on the mesh: sources (and their flux node
+        # values) replicate across the 'bl' shards, so the two-float
+        # coefficient payloads are computed identically per shard and
+        # the dual spread runs on each shard's baseline rows.
+        from ..engine.nufft_banded import make_coeff_fn_truth
+        coeffs_df = make_coeff_fn_truth(instrument.freqs, rank,
+                                        truth["beam_df"])
+        fluxn64 = np.asarray(truth["flux_nodes"], np.float64)[perm]
+        fnh_np, fnl_np = tf.split_f64(fluxn64)
+        fnh = jnp.asarray(fnh_np)
+        fnl = jnp.asarray(fnl_np)
 
     def fn(dofb, blo, nblk, blh, bll, ramp, seqh, seql, flux,
-           mh_t, ml_t, pch_t, pcl_t):
+           fnh_s, fnl_s, mh_t, ml_t, pch_t, pcl_t):
         lplan = dataclasses.replace(plan, d_of_b=dofb, blk_lo=blo,
                                     n_blk=nblk, blen_hi=blh,
                                     blen_lo=bll, ramp=ramp)
@@ -331,12 +345,21 @@ def simulate_drift_banded_sharded(instrument, sky, observation, beam_fn,
             mh, ml, ph, pl_ = mt
             sh, sl = df_rotate3(mh, ml, seqh, seql)
             seh, sel = tf.df_add(sh, sl, -ph[None, :], -pl_[None, :])
-            Pc = coeff_fn(sh, flux, ph)
+            if truth is not None:
+                Pc, Pl2 = coeffs_df(sh, sl, fnh_s, fnl_s)
+            else:
+                Pc = coeff_fn(sh, flux, ph)
             u_h, u_l, P_r, ok = _prep(lplan, seh, sel, Pc)
-            out = _banded_spread(lplan, u_h, u_l, P_r,
-                                 interpret=interpret)
-            return None, (_post(lplan, out, Q_j,
-                                matmul_fft=not interpret), ok)
+            v = _post(lplan, _banded_spread(lplan, u_h, u_l, P_r,
+                                            interpret=interpret),
+                      Q_j, matmul_fft=not interpret)
+            if truth is not None:
+                Pl_r = _payload_T(lplan, Pl2)
+                v = v + _post(lplan,
+                              _banded_spread(lplan, u_h, u_l, Pl_r,
+                                             interpret=interpret),
+                              Q_j, matmul_fft=not interpret)
+            return None, (v, ok)
 
         _, (vis, oks) = jax.lax.scan(step, None,
                                      (mh_t, ml_t, pch_t, pcl_t))
@@ -345,7 +368,7 @@ def simulate_drift_banded_sharded(instrument, sky, observation, beam_fn,
     bl_p = P("bl") if "bl" in axis_sizes else P(None)
     bl2_p = P("bl", None) if "bl" in axis_sizes else P(None, None)
     in_specs = (bl_p, bl_p, bl_p, bl_p, bl_p, bl2_p,
-                P(), P(), P(), P(), P(), P(), P())
+                P(), P(), P(), P(), P(), P(), P(), P(), P())
     out_specs = (P(None, "bl" if "bl" in axis_sizes else None, None),
                  bl_p)
     mapped = jax.jit(shard_map(fn, mesh=mesh, in_specs=in_specs,
@@ -355,8 +378,8 @@ def simulate_drift_banded_sharded(instrument, sky, observation, beam_fn,
         jnp.asarray(plan.n_blk), jnp.asarray(plan.blen_hi),
         jnp.asarray(plan.blen_lo), jnp.asarray(plan.ramp),
         jnp.asarray(sky.s_eq_hi), jnp.asarray(sky.s_eq_lo),
-        jnp.asarray(sky.flux), jnp.asarray(Mh), jnp.asarray(Ml),
-        jnp.asarray(pch), jnp.asarray(pcl))
+        jnp.asarray(sky.flux), fnh, fnl, jnp.asarray(Mh),
+        jnp.asarray(Ml), jnp.asarray(pch), jnp.asarray(pcl))
     ok = bool(np.asarray(jax.device_get(jnp.all(oks))))
     return vis[:, :B, :], ok
 
