@@ -113,8 +113,10 @@ def batch_clean(specs, kernels, cboxes=None, gain=0.1, maxiter=100,
     specs, kernels: (..., n) complex; cboxes: (..., n) bool or None.
     Returns dict of stacked outputs (the reference's Pool fan-out,
     /root/reference/prisim/delay_spectrum.py:1748-1777)."""
-    specs = jnp.asarray(specs)
-    kernels = jnp.broadcast_to(jnp.asarray(kernels), specs.shape)
+    from ..utils import get_complex, put_complex
+    specs = put_complex(np.asarray(specs, dtype=np.complex64))
+    kernels = jnp.broadcast_to(
+        put_complex(np.asarray(kernels, dtype=np.complex64)), specs.shape)
     batch_shape = specs.shape[:-1]
     n = specs.shape[-1]
     flat_s = specs.reshape(-1, n)
@@ -131,7 +133,7 @@ def batch_clean(specs, kernels, cboxes=None, gain=0.1, maxiter=100,
             s, k, b, gain, maxiter, threshold, threshold_abs,
             use_box_stop=use_box_stop))
         out = fn(flat_s, flat_k, flat_b)
-    return {key: np.asarray(val).reshape(
+    return {key: get_complex(val).reshape(
         batch_shape + (() if val.ndim == 1 else (n,)))
         for key, val in out.items()}
 

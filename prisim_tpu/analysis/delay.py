@@ -104,20 +104,25 @@ def subband_delay_transform(vs, freq_center, bw_eff, shape="bhw",
                lags=lags, shape=shape, fftpow=fftpow, pad=pad)
     nwin = freq_center.size
 
+    from ..utils import get_complex, put_complex
+
     def _ft(cube):
-        # (nbl, nchan, nacc) -> (nbl, nwin, nchan, nacc)
+        # (nbl, nchan, nacc) -> (nbl, nwin, nchan, nacc).
+        # put/get_complex: complex host<->device transfers are
+        # unimplemented on the axon TPU tunnel (float planes ride).
         x = (np.asarray(cube)[:, None, :, :] * bp[:, None, :, :]
              * freq_wts[None, :, :, None])
         x = np.pad(x, ((0, 0), (0, 0), (0, npad), (0, 0)))
-        y = jnp.fft.fftshift(jnp.fft.ifft(jnp.asarray(x), axis=2),
-                             axes=2) * ((nchan + npad) * df)
-        return np.asarray(y)
+        y = jnp.fft.fftshift(jnp.fft.ifft(
+            put_complex(np.asarray(x, np.complex64)), axis=2),
+            axes=2) * ((nchan + npad) * df)
+        return get_complex(y)
 
     for name, arr in vs._vis_cubes():
         out[name + "_lag"] = _ft(arr)
     # window lag kernel (nwin, nlag): IFFT of bp-less window
     wk = np.pad(freq_wts, ((0, 0), (0, npad)))
-    out["lag_kernel"] = np.asarray(
+    out["lag_kernel"] = get_complex(
         jnp.fft.fftshift(jnp.fft.ifft(jnp.asarray(wk), axis=1), axes=1)
         * ((nchan + npad) * df))
     # correlation length of adjacent lag bins in units of lag spacing
@@ -136,7 +141,9 @@ def subband_delay_transform(vs, freq_center, bw_eff, shape="bhw",
         out["lags_resampled"] = win.spectral_axis(n_out, delx=df,
                                                   shift=True, xp=np)
         for name, _ in vs._vis_cubes():
-            out[name + "_lag_resampled"] = np.asarray(
+            out[name + "_lag_resampled"] = get_complex(
                 win.downsample_fourier(
-                    jnp.asarray(out[name + "_lag"]), n_out, axis=2))
+                    put_complex(np.asarray(out[name + "_lag"],
+                                           np.complex64)),
+                    n_out, axis=2))
     return out

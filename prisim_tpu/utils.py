@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["get_complex"]
+__all__ = ["get_complex", "put_complex"]
 
 
 def get_complex(x):
@@ -30,3 +30,25 @@ def get_complex(x):
     import jax.numpy as jnp
     re, im = jax.jit(lambda z: (jnp.real(z), jnp.imag(z)))(x)
     return np.asarray(re) + 1j * np.asarray(im)
+
+
+def put_complex(x):
+    """Host->device transfer of a complex array, TPU-backend-safe.
+
+    The mirror of get_complex: device_put of a complex numpy array
+    raises UNIMPLEMENTED on the axon TPU tunnel (flushed out by
+    BASELINE config #3's delay transform), while float32 transfers and
+    complex math inside jit both work. Ships the real/imag planes as
+    float32 and combines them in one tiny jitted program. Device
+    arrays and real host arrays pass straight through jnp.asarray."""
+    import jax
+    import jax.numpy as jnp
+    if isinstance(x, jax.Array):
+        return x
+    x = np.asarray(x)
+    if (not np.issubdtype(x.dtype, np.complexfloating)
+            or jax.default_backend() != "tpu"):
+        return jnp.asarray(x)
+    re = np.ascontiguousarray(x.real, dtype=np.float32)
+    im = np.ascontiguousarray(x.imag, dtype=np.float32)
+    return jax.jit(jax.lax.complex)(re, im)

@@ -353,8 +353,13 @@ def delay_transform(vs, pad=1.0, freq_wts=None):
     _dt_jit = jax.jit(lambda a: win.ifft_delay_transform(
         a, df, pad=pad, axis=1))
 
+    from .utils import get_complex, put_complex
+
     def _dt(arr):
-        return np.asarray(_dt_jit(jnp.asarray(arr * bp * bp_wts)))
+        # put_complex/get_complex: host<->device COMPLEX transfers are
+        # unimplemented on the axon TPU tunnel; ship float32 planes
+        return get_complex(_dt_jit(put_complex(
+            np.asarray(arr * bp * bp_wts, dtype=np.complex64))))
 
     for name, arr in vs._vis_cubes():
         updates[name + "_lag"] = _dt(np.asarray(arr))

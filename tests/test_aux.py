@@ -261,6 +261,36 @@ def test_get_complex_roundtrip():
     np.testing.assert_allclose(get_complex(x), 1.0)
 
 
+def test_put_complex_roundtrip():
+    """utils.put_complex: host->device complex transfer rides float32
+    planes (device_put of complex numpy raises UNIMPLEMENTED on the
+    axon TPU tunnel — flushed out by BASELINE config #3's delay
+    transform)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from prisim_tpu.utils import get_complex, put_complex
+    z = (np.arange(6, dtype=np.float32).reshape(2, 3)
+         * (1 + 2j)).astype(np.complex64)
+    dz = put_complex(z)
+    assert isinstance(dz, jax.Array)
+    assert np.issubdtype(dz.dtype, np.complexfloating)
+    np.testing.assert_allclose(get_complex(dz), z)
+    # device arrays and real hosts pass through
+    assert put_complex(dz) is dz
+    r = put_complex(np.ones((2, 2), np.float64))
+    assert isinstance(r, jax.Array)
+    # the pipelines that broke on-chip route through it end-to-end
+    from prisim_tpu.analysis.clean import batch_clean
+    spec = np.zeros((2, 16), np.complex64)
+    spec[:, 5] = 3.0 + 1.0j
+    kern = np.zeros(16, np.complex64)
+    kern[0] = 1.0
+    out = batch_clean(spec, kern, gain=0.5, maxiter=20, threshold=1e-3)
+    assert out["cc"].shape == (2, 16)
+    assert abs(out["cc"][0, 5]) > 2.0
+
+
 def test_pfb_theoretical_from_fits(tmp_path):
     """pfb_method='theoretical' reads the measured PFB FITS table
     (response grid dB + frequency axis MHz, run_prisim.py:916-927) and
