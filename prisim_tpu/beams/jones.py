@@ -58,7 +58,8 @@ def _element_amp(cosa, freqs, length, short_dipole=False,
     |J| = F exactly."""
     cosa = jnp.clip(cosa, -1.0, 1.0)
     sina2 = jnp.clip(1.0 - cosa * cosa, 1e-12, 1.0)
-    nf = len(np.atleast_1d(freqs))
+    freqs = jnp.atleast_1d(jnp.asarray(freqs, jnp.float32))
+    nf = freqs.shape[0]
     if short_dipole:
         return jnp.broadcast_to(jnp.ones_like(cosa)[:, None],
                                 (cosa.shape[0], nf))

@@ -46,7 +46,17 @@ DEFAULT_PARMS = {
     "beam": {"use_external": False, "file": None,
              "filepathtype": "default", "filefmt": "HDF5",
              "identifier": "", "pol": "X", "chromatic": True,
-             "select_freq": 150e6, "spec_interp": "cubic"},
+             "select_freq": 150e6, "spec_interp": "cubic",
+             # pol 'full': 4-pol run with physical XY/YX leakage from
+             # crossed-dipole Jones vectors (beams/jones.py — beyond
+             # the single-pol reference). feeds configures the Jones
+             # model: dipole length [m], ground-plane height [m]
+             # (None = free space), X/Y axis azimuths [deg E-thru-N],
+             # short_dipole/half_wave element factor selection.
+             "feeds": {"length": 1.3, "height": None,
+                       "x_orientation_deg": 0.0,
+                       "y_orientation_deg": 90.0,
+                       "short_dipole": False, "half_wave": True}},
     "bandpass": {"freq": 150e6, "freq_resolution": 390625.0,
                  "nchan": 256, "pfb_method": None, "pfb_filepath":
                  "default", "pfb_file": None},

@@ -864,8 +864,41 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
                 print("[prisim_tpu] dual-pol exports -> %s.{uvfits,"
                       "uvh5} + %s.{uvfits,uvh5}" % (base, base4))
         return [vs_x, vs_y], dir_x
+    if pol == "FULL":
+        # full-polarization run (beyond the single-pol reference;
+        # VERDICT r4 item 8): XX, YY AND the physical XY=YX leakage
+        # product from crossed-dipole Jones vectors (beams/jones.py).
+        # Three component sims share the sky and schedule; the engines
+        # see each Mueller weight as an ordinary (sign-indefinite)
+        # beam. With real dipole Jones vectors B_YX = B_XY, so one
+        # cross sim covers both UVFITS/UVH5 cross products.
+        import copy as _copy
+        outs = []
+        for comp in ("XX", "YY", "XY"):
+            p2 = _copy.deepcopy(parms)
+            p2["beam"]["pol"] = "X"
+            p2["_mueller_component"] = comp
+            if p2["dirstruct"].get("simid"):
+                p2["dirstruct"]["simid"] += "_" + comp.lower()
+            outs.append(run_simulation(
+                p2, outdir=None if outdir is None
+                else outdir + "_" + comp.lower(),
+                verbose=verbose, save=save, _sky_override=_sky_override))
+        (vs_xx, dir_x), (vs_yy, _), (vs_xy, _) = outs
+        if save and dir_x is not None:
+            from .io.uvfits import save_uvfits
+            from .io.uvh5 import save_uvh5
+            base = os.path.join(dir_x, "simdata", "simvis_fullpol")
+            save_uvfits(vs_xx, base + ".uvfits", vs_second=vs_yy,
+                        four_pol=True, vs_cross=vs_xy)
+            save_uvh5(vs_xx, base + ".uvh5", vs_second=vs_yy,
+                      four_pol=True, vs_cross=vs_xy)
+            if verbose:
+                print("[prisim_tpu] full-pol exports -> %s.{uvfits,"
+                      "uvh5}" % base)
+        return [vs_xx, vs_yy, vs_xy], dir_x
     if pol not in ("X", "Y"):
-        raise ValueError("beam.pol must be X, Y, or XY")
+        raise ValueError("beam.pol must be X, Y, XY, or full")
 
     def beam_fn(dircos, f, pc=None):
         import jax.numpy as jnp
@@ -894,6 +927,36 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
 
     beam_fn.needs_pointing = pointing_info is not None
 
+    _mueller = parms.get("_mueller_component")
+    if _mueller is not None:
+        # full-pol component run: the beam IS the unpolarized-sky
+        # Mueller weight of the configured crossed-dipole feeds
+        # (beams/jones.py); XY is sign-indefinite, which the NUDFT
+        # engines never assume away.
+        from .beams.jones import mueller_unpol_weights
+        fd = dict((parms.get("beam") or {}).get("feeds") or {})
+        _mkw = dict(
+            length=float(fd.get("length") or 1.3),
+            ground_height=(None if fd.get("height") is None
+                           else float(fd["height"])),
+            x_orientation_deg=float(fd.get("x_orientation_deg") or 0.0),
+            y_orientation_deg=float(
+                90.0 if fd.get("y_orientation_deg") is None
+                else fd["y_orientation_deg"]),
+            short_dipole=bool(fd.get("short_dipole")),
+            half_wave=bool(fd.get("half_wave", True)))
+        _comp = str(_mueller).upper()
+        if _comp not in ("XX", "YY", "XY"):
+            raise ValueError("_mueller_component must be XX, YY or XY")
+
+        def beam_fn(dircos, f, pc=None):  # noqa: F811
+            pb = mueller_unpol_weights(dircos, f, **_mkw)[_comp]
+            if _sector is not None:
+                pb = pb * _sector_mask(dircos, *_sector)[:, None]
+            return pb
+
+        beam_fn.needs_pointing = False
+
     # Two-float beam form for the truth-amps NUFFT path (round 5):
     # attached when the configured beam reduces to a plain chromatic
     # zenith Airy power pattern — the flagship drift configs. Anything
@@ -901,7 +964,7 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
     # the f32 path (the engine falls back automatically).
     if (_sector is None and pointing_info is None and not achromatic
             and not (parms.get("beam") or {}).get("use_external")
-            and pol in ("X", "Y")
+            and pol in ("X", "Y") and _mueller is None
             and not telescope.get("groundplane")):
         from .beams.analytic import airy_beam_df, airy_df_available
         tid = telescope.get("id")

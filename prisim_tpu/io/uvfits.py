@@ -125,7 +125,7 @@ def uvdata_arrays(vs, datatype="noiseless"):
 
 
 def save_uvfits(vs, path, datatype="noiseless", vs_second=None,
-                pols=None, four_pol=False):
+                pols=None, four_pol=False, vs_cross=None):
     """Write a VisibilitySet as a UVFITS file.
 
     vs_second: optional second-polarization VisibilitySet (same
@@ -133,10 +133,13 @@ def save_uvfits(vs, path, datatype="noiseless", vs_second=None,
     STOKES axis, contiguous descending per the UVFITS convention
     (default (-5,) = XX, or (-5, -6) = XX, YY with vs_second).
     four_pol: with vs_second, write the standard 4-pol linear STOKES
-    axis (-5..-8 = XX, YY, XY, YX) with explicit zero, weight-flagged
-    cross-pols — downstream tools then see the full polarization axis
-    (reference exports via pyuvdata carry the same convention,
-    interferometry.py:9528-9618; the reference itself is single-pol)."""
+    axis (-5..-8 = XX, YY, XY, YX); without vs_cross the cross-pols
+    are explicit zeros, weight-flagged (reference exports via pyuvdata
+    carry the same convention, interferometry.py:9528-9618; the
+    reference itself is single-pol). vs_cross: the simulated XY
+    product (a VisibilitySet, or an (XY, YX) pair) from a
+    beam.pol='full' Mueller run — cross-pols are then real data,
+    unflagged (beyond the reference)."""
     a = uvdata_arrays(vs, datatype)
     cubes = [a["data"]]
     if vs_second is not None:
@@ -144,11 +147,24 @@ def save_uvfits(vs, path, datatype="noiseless", vs_second=None,
         if a2["data"].shape != a["data"].shape:
             raise ValueError("second-pol VisibilitySet shape mismatch")
         cubes.append(a2["data"])
+    cross_simulated = False
     if four_pol:
         if vs_second is None:
             raise ValueError("four_pol requires vs_second (the Y feed)")
-        zero = np.zeros_like(cubes[0])
-        cubes += [zero, zero]
+        if vs_cross is not None:
+            vs_xy, vs_yx = (vs_cross if isinstance(vs_cross,
+                                                   (tuple, list))
+                            else (vs_cross, vs_cross))
+            for v in (vs_xy, vs_yx):
+                ax = uvdata_arrays(v, datatype)
+                if ax["data"].shape != a["data"].shape:
+                    raise ValueError("cross-pol VisibilitySet shape "
+                                     "mismatch")
+                cubes.append(ax["data"])
+            cross_simulated = True
+        else:
+            zero = np.zeros_like(cubes[0])
+            cubes += [zero, zero]
         if pols is None:
             pols = (-5, -6, -7, -8)
     if pols is None:
@@ -192,7 +208,7 @@ def save_uvfits(vs, path, datatype="noiseless", vs_second=None,
             np.float32(1.0), np.float32(-1.0))
     else:
         data[..., 2] = 1.0
-    if four_pol:
+    if four_pol and not cross_simulated:
         # unsimulated cross-pols: zero data, negative weight (flagged)
         data[..., 2:, 2] = -np.abs(data[..., 2:, 2])
 

@@ -24,7 +24,7 @@ __all__ = ["save_uvh5", "read_uvh5_arrays"]
 
 
 def save_uvh5(vs, path, datatype="noiseless", vs_second=None,
-              pols=None, four_pol=False):
+              pols=None, four_pol=False, vs_cross=None):
     """Write a VisibilitySet as a UVH5 file.
 
     vs_second: optional second-polarization VisibilitySet with the same
@@ -33,7 +33,10 @@ def save_uvh5(vs, path, datatype="noiseless", vs_second=None,
     (-5, -6) with vs_second). four_pol: with vs_second, write the
     standard 4-pol linear axis (-5..-8 = XX, YY, XY, YX) with explicit
     zero cross-pols flagged and nsample=0 (interferometry.py:9528-9618
-    export conventions; the reference itself is single-pol)."""
+    export conventions; the reference itself is single-pol).
+    vs_cross: the simulated XY product (a VisibilitySet, or an
+    (XY, YX) pair) from a beam.pol='full' Mueller run — cross-pols are
+    then real data, unflagged, nsample=1 (beyond the reference)."""
     if h5py is None:
         raise ImportError("h5py required")
     a = uvdata_arrays(vs, datatype)
@@ -43,11 +46,24 @@ def save_uvh5(vs, path, datatype="noiseless", vs_second=None,
         if a2["data"].shape != a["data"].shape:
             raise ValueError("second-pol VisibilitySet shape mismatch")
         cubes.append(a2["data"])
+    cross_simulated = False
     if four_pol:
         if vs_second is None:
             raise ValueError("four_pol requires vs_second (the Y feed)")
-        zero = np.zeros_like(cubes[0])
-        cubes += [zero, zero]
+        if vs_cross is not None:
+            vs_xy, vs_yx = (vs_cross if isinstance(vs_cross,
+                                                   (tuple, list))
+                            else (vs_cross, vs_cross))
+            for v in (vs_xy, vs_yx):
+                ax = uvdata_arrays(v, datatype)
+                if ax["data"].shape != a["data"].shape:
+                    raise ValueError("cross-pol VisibilitySet shape "
+                                     "mismatch")
+                cubes.append(ax["data"])
+            cross_simulated = True
+        else:
+            zero = np.zeros_like(cubes[0])
+            cubes += [zero, zero]
         if pols is None:
             pols = (-5, -6, -7, -8)
     if pols is None:
@@ -130,7 +146,7 @@ def save_uvh5(vs, path, datatype="noiseless", vs_second=None,
         else:
             flags = np.zeros((nblts, nchan, npol), dtype=bool)
         nsamples = np.ones((nblts, nchan, npol), dtype=np.float32)
-        if four_pol:
+        if four_pol and not cross_simulated:
             flags[..., 2:] = True          # unsimulated cross-pols
             nsamples[..., 2:] = 0.0
         d.create_dataset("flags", data=flags)
