@@ -621,6 +621,19 @@ def _enable_compilation_cache():
         pass
 
 
+class _EngineDemotion(Exception):
+    """Internal: re-run with demoted engine/spread parms AFTER the
+    current _run_simulation_inner frame unwinds. A recursive re-entry
+    (rounds 3-4) kept the demoted attempt's device buffers alive
+    through the outer frame's locals — gate executables plus the
+    (S, C) amps working set — and the north-star fallback
+    ResourceExhausted'ed the chip (measured round 5)."""
+
+    def __init__(self, parms):
+        super().__init__("engine demotion")
+        self.parms = parms
+
+
 def run_simulation(parms, outdir=None, verbose=True, save=True,
                    _sky_override=None):
     """Run a full simulation from a parameter source (path/str/dict).
@@ -651,8 +664,18 @@ def run_simulation(parms, outdir=None, verbose=True, save=True,
                 (parms["diagnosis"].get("refresh_interval") or 1.0)))
         monitor.start()
     try:
-        return _run_simulation_inner(parms, outdir, verbose, save,
-                                     _sky_override, t0)
+        cur = parms
+        while True:
+            try:
+                return _run_simulation_inner(cur, outdir, verbose,
+                                             save, _sky_override, t0)
+            except _EngineDemotion as dem:
+                # the failed attempt's frame is unwound here: its
+                # device buffers drop to refcount 0 before the re-run
+                # allocates its own working set
+                cur = dem.parms
+                import gc
+                gc.collect()
     finally:
         if monitor is not None:
             monitor.stop()
@@ -1223,9 +1246,7 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
                     p2 = dict(parms)
                     p2["processing"] = dict(parms["processing"],
                                             nufft_spread="sorted")
-                    return _run_simulation_inner(p2, outdir, verbose,
-                                                 save, _sky_override,
-                                                 t0)
+                    raise _EngineDemotion(p2)
                 gsnap = make_banded_snapshot_fns(
                     inst, sks, beam_fn, gplan, pinvQ, Q,
                     interpret=interp_m, gate_src_block=src_block,
@@ -1250,9 +1271,7 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
                     p2 = dict(parms)
                     p2["processing"] = dict(parms["processing"],
                                             engine="direct")
-                    return _run_simulation_inner(p2, outdir, verbose,
-                                                 save, _sky_override,
-                                                 t0)
+                    raise _EngineDemotion(p2)
                 if verbose:
                     print("[prisim_tpu] banded/direct mesh shared-amps"
                           " cross-check ok (rel=%.2e%s)"
@@ -1269,8 +1288,7 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
                 p2 = dict(parms)
                 p2["processing"] = dict(parms["processing"],
                                         nufft_spread="sorted")
-                return _run_simulation_inner(p2, outdir, verbose, save,
-                                             _sky_override, t0)
+                raise _EngineDemotion(p2)
             snaps = [get_complex(vis_cube[t])
                      for t in range(obs.n_acc)]
         elif ndev_nufft > 1 and ((parms.get("pp") or {}).get("key")
@@ -1318,8 +1336,7 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
                 p2 = dict(parms)
                 p2["processing"] = dict(parms["processing"],
                                         nufft_spread="sorted")
-                return _run_simulation_inner(p2, outdir, verbose, save,
-                                             _sky_override, t0)
+                raise _EngineDemotion(p2)
             interp = jax.devices()[0].platform != "tpu"
             # three separately-jitted stages (isolates tunnel upload
             # stalls per stage; executables reused across snapshots)
@@ -1396,9 +1413,7 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
                     p2 = dict(parms)
                     p2["processing"] = dict(parms["processing"],
                                             engine="direct")
-                    return _run_simulation_inner(p2, outdir, verbose,
-                                                 save, _sky_override,
-                                                 t0)
+                    raise _EngineDemotion(p2)
                 if verbose:
                     print("[prisim_tpu] banded/direct shared-amps "
                           "cross-check ok (rel=%.2e%s)"
@@ -1434,8 +1449,7 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
                 # on TPU the honesty gate then demotes sorted -> direct
                 p2["processing"] = dict(parms["processing"],
                                         nufft_spread="sorted")
-                return _run_simulation_inner(p2, outdir, verbose, save,
-                                             _sky_override, t0)
+                raise _EngineDemotion(p2)
         else:
             snap = jax.jit(
                 lambda mh, ml, ph, pl: simulate_snapshot_nufft_jit(
@@ -1478,8 +1492,7 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
                 p2 = dict(parms)
                 p2["processing"] = dict(parms["processing"],
                                         engine="direct")
-                return _run_simulation_inner(p2, outdir, verbose, save,
-                                             _sky_override, t0)
+                raise _EngineDemotion(p2)
             if verbose:
                 print("[prisim_tpu] NUFFT/direct cross-check ok "
                       "(rel=%.2e)" % rel)
