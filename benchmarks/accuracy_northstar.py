@@ -325,7 +325,7 @@ def _j1_asymptotic_over_x(x):
 
 def run_banded(prob, sh, sl, amps_np, bl_idx, nchan, ktaps=None,
                tile=None, gblk=None, rank=24, node_model=False,
-               truth=False):
+               truth=False, dot_split=1):
     """Banded-spread NUFFT engine on the baseline slice, full sources.
 
     The plan is built on the sliced vectors only — the banded engine is
@@ -357,7 +357,8 @@ def run_banded(prob, sh, sl, amps_np, bl_idx, nchan, ktaps=None,
                                latitude=inst.latitude)
     pinvQ, Q = chebyshev_projection(prob["freqs"], rank)
     kw = {k: v for k, v in
-          dict(K=ktaps, T_s=tile, G_blk=gblk).items() if v}
+          dict(K=ktaps, T_s=tile, G_blk=gblk,
+               dot_split=dot_split).items() if v}
     plan = make_banded_plan(bl64, inst_sl.nu0, inst_sl.dnu, nchan,
                             rank=rank, **kw)
     interp = not banded_spread_available()
@@ -476,6 +477,10 @@ def main():
     ap.add_argument("--banded-tile", type=int, default=None)
     ap.add_argument("--banded-gblk", type=int, default=None)
     ap.add_argument("--banded-rank", type=int, default=24)
+    ap.add_argument("--dot-split", type=int, default=1,
+                    help="split each in-kernel MXU dot's contraction "
+                         "into N Kahan-folded sub-dots (shrinks the "
+                         "in-dot f32 partial-sum rounding)")
     ap.add_argument("--node-model", action="store_true",
                     help="banded engine consumes the rank-r node "
                          "model (round-4 production form)")
@@ -519,7 +524,8 @@ def main():
             prob, sh, sl, amps_np, bl_idx, args.nchan,
             ktaps=args.banded_k, tile=args.banded_tile,
             gblk=args.banded_gblk, rank=args.banded_rank,
-            node_model=args.node_model, truth=args.truth_amps)
+            node_model=args.node_model, truth=args.truth_amps,
+            dot_split=args.dot_split)
 
     cache = "/tmp/acc_ns_golden%s_%d_%d_%d.npz" % (
         "64" if args.golden == "f64amps" else "",

@@ -1,0 +1,176 @@
+"""Attribute the banded shared-amps gate residual (round 5).
+
+The north-star e2e and BASELINE config #3 both demote on the banded
+gate (rel = 3.89e-5 / 2.77e-5 > 2e-6) even though the bench
+(accuracy_northstar --truth-amps --golden f64amps) measures the banded
+engine at 1.28e-6 and the XLA direct at 3.57e-6 vs the f64 truth —
+triangle inequality says their difference cannot exceed ~5e-6, so the
+gate must be comparing something the bench doesn't.
+
+Stage 1 (this script, run with --run): drive the real driver gate at a
+reduced scale with PRISIM_DEBUG_XCHECK_DUMP, capturing direct0/banded0
+AND the sky arrays.
+
+Stage 2 (--analyze): host-f64 references from the dump:
+
+  T_model = f64 NUDFT of the f64 rank-r node-model amps
+            (truth mode: BOTH gate sides should match this to their
+            transform floor)
+
+reporting |direct0-T|, |banded0-T|, |direct0-banded0| scaled, per
+baseline — whichever side deviates is the culprit.
+
+    PYTHONPATH=/root/repo:/root/.axon_site python \
+        benchmarks/probe_gate_budget.py --run [--nside 64] [--nchan 256]
+    ... --analyze /tmp/gate_dump.npz
+"""
+
+import argparse
+import json
+import os
+import shutil
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(nside, nchan, dnu, dump):
+    from prisim_tpu.config import load_parms
+    from prisim_tpu.driver import run_simulation
+    os.environ["PRISIM_DEBUG_XCHECK_DUMP"] = dump
+    root = "/tmp/probe_gate_budget"
+    shutil.rmtree(root, ignore_errors=True)
+    parms = load_parms({
+        "dirstruct": {"rootdir": root, "project": "p"},
+        "telescope": {"id": "hera", "latitude": -30.7224,
+                      "A_eff": 154.0, "eff_Q": 0.96, "Trx": 100.0},
+        "array": {"layout": "HERA-37", "redundant": True},
+        "antenna": {"shape": "dish", "size": 14.0},
+        "bandpass": {"freq": 150e6, "freq_resolution": dnu,
+                     "nchan": nchan},
+        "obsparm": {"obs_mode": "drift", "n_acc": 1, "t_acc": 60.0},
+        "pointing": {"lst_init": 0.0},
+        "skyparm": {"model": "usm", "nside": nside},
+        "processing": {"engine": "nufft", "nufft_spread": "banded"},
+        "save_formats": {"fmt": "HDF5", "npz": False},
+    })
+    try:
+        run_simulation(parms, verbose=True, save=False)
+    except Exception as exc:          # demotion may re-run direct; fine
+        print("run ended:", str(exc)[:120])
+
+
+def bessel_j1_np(x):
+    from prisim_tpu.beams.analytic import _J1_CHEB
+    ax = np.abs(x)
+    t = x * x / 32.0 - 1.0
+    small = x * np.polynomial.chebyshev.chebval(t, _J1_CHEB)
+    z = 8.0 / np.maximum(ax, 1e-20)
+    y2 = z * z
+    p1 = 1.0 + y2 * (0.183105e-2 + y2 * (-0.3516396496e-4
+         + y2 * (0.2457520174e-5 + y2 * (-0.240337019e-6))))
+    p2 = 0.04687499995 + y2 * (-0.2002690873e-3 + y2 * (0.8449199096e-5
+         + y2 * (-0.88228987e-6 + y2 * 0.105787412e-6)))
+    xx = ax - 2.356194491
+    big = np.sqrt(0.636619772 / np.maximum(ax, 1e-20)) * \
+        (np.cos(xx) * p1 - z * np.sin(xx) * p2) * np.sign(x)
+    return np.where(ax < 8.0, small, big)
+
+
+def airy_power_np(s, freqs, diameter):
+    """f64 zenith Airy power, horizon-masked outside."""
+    from prisim_tpu import constants as CNST
+    sin_t = np.sqrt(np.clip(s[:, 0] ** 2 + s[:, 1] ** 2, 0.0, 1.0))
+    x = (np.pi * diameter / CNST.c) * np.outer(sin_t, freqs)
+    small = np.abs(x) < 1e-6
+    xs = np.where(small, 1.0, x)
+    e = np.where(small, 1.0 - x * x / 8.0, 2.0 * bessel_j1_np(xs) / xs)
+    return e * e
+
+
+def analyze(path):
+    from prisim_tpu import constants as CNST
+    from prisim_tpu.engine.nufft_delay import chebyshev_node_model
+    z = np.load(path)
+    direct0 = z["direct0"]
+    banded0 = z["fast0"]
+    freqs = np.asarray(z["freqs"], np.float64)
+    bl = np.asarray(z["bl"], np.float64)
+    rank = int(z["rank"])
+    truth_on = bool(z["truth_on"])
+    M = np.asarray(z["Mh0"], np.float64) + np.asarray(z["Ml0"],
+                                                      np.float64)
+    pc = np.asarray(z["pch0"], np.float64) + np.asarray(z["pcl0"],
+                                                        np.float64)
+    s_eq = np.asarray(z["s_eq_hi"], np.float64) + \
+        np.asarray(z["s_eq_lo"], np.float64)
+    s = s_eq @ M.T
+    up = s[:, 2] > 0.0
+    print(json.dumps({"truth_on": truth_on, "rank": rank,
+                      "resid0": float(z["resid0"]),
+                      "nsrc_up": int(up.sum()),
+                      "nbl": int(bl.shape[0]),
+                      "nchan": int(freqs.size)}))
+
+    nm = chebyshev_node_model(freqs, rank)
+    # f64 model amps: beam(nodes) x flux(nodes) -> coeffs -> channels
+    beam_n = airy_power_np(s, np.asarray(nm.nu_nodes, np.float64), 14.0)
+    if truth_on:
+        flux_n = np.asarray(z["flux_nodes"], np.float64)
+    else:
+        # flat USM: node flux equals the per-channel table row 0
+        flux_n = np.repeat(np.asarray(z["flux"], np.float64)[:, :1],
+                           rank, axis=1)
+    amps_n = np.where(up[:, None], beam_n * flux_n, 0.0)
+    P64 = amps_n @ np.asarray(nm.node2coef64, np.float64)     # (S, r)
+    A64 = P64 @ np.asarray(nm.Q64, np.float64).T              # (S, C)
+
+    # f64 NUDFT on the up-sources
+    se = s[up] - pc[None, :]
+    A = A64[up]
+    V = np.zeros((bl.shape[0], freqs.size), np.complex128)
+    for i0 in range(0, A.shape[0], 4096):
+        sl_ = slice(i0, min(i0 + 4096, A.shape[0]))
+        tau = se[sl_] @ bl.T / CNST.c                         # (s, B)
+        ph = np.exp(-2j * np.pi * tau[:, :, None] *
+                    freqs[None, None, :])
+        V += np.einsum("sc,sbc->bc", A[sl_], ph)
+    scale = np.abs(V).max()
+
+    def rep(name, X, Y):
+        d = np.abs(X - Y)
+        i = np.unravel_index(int(d.argmax()), d.shape)
+        print(json.dumps({
+            "cmp": name, "rel_max_scaled": float(d.max() / scale),
+            "argmax_bl": int(i[0]), "argmax_chan": int(i[1]),
+            "bl_len_m": float(np.linalg.norm(bl[i[0]])),
+            "rel_p99": float(np.percentile(d / scale, 99))}))
+
+    rep("direct_vs_Tmodel", direct0, V)
+    rep("banded_vs_Tmodel", banded0, V)
+    rep("direct_vs_banded", direct0, banded0)
+    # per-baseline profile of the top-8 worst rows of each comparison
+    for name, X in (("direct", direct0), ("banded", banded0)):
+        row = np.abs(X - V).max(axis=1) / scale
+        worst = np.argsort(row)[::-1][:8]
+        print(json.dumps({
+            "rows": name,
+            "worst": [[int(b), float(np.linalg.norm(bl[b])),
+                       float(row[b])] for b in worst]}))
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--run", action="store_true")
+    ap.add_argument("--analyze", default=None)
+    ap.add_argument("--nside", type=int, default=64)
+    ap.add_argument("--nchan", type=int, default=256)
+    ap.add_argument("--dnu", type=float, default=390625.0)
+    ap.add_argument("--dump", default="/tmp/gate_dump.npz")
+    args = ap.parse_args()
+    if args.run:
+        run(args.nside, args.nchan, args.dnu, args.dump)
+    if args.analyze:
+        analyze(args.analyze)

@@ -1399,7 +1399,14 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
                              Mh0=np.asarray(Mh[0]), Ml0=np.asarray(Ml[0]),
                              pch0=np.asarray(pch[0]),
                              pcl0=np.asarray(pcl[0]), freqs=freqs,
-                             bl=np.asarray(bls.vectors), rank=rank)
+                             bl=np.asarray(bls.vectors), rank=rank,
+                             resid0=np.asarray(resid0),
+                             truth_on=truth is not None,
+                             s_eq_hi=np.asarray(sks.s_eq_hi),
+                             s_eq_lo=np.asarray(sks.s_eq_lo),
+                             flux=np.asarray(sks.flux),
+                             flux_nodes=(np.asarray(truth["flux_nodes"])
+                                         if truth is not None else 0))
                 scale = max(float(np.abs(direct0).max()), 1e-30)
                 rel = float(np.abs(banded0 - direct0).max()) / scale
                 resid_bad = truth is not None and resid0 > rtol

@@ -206,7 +206,7 @@ def _friendly_fft_length(n0):
 
 def make_banded_plan(bl_vectors, nu0, dnu, nchan, rank, beta=2.0, K=9,
                      T_s=2048, G_blk=None, tap_degree=10,
-                     collapse=True):
+                     collapse=True, dot_split=1):
     """Build the static plan for a set of baseline vectors (meters) and
     a uniform frequency grid. Exact for arbitrary (3-D) baselines.
 
@@ -307,7 +307,8 @@ def make_banded_plan(bl_vectors, nu0, dnu, nchan, rank, beta=2.0, K=9,
         tap_w=kb_tap_coeffs(K, alpha, degree=tap_degree),
         deconv=deconv, ramp=ramp,
         consts=dict(inv_ch=inv_ch, numid_c=numid / CNST.c,
-                    n_blk_mean=float(np.mean(n_blk))),
+                    n_blk_mean=float(np.mean(n_blk)),
+                    dot_split=int(dot_split)),
         expand_idx=expand_idx, conj=conj_mask)
 
 
@@ -318,7 +319,7 @@ def make_banded_plan(bl_vectors, nu0, dnu, nchan, rank, beta=2.0, K=9,
 def _sweep_kernel(dofb_ref, blo_ref, nblk_ref,
                   uh_ref, ul_ref, ps_ref, blh_ref, bll_ref, cst_ref,
                   out_ref, carry_ref, *, T_s, G_win, G_blk, K, r,
-                  tap_np):
+                  tap_np, dot_split=1):
     """One (baseline, source-tile) grid step — see module doc.
 
     Scalar-prefetch: dofb/blk_lo/n_blk, all (B,) int32 — tiny SMEM (the
@@ -401,20 +402,31 @@ def _sweep_kernel(dofb_ref, blo_ref, nblk_ref,
         for t_idx in range(K):
             tgt = owned + np.float32(t_idx)
             W = jnp.where(rows == tgt[None, :], ws[t_idx][None, :], W)
-        contrib = jax.lax.dot_general(
-            W, V, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)      # (G_win, 2r)
         # Kahan-compensated row accumulation: a row collects ~S*K/R
         # tile contributions (hundreds at bench scale); the plain f32
         # `+=` random walk was the dominant term in the 4.9e-6 banded
-        # error (direct-kernel finding, pallas_nudft.py round 2)
+        # error (direct-kernel finding, pallas_nudft.py round 2).
+        # dot_split > 1 (round 5) additionally splits the contraction
+        # into sub-dots Kahan-folded one at a time: the MXU's own f32
+        # accumulation rounds at ulp(running partial sum), so keeping
+        # each in-dot partial at 1/dot_split of the tile's magnitude
+        # shrinks that term proportionally — same total MXU FLOPs.
         cur = out_ref[0, pl.dslice(rowbase, G_win), :]
         c0 = carry_ref[pl.dslice(rowbase, G_win), :]
-        y = contrib - c0
-        t = cur + y
-        carry_ref[pl.dslice(rowbase, G_win), :] = (t - cur) - y
-        out_ref[0, pl.dslice(rowbase, G_win), :] = t
+        sub = T_s // dot_split
+        for k_sub in range(dot_split):
+            contrib = jax.lax.dot_general(
+                W[:, k_sub * sub:(k_sub + 1) * sub],
+                V[:, k_sub * sub:(k_sub + 1) * sub],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)  # (G_win, 2r)
+            y = contrib - c0
+            t = cur + y
+            c0 = (t - cur) - y
+            cur = t
+        carry_ref[pl.dslice(rowbase, G_win), :] = c0
+        out_ref[0, pl.dslice(rowbase, G_win), :] = cur
         return 0
 
     # Per-TILE dynamic block range. A spatially-ordered source stream
@@ -467,9 +479,12 @@ def _banded_spread(plan, u_flat_h, u_flat_l, P_r, interpret=False):
                                np.float32(0.0),
                                np.float32(0.0))])
 
+    ds = int(plan.consts.get("dot_split", 1) or 1)
+    if T_s % ds:
+        ds = 1
     kernel = functools.partial(
         _sweep_kernel, T_s=T_s, G_win=G_win, G_blk=G_blk, K=plan.K,
-        r=r, tap_np=np.asarray(plan.tap_w, np.float64))
+        r=r, tap_np=np.asarray(plan.tap_w, np.float64), dot_split=ds)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
