@@ -161,16 +161,130 @@ def analyze(path):
                        float(row[b])] for b in worst]}))
 
 
+def standalone(path, nbl_sub=6, beta=2.0, ktaps=9, dot_split=1,
+               seed_rows=(0, 29, 30)):
+    """Re-run the banded TRUTH engine standalone on the dump's inputs
+    (worst gate rows + a few more), CPU-interpret or TPU, and compare
+    vs the f64 node-model transform — validates engine fixes (beta,
+    K, dot_split) without re-driving the full gate."""
+    import jax
+    import jax.numpy as jnp
+    from prisim_tpu import constants as CNST
+    from prisim_tpu import twofloat as tf
+    from prisim_tpu.engine.nufft_banded import (
+        make_banded_plan, make_coeff_fn_truth, _prep, _banded_spread,
+        _post, banded_spread_available)
+    from prisim_tpu.engine.nufft_delay import (chebyshev_projection,
+                                               chebyshev_node_model)
+    from prisim_tpu.beams.analytic import airy_beam_df
+
+    z = np.load(path)
+    freqs = np.asarray(z["freqs"], np.float64)
+    bl_all = np.asarray(z["bl"], np.float64)
+    rank = int(z["rank"])
+    rows = sorted(set(list(seed_rows))
+                  | set(range(min(nbl_sub, bl_all.shape[0]))))
+    bl = bl_all[rows]
+    nchan = freqs.size
+    dnu = freqs[1] - freqs[0]
+    plan = make_banded_plan(bl, freqs[0], dnu, nchan, rank=rank,
+                            beta=beta, K=ktaps, dot_split=dot_split)
+    interp = not banded_spread_available()
+    _, Q = chebyshev_projection(freqs, rank)
+    Q_j = jnp.asarray(Q, jnp.float32)
+    cf = make_coeff_fn_truth(freqs, rank,
+                             lambda a, b, f: airy_beam_df(a, b, f, 14.0))
+    nm = cf.node_model
+    M = np.asarray(z["Mh0"], np.float64) + np.asarray(z["Ml0"],
+                                                      np.float64)
+    pc = np.asarray(z["pch0"], np.float64) + np.asarray(z["pcl0"],
+                                                        np.float64)
+    s_eq = np.asarray(z["s_eq_hi"], np.float64) + \
+        np.asarray(z["s_eq_lo"], np.float64)
+    s64 = s_eq @ M.T
+    up = s64[:, 2] > 0.0
+    sh, sl = tf.split_f64(s64)
+    flux_n = np.asarray(z["flux_nodes"], np.float64)
+    fnh, fnl = tf.split_f64(flux_n)
+    pch, pcl = tf.split_f64(pc)
+
+    @jax.jit
+    def banded(sh, sl, fnh, fnl):
+        seh, sel = tf.df_add(sh, sl, -jnp.asarray(pch)[None, :],
+                             -jnp.asarray(pcl)[None, :])
+        Ph, Pl = cf(sh, sl, fnh, fnl)
+        u_h, u_l, P_r, ok = _prep(plan, seh, sel, Ph)
+        v = _post(plan, _banded_spread(plan, u_h, u_l, P_r,
+                                       interpret=interp),
+                  Q_j, matmul_fft=not interp)
+        Pl_r = jnp.transpose(jnp.asarray(Pl, jnp.float32))
+        v = v + _post(plan, _banded_spread(plan, u_h, u_l, Pl_r,
+                                           interpret=interp),
+                      Q_j, matmul_fft=not interp)
+        return jnp.real(v), jnp.imag(v), ok
+
+    vr, vi, ok = jax.block_until_ready(
+        banded(jnp.asarray(sh), jnp.asarray(sl), jnp.asarray(fnh),
+               jnp.asarray(fnl)))
+    V = np.asarray(vr).astype(np.float64) + \
+        1j * np.asarray(vi).astype(np.float64)
+
+    # f64 model-amps NUDFT on the same rows
+    beam_n = airy_power_np(s64, np.asarray(nm.nu_nodes, np.float64),
+                           14.0)
+    amps_n = np.where(up[:, None], beam_n * flux_n, 0.0)
+    P64 = amps_n @ np.asarray(nm.node2coef64, np.float64)
+    A64 = (P64 @ np.asarray(nm.Q64, np.float64).T)[up]
+    se = s64[up] - pc[None, :]
+    T = np.zeros((bl.shape[0], nchan), np.complex128)
+    for i0 in range(0, A64.shape[0], 4096):
+        sl_ = slice(i0, min(i0 + 4096, A64.shape[0]))
+        tau = se[sl_] @ bl.T / CNST.c
+        ph = np.exp(-2j * np.pi * tau[:, :, None] *
+                    freqs[None, None, :])
+        T += np.einsum("sc,sbc->bc", A64[sl_], ph)
+    scale = np.abs(T).max()
+    # normalize ALSO by the full-array gate scale so numbers are
+    # comparable with --analyze (gate rel = max|diff| / max|direct0|)
+    scale_full = float(np.abs(z["direct0"]).max())
+    d = np.abs(V - T) / scale
+    i = np.unravel_index(int(d.argmax()), d.shape)
+    edge = max(float(d[:, 0].max()), float(d[:, -1].max()))
+    dg = float(np.abs(V - z["fast0"][rows]).max())
+    print(json.dumps({
+        "standalone": True, "platform": jax.devices()[0].platform,
+        "beta": beta, "K": ktaps, "dot_split": dot_split,
+        "rows": rows, "ok": bool(np.asarray(ok)),
+        "rel_max_scaled": float(d.max()),
+        "rel_max_fullscale": float(np.abs(V - T).max() / scale_full),
+        "vs_gate_banded0_fullscale": dg / scale_full,
+        "scale_subset": float(scale), "scale_full": scale_full,
+        "argmax_row": int(i[0]), "argmax_chan": int(i[1]),
+        "edge_max": edge,
+        "interior_max": float(d[:, 8:-8].max())}))
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--run", action="store_true")
     ap.add_argument("--analyze", default=None)
+    ap.add_argument("--standalone", default=None,
+                    help="dump path: re-run the banded truth engine "
+                         "standalone on its inputs")
     ap.add_argument("--nside", type=int, default=64)
     ap.add_argument("--nchan", type=int, default=256)
     ap.add_argument("--dnu", type=float, default=390625.0)
+    ap.add_argument("--beta", type=float, default=2.0)
+    ap.add_argument("--ktaps", type=int, default=9)
+    ap.add_argument("--dot-split", type=int, default=1)
+    ap.add_argument("--nbl-sub", type=int, default=6)
     ap.add_argument("--dump", default="/tmp/gate_dump.npz")
     args = ap.parse_args()
     if args.run:
         run(args.nside, args.nchan, args.dnu, args.dump)
     if args.analyze:
         analyze(args.analyze)
+    if args.standalone:
+        standalone(args.standalone, nbl_sub=args.nbl_sub,
+                   beta=args.beta, ktaps=args.ktaps,
+                   dot_split=args.dot_split)
