@@ -1752,7 +1752,7 @@ def _finalize_simulation(parms, vs_inputs, outdir, verbose, save, t0):
 def _save_products(vs, parms, outdir=None):
     """Output directory tree + products + metadata
     (run_prisim.py:742-783, 2212-2335)."""
-    from .io import save_hdf5, save_npz
+    from .io import save_fits, save_hdf5, save_npz
     ds = parms["dirstruct"]
     if outdir is None:
         simid = ds.get("simid") or time.strftime("sim_%Y%m%d_%H%M%S")
@@ -1764,6 +1764,10 @@ def _save_products(vs, parms, outdir=None):
     fmt = (parms["save_formats"].get("fmt") or "HDF5").lower()
     if fmt == "hdf5":
         save_hdf5(vs, base + ".hdf5")
+    elif fmt == "fits":
+        # native-schema FITS product (interferometry.py:8393
+        # save(fmt='fits'); round 5 closes the last format gap)
+        save_fits(vs, base + ".fits")
     if parms["save_formats"].get("npz"):
         save_npz(vs, base + ".npz")
     vs_uv = vs

@@ -40,6 +40,10 @@ def _load_any(path):
     if str(path).endswith((".uvh5", ".uvhdf5")):
         from .io.uvh5 import load_uvh5
         return load_uvh5(path)
+    if str(path).endswith(".fits") and not str(path).endswith(
+            ".uvfits"):
+        from .io import load_fits
+        return load_fits(path)
     return load_hdf5(path)
 
 __all__ = ["convert", "update_noise", "replicate", "expand_redundant_file",

@@ -49,6 +49,85 @@ def test_dot_split_matches_plain_spread():
     assert np.abs(out[1] - out[4]).max() / scale < 2e-6
 
 
+def test_native_fits_roundtrip(tmp_path):
+    """save_fits/load_fits round-trips the VisibilitySet — the
+    reference's save(fmt='fits') + init_file flow
+    (interferometry.py:8393,5140)."""
+    from prisim_tpu.io import save_fits, load_fits
+    from prisim_tpu.vis import VisibilitySet
+    rng = np.random.default_rng(3)
+    B, C, T = 5, 16, 3
+    vs = VisibilitySet(
+        baselines=rng.normal(size=(B, 3)),
+        labels=np.asarray([("A%d" % i, "B%d" % i) for i in range(B)]),
+        freqs=150e6 + 1e5 * np.arange(C),
+        lst=np.asarray([10.0, 20.0, 30.0]),
+        skyvis=(rng.normal(size=(B, C, T))
+                + 1j * rng.normal(size=(B, C, T))).astype(np.complex64),
+        vis=(rng.normal(size=(B, C, T))
+             + 1j * rng.normal(size=(B, C, T))).astype(np.complex64),
+        vis_noise=(rng.normal(size=(B, C, T))
+                   + 1j * rng.normal(size=(B, C, T))).astype(
+                       np.complex64),
+        vis_rms=rng.uniform(0.1, 1.0, (B, C, T)).astype(np.float32),
+        timestamps=2451545.0 + np.arange(T) / 24.0,
+        t_acc=np.full(T, 60.0),
+        bp=np.ones((B, C, T), np.float32),
+        bp_wts=np.ones((B, C, T), np.float32),
+        Tsys=np.full((B, C, T), 180.0, np.float32),
+        A_eff=154.0, eff_Q=0.96,
+        latitude=-30.72, longitude=21.43, altitude=1100.0,
+        pointing_center=np.tile([0.0, 90.0], (T, 1)),
+        phase_center=np.tile([0.0, 90.0], (T, 1)),
+        telescope={"id": "hera", "shape": "dish", "size": 14.0},
+        layout={"labels": ["a0", "a1"], "ids": [0, 1],
+                "positions": np.zeros((2, 3)), "coords": "ENU"},
+        flux_unit="Jy")
+    path = str(tmp_path / "sim.fits")
+    save_fits(vs, path)
+    back = load_fits(path)
+    assert np.allclose(back.baselines, vs.baselines)
+    assert list(back.labels[:, 0]) == list(vs.labels[:, 0])
+    assert np.allclose(back.freqs, vs.freqs)
+    assert np.allclose(back.lst, vs.lst)
+    for nm in ("skyvis", "vis", "vis_noise"):
+        assert np.allclose(getattr(back, nm), getattr(vs, nm),
+                           atol=0, rtol=1e-6), nm
+    assert np.allclose(back.vis_rms, vs.vis_rms)
+    assert np.allclose(back.Tsys, vs.Tsys)
+    assert np.allclose(back.timestamps, vs.timestamps)
+    assert back.telescope["id"] == "hera"
+    assert abs(back.A_eff - 154.0) < 1e-9
+    assert abs(back.latitude - (-30.72)) < 1e-9
+    assert np.allclose(back.pointing_center, vs.pointing_center)
+    assert np.allclose(back.layout["positions"],
+                       vs.layout["positions"])
+
+
+def test_native_fits_lag_products(tmp_path):
+    """Lag-domain products (delay transform outputs) survive the FITS
+    round trip, matching the reference's real/imag_lag_* extensions."""
+    from prisim_tpu.io import save_fits, load_fits
+    from prisim_tpu.vis import VisibilitySet
+    rng = np.random.default_rng(4)
+    B, C, T = 3, 8, 2
+    vs = VisibilitySet(
+        baselines=rng.normal(size=(B, 3)),
+        labels=np.asarray([("A%d" % i, "B%d" % i) for i in range(B)]),
+        freqs=150e6 + 1e5 * np.arange(C),
+        lst=np.asarray([10.0, 20.0]),
+        lags=np.fft.fftshift(np.fft.fftfreq(C, 1e5)),
+        skyvis_lag=(rng.normal(size=(B, C, T))
+                    + 1j * rng.normal(size=(B, C, T))).astype(
+                        np.complex64))
+    path = str(tmp_path / "simlag.fits")
+    save_fits(vs, path)
+    back = load_fits(path)
+    assert np.allclose(back.lags, vs.lags)
+    assert np.allclose(back.skyvis_lag, vs.skyvis_lag, rtol=1e-6)
+    assert back.vis_lag is None
+
+
 def test_dot_split_non_divisor_falls_back():
     """A dot_split that does not divide T_s silently degrades to 1
     (documented fallback, not an error)."""
