@@ -325,7 +325,7 @@ def _j1_asymptotic_over_x(x):
 
 def run_banded(prob, sh, sl, amps_np, bl_idx, nchan, ktaps=None,
                tile=None, gblk=None, rank=24, node_model=False,
-               truth=False, dot_split=1):
+               truth=False, dot_split=1, beta=None):
     """Banded-spread NUFFT engine on the baseline slice, full sources.
 
     The plan is built on the sliced vectors only — the banded engine is
@@ -358,7 +358,7 @@ def run_banded(prob, sh, sl, amps_np, bl_idx, nchan, ktaps=None,
     pinvQ, Q = chebyshev_projection(prob["freqs"], rank)
     kw = {k: v for k, v in
           dict(K=ktaps, T_s=tile, G_blk=gblk,
-               dot_split=dot_split).items() if v}
+               dot_split=dot_split, beta=beta).items() if v}
     plan = make_banded_plan(bl64, inst_sl.nu0, inst_sl.dnu, nchan,
                             rank=rank, **kw)
     interp = not banded_spread_available()
@@ -477,6 +477,10 @@ def main():
     ap.add_argument("--banded-tile", type=int, default=None)
     ap.add_argument("--banded-gblk", type=int, default=None)
     ap.add_argument("--banded-rank", type=int, default=24)
+    ap.add_argument("--beta", type=float, default=None,
+                    help="banded delay-grid oversampling (plan "
+                         "default 2.0; edges of the deconvolved band "
+                         "are where the KB correction is largest)")
     ap.add_argument("--dot-split", type=int, default=1,
                     help="split each in-kernel MXU dot's contraction "
                          "into N Kahan-folded sub-dots (shrinks the "
@@ -525,7 +529,7 @@ def main():
             ktaps=args.banded_k, tile=args.banded_tile,
             gblk=args.banded_gblk, rank=args.banded_rank,
             node_model=args.node_model, truth=args.truth_amps,
-            dot_split=args.dot_split)
+            dot_split=args.dot_split, beta=args.beta)
 
     cache = "/tmp/acc_ns_golden%s_%d_%d_%d.npz" % (
         "64" if args.golden == "f64amps" else "",

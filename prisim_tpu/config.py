@@ -145,7 +145,14 @@ DEFAULT_PARMS = {
                    # truth-mode model-adequacy gate: max |rank-r model
                    # - true f32 amps| / max|amps| (healthy ~5e-7;
                    # rank-4-on-an-octave ~1e-1)
-                   "nufft_resid_tol": 1e-4},
+                   "nufft_resid_tol": 1e-4,
+                   # banded plan numerics knobs (None = the plan
+                   # defaults, engine/nufft_banded.make_banded_plan):
+                   # delay-grid oversampling beta and the in-kernel
+                   # Kahan dot split (round 5; band-edge deconvolution
+                   # amplification and in-dot partial-sum rounding are
+                   # the two measured f32-transform error terms)
+                   "nufft_beta": None, "nufft_dot_split": None},
     "pp": {"key": "freq", "eqvol": True, "method": "pool",
            "mesh_axes": None, "n_chunks": 1},
     "flags": {"flag_chan": -1, "bp_flag_repeat": False,

@@ -1159,6 +1159,13 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
                                   and banded_spread_available()) \
                 else "sorted"
         pinvQ, Q = chebyshev_projection(freqs, min(rank, freqs.size))
+        # banded plan numerics overrides (config processing.nufft_beta
+        # / nufft_dot_split; None rides the plan defaults)
+        plan_kw = {k: v for k, v in
+                   dict(beta=parms["processing"].get("nufft_beta"),
+                        dot_split=parms["processing"]
+                        .get("nufft_dot_split")).items()
+                   if v}
         ndev_nufft = len(jax.devices())
         direct0 = None
         # Both banded routes (single-device and 'bl'-mesh) carry their
@@ -1238,7 +1245,8 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
                 try:
                     gplan = make_banded_plan(
                         np.asarray(bls.vectors), inst.nu0, inst.dnu,
-                        freqs.size, rank=rank_m, collapse=False)
+                        freqs.size, rank=rank_m, collapse=False,
+                        **plan_kw)
                 except ValueError as exc:
                     print("[prisim_tpu] banded NUFFT plan rejected "
                           "(%s); re-running with the sorted spread"
@@ -1281,7 +1289,7 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
                 inst, sks, obs, beam_fn, nmesh,
                 rank=min(rank, freqs.size),
                 interpret=interp_m, node_model=node_model_m,
-                truth=truth_m)
+                truth=truth_m, plan_kw=plan_kw)
             if not ok_b:
                 print("[prisim_tpu] banded NUFFT unit-source check "
                       "failed; re-running with the sorted spread")
@@ -1329,7 +1337,8 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
             try:
                 plan = make_banded_plan(
                     np.asarray(bls.vectors), inst.nu0, inst.dnu,
-                    freqs.size, rank=min(rank, freqs.size))
+                    freqs.size, rank=min(rank, freqs.size),
+                    **plan_kw)
             except ValueError as exc:
                 print("[prisim_tpu] banded NUFFT plan rejected (%s); "
                       "re-running with the sorted spread" % exc)

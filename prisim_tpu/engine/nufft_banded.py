@@ -931,7 +931,7 @@ def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
 
     def _chunk_sweep(Mh, Ml, pch, pcl, seqh, seql, flux, fnh, fnl):
         def chunk(carry, c):
-            tots, okc = carry
+            tots, comps, okc = carry
             s0 = c * src_chunk
             sh_c = jax.lax.dynamic_slice_in_dim(seqh, s0, src_chunk)
             sl_c = jax.lax.dynamic_slice_in_dim(seql, s0, src_chunk)
@@ -952,14 +952,29 @@ def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
                 P2_r = _payload_T(plan, P2)
                 outs.append(_banded_spread(plan, u_h, u_l, P2_r,
                                            interpret=interpret))
-            return (tuple(t + o for t, o in zip(tots, outs)),
+            # Kahan across chunks: the grid bins on short baselines
+            # hold near-coherent partial sums ~S/nbins in magnitude,
+            # and plain f32 `t + o` re-rounds the FULL bin value once
+            # per chunk — at north-star scale (~11 chunks) that
+            # cross-chunk random walk reached the 1e-5 class after the
+            # post's band-edge deconvolution and tripped the 2e-6 gate
+            # (round 5; the unchunked path was at 1.1e-6 all along
+            # because the in-kernel carry_ref already compensates
+            # within one spread).
+            new_t, new_c = [], []
+            for t, cm, o in zip(tots, comps, outs):
+                y = o - cm
+                s = t + y
+                new_t.append(s)
+                new_c.append((s - t) - y)
+            return (tuple(new_t), tuple(new_c),
                     jnp.logical_and(okc, ok)), None
 
         zero = jnp.zeros((plan.nbl, plan.R_max, 2 * plan.rank),
                          jnp.float32)
-        init = ((zero,) * n_pay, jnp.bool_(True))
-        (tots, ok), _ = jax.lax.scan(chunk, init,
-                                     jnp.arange(n_chunks))
+        init = ((zero,) * n_pay, (zero,) * n_pay, jnp.bool_(True))
+        (tots, _, ok), _ = jax.lax.scan(chunk, init,
+                                        jnp.arange(n_chunks))
         return tots, ok
 
     @jax.jit
@@ -1066,7 +1081,7 @@ def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
         nbl = plan.nbl_full        # direct side runs the FULL bl set
 
         def chunk(carry, c):
-            tots, okc, vd, comp, vdl, rmax, amax = carry
+            tots, tcomps, okc, vd, comp, vdl, rmax, amax = carry
             s0 = c * src_chunk
             sh_c = jax.lax.dynamic_slice_in_dim(seqh, s0, src_chunk)
             sl_c = jax.lax.dynamic_slice_in_dim(seql, s0, src_chunk)
@@ -1120,10 +1135,21 @@ def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
                 # transform comparison can no longer see
                 rm = jnp.max(jnp.abs((amh - amps) + aml))
                 ra = jnp.max(jnp.abs(amps))
-            # Kahan across chunks (few, but free)
+            # Kahan across chunks on BOTH sides: the direct vis
+            # accumulator and the banded grid accumulators (the grid's
+            # short-baseline bins re-round their full near-coherent
+            # value on every plain add — the 1e-5-class cross-chunk
+            # walk that spuriously tripped this gate at north-star
+            # chunk counts, round 5)
             y = vc - comp
             t = vd + y
-            return (tuple(tt + o for tt, o in zip(tots, outs)),
+            new_t, new_c = [], []
+            for tt, cm, o in zip(tots, tcomps, outs):
+                yb = o - cm
+                sb = tt + yb
+                new_t.append(sb)
+                new_c.append((sb - tt) - yb)
+            return (tuple(new_t), tuple(new_c),
                     jnp.logical_and(okc, ok), t,
                     (t - vd) - y, vdl + vlo,
                     jnp.maximum(rmax, rm), jnp.maximum(amax, ra)), None
@@ -1134,12 +1160,12 @@ def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
         # accumulators run over the FULL set.
         zero = jnp.zeros((plan.nbl, plan.R_max, 2 * plan.rank),
                          jnp.float32)
-        init = ((zero,) * n_pay, jnp.bool_(True),
+        init = ((zero,) * n_pay, (zero,) * n_pay, jnp.bool_(True),
                 jnp.zeros((nbl, nchan), jnp.complex64),
                 jnp.zeros((nbl, nchan), jnp.complex64),
                 jnp.zeros((nbl, nchan), jnp.complex64),
                 jnp.float32(0.0), jnp.float32(0.0))
-        (tots, ok, vd, _, vdl, rmax, amax), _ = jax.lax.scan(
+        (tots, _, ok, vd, _, vdl, rmax, amax), _ = jax.lax.scan(
             chunk, init, jnp.arange(n_chunks))
         vd = vd + vdl
         vb = _post(plan, tots[0], Q_j, matmul_fft=not interpret)

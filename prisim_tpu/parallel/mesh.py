@@ -259,7 +259,8 @@ def simulate_drift_nufft_sharded(instrument, sky, observation, beam_fn,
 
 def simulate_drift_banded_sharded(instrument, sky, observation, beam_fn,
                                   mesh, rank=32, interpret=False,
-                                  node_model=True, truth=None):
+                                  node_model=True, truth=None,
+                                  plan_kw=None):
     """Drift scan through the banded-spread NUFFT engine (the TPU-fast
     path, engine/nufft_banded.py), sharded over the 'bl' mesh axis.
 
@@ -308,7 +309,8 @@ def simulate_drift_banded_sharded(instrument, sky, observation, beam_fn,
     # gather would cross shard boundaries. Redundant inputs are rare on
     # the mesh path (the driver already simulates unique baselines).
     plan = make_banded_plan(bl64, instrument.nu0, instrument.dnu,
-                            nchan, rank=rank, collapse=False)
+                            nchan, rank=rank, collapse=False,
+                            **(plan_kw or {}))
     pinvQ, Q = chebyshev_projection(np.asarray(instrument.freqs), rank)
 
     perm = spatial_permutation(np.asarray(sky.s_eq_hi, np.float64)
