@@ -1166,6 +1166,20 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
                         dot_split=parms["processing"]
                         .get("nufft_dot_split")).items()
                    if v}
+        # Truth-amps runs default to dot_split=4 (measured at full
+        # north-star scale, BASELINE.md round 5: 1.28e-6 -> 1.08e-6
+        # vs the f64 truth, and slightly FASTER — the split's four
+        # shorter MXU contractions round their partials at 1/4 the
+        # tile magnitude). beta stays at the plan's 2.0: 2.5 measured
+        # WORSE at full scale (1.47e-6) despite winning a subset probe.
+        _treq0 = str(parms["processing"].get("nufft_truth_amps",
+                                             "auto")).lower()
+        if "dot_split" not in plan_kw \
+                and bool(parms["processing"].get("nufft_node_model",
+                                                 True)) \
+                and _treq0 in ("auto", "true", "1", "yes", "on") \
+                and hasattr(beam_fn, "df_eval"):
+            plan_kw["dot_split"] = 4
         ndev_nufft = len(jax.devices())
         direct0 = None
         # Both banded routes (single-device and 'bl'-mesh) carry their
