@@ -251,6 +251,9 @@ def standalone(path, nbl_sub=6, beta=2.0, ktaps=9, dot_split=1,
     i = np.unravel_index(int(d.argmax()), d.shape)
     edge = max(float(d[:, 0].max()), float(d[:, -1].max()))
     dg = float(np.abs(V - z["fast0"][rows]).max())
+    # attribute BOTH gate sides on these rows against the f64 truth
+    dd = np.abs(z["direct0"][rows] - T)
+    db = np.abs(z["fast0"][rows] - T)
     print(json.dumps({
         "standalone": True, "platform": jax.devices()[0].platform,
         "beta": beta, "K": ktaps, "dot_split": dot_split,
@@ -258,6 +261,8 @@ def standalone(path, nbl_sub=6, beta=2.0, ktaps=9, dot_split=1,
         "rel_max_scaled": float(d.max()),
         "rel_max_fullscale": float(np.abs(V - T).max() / scale_full),
         "vs_gate_banded0_fullscale": dg / scale_full,
+        "gate_direct_vs_T_fullscale": float(dd.max() / scale_full),
+        "gate_banded_vs_T_fullscale": float(db.max() / scale_full),
         "scale_subset": float(scale), "scale_full": scale_full,
         "argmax_row": int(i[0]), "argmax_chan": int(i[1]),
         "edge_max": edge,
@@ -278,13 +283,36 @@ if __name__ == "__main__":
     ap.add_argument("--ktaps", type=int, default=9)
     ap.add_argument("--dot-split", type=int, default=1)
     ap.add_argument("--nbl-sub", type=int, default=6)
+    ap.add_argument("--rows", default=None,
+                    help="comma-separated explicit row indices for "
+                         "--standalone (overrides seed rows)")
+    ap.add_argument("--worst", default=None,
+                    help="dump path: print the top rows by "
+                         "|direct0 - fast0| (no truth compute)")
     ap.add_argument("--dump", default="/tmp/gate_dump.npz")
     args = ap.parse_args()
+    if args.worst:
+        z = np.load(args.worst)
+        d = np.abs(z["direct0"] - z["fast0"])
+        scale = float(np.abs(z["direct0"]).max())
+        row = d.max(axis=1) / scale
+        bl = np.asarray(z["bl"], np.float64)
+        worst = np.argsort(row)[::-1][:12]
+        ch = [int(d[b].argmax()) for b in worst]
+        print(json.dumps({"gate_rel": float(row.max()),
+                          "worst_rows": [
+            [int(b), float(np.linalg.norm(bl[b])), float(row[b]), c]
+            for b, c in zip(worst, ch)]}))
     if args.run:
         run(args.nside, args.nchan, args.dnu, args.dump)
     if args.analyze:
         analyze(args.analyze)
     if args.standalone:
-        standalone(args.standalone, nbl_sub=args.nbl_sub,
+        sr = (0, 29, 30)
+        nbl_sub = args.nbl_sub
+        if args.rows:
+            sr = tuple(int(r) for r in args.rows.split(","))
+            nbl_sub = 0
+        standalone(args.standalone, nbl_sub=nbl_sub,
                    beta=args.beta, ktaps=args.ktaps,
-                   dot_split=args.dot_split)
+                   dot_split=args.dot_split, seed_rows=sr)
