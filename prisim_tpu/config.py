@@ -119,9 +119,14 @@ DEFAULT_PARMS = {
                    # via the honesty gate)
                    "nufft_spread": "auto",
                    "nufft_crosscheck": True, "nufft_inflight": None,
-                   # None = path-aware default: 2e-6 for the
-                   # single-device banded shared-amps gate (enforces
-                   # the 1e-6-class north-star spec), 1e-4 for
+                   # None = path-aware default: 2e-6 for the banded
+                   # shared-amps gates (single-device and mesh),
+                   # measured RELATIVE TO THE COHERENT FLUX SCALE
+                   # max_c Σ_s|A_sc| — the invariant any f32 engine's
+                   # absolute error actually scales with (round 5,
+                   # probe_pc_bisect.py: max|V| denominators swing 87x
+                   # with the baseline set on diffuse skies while the
+                   # absolute error doesn't move); 1e-4 for
                    # cross-program gates whose yardstick carries the
                    # coherent beam-recompute term (BASELINE.md round 3)
                    "nufft_crosscheck_tol": None,

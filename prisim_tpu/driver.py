@@ -1277,10 +1277,15 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
                     "nufft_crosscheck_tol") or 2e-6)
                 rtol_m = float(parms["processing"].get(
                     "nufft_resid_tol") or 1e-4)
-                dg, bg, okg, residg = gsnap.gate_fn(
+                dg, bg, okg, residg, csA_m = gsnap.gate_fn(
                     jnp.asarray(Mh[0]), jnp.asarray(Ml[0]),
                     jnp.asarray(pch[0]), jnp.asarray(pcl[0]))
-                scale = max(float(np.abs(dg).max()), 1e-30)
+                # normalize by the coherent flux scale max_c Σ_s|A_sc|
+                # (>= max|V| by the triangle inequality): the metric
+                # every f32 engine's absolute error actually scales
+                # with. See _gate_impl's return docstring / round-5
+                # probe_pc_bisect.py.
+                scale = max(float(np.abs(dg).max()), csA_m, 1e-30)
                 rel = float(np.abs(bg - dg).max()) / scale
                 resid_bad = truth_m is not None and residg > rtol_m
                 if not okg or rel > tol or resid_bad:
@@ -1413,7 +1418,7 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
                     "nufft_crosscheck_tol") or 2e-6)
                 rtol = float(parms["processing"].get(
                     "nufft_resid_tol") or 1e-4)
-                direct0, banded0, ok0, resid0 = snap_b.gate_fn(
+                direct0, banded0, ok0, resid0, csA0 = snap_b.gate_fn(
                     jnp.asarray(Mh[0]), jnp.asarray(Ml[0]),
                     jnp.asarray(pch[0]), jnp.asarray(pcl[0]))
                 dump = os.environ.get("PRISIM_DEBUG_XCHECK_DUMP")
@@ -1424,13 +1429,24 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
                              pcl0=np.asarray(pcl[0]), freqs=freqs,
                              bl=np.asarray(bls.vectors), rank=rank,
                              resid0=np.asarray(resid0),
+                             csA0=csA0,
                              truth_on=truth is not None,
                              s_eq_hi=np.asarray(sks.s_eq_hi),
                              s_eq_lo=np.asarray(sks.s_eq_lo),
                              flux=np.asarray(sks.flux),
                              flux_nodes=(np.asarray(truth["flux_nodes"])
                                          if truth is not None else 0))
-                scale = max(float(np.abs(direct0).max()), 1e-30)
+                # Relative to the coherent flux scale max_c Σ_s|A_sc|
+                # (>= max|V|; equal for a single dominant source):
+                # any f32 source-summation engine's ABSOLUTE error is
+                # ~1ulp-walk x this sum, while max|V| over the
+                # simulated rows cancels far below it on diffuse
+                # skies (north star: 1.74e-5 of max|V| == the same
+                # ~5e-7 of Σ|A| both engines share; round-5
+                # probe_pc_bisect.py). Normalizing by max|V| would
+                # demote every diffuse-sky run for a bound NO f32
+                # engine (the direct one included) can meet.
+                scale = max(float(np.abs(direct0).max()), csA0, 1e-30)
                 rel = float(np.abs(banded0 - direct0).max()) / scale
                 resid_bad = truth is not None and resid0 > rtol
                 if not ok0 or rel > tol or resid_bad:
@@ -1450,6 +1466,7 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
                           % (rel, ", truth amps, model resid=%.2e"
                              % resid0 if truth is not None else ""))
                 direct0 = None        # generic gate below is bypassed
+                _phase("banded shared-amps gate (compile + run)")
             # dispatch ahead of fetching (the tunnel's per-fetch
             # round-trip amortizes across queued snapshots), but BOUND
             # the in-flight window: every enqueued prep allocates its
@@ -1471,6 +1488,7 @@ def _run_simulation_inner(parms, outdir, verbose, save, _sky_override,
             all_ok = bool(np.asarray(jnp.stack(
                 [okf for _, okf in pend]).all()))
             snaps = [get_complex(v) for v, _ in pend] if all_ok else []
+            _phase("banded snapshots computed + fetched")
             if not all_ok:
                 print("[prisim_tpu] banded NUFFT unit-source check "
                       "failed; "

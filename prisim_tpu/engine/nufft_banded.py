@@ -1074,14 +1074,17 @@ def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
         into a ~3e-5 floor (round-3 yardstick lesson, BASELINE.md) —
         two orders looser than the 1e-6 spec the gate should enforce.
         Returns (direct re, direct im, banded re, banded im, ok,
-        resid)."""
+        resid, coherent_scale) where coherent_scale is
+        max_c Σ_s |A_sc| — the denominator the driver's tolerance is
+        calibrated against (see the return-site comment below)."""
         from .nudft import nudft_visibilities
         gs = instrument.grid_scalars()
         nchan = instrument.nchan
         nbl = plan.nbl_full        # direct side runs the FULL bl set
 
         def chunk(carry, c):
-            tots, tcomps, okc, vd, comp, vdl, rmax, amax = carry
+            (tots, tcomps, okc, vd, comp, vdl, rmax, amax,
+             csum) = carry
             s0 = c * src_chunk
             sh_c = jax.lax.dynamic_slice_in_dim(seqh, s0, src_chunk)
             sl_c = jax.lax.dynamic_slice_in_dim(seql, s0, src_chunk)
@@ -1111,6 +1114,7 @@ def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
                                         src_block=gate_src_block)
                 vlo = jnp.zeros_like(vd)
                 rm = ra = jnp.float32(0.0)
+                cs = jnp.sum(jnp.abs(amps), axis=0)       # (C,)
             else:
                 # truth mode: the direct reference consumes THE SAME
                 # two-float rank-r model amps the banded side spreads
@@ -1135,6 +1139,7 @@ def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
                 # transform comparison can no longer see
                 rm = jnp.max(jnp.abs((amh - amps) + aml))
                 ra = jnp.max(jnp.abs(amps))
+                cs = jnp.sum(jnp.abs(amh), axis=0)        # (C,)
             # Kahan across chunks on BOTH sides: the direct vis
             # accumulator and the banded grid accumulators (the grid's
             # short-baseline bins re-round their full near-coherent
@@ -1152,7 +1157,8 @@ def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
             return (tuple(new_t), tuple(new_c),
                     jnp.logical_and(okc, ok), t,
                     (t - vd) - y, vdl + vlo,
-                    jnp.maximum(rmax, rm), jnp.maximum(amax, ra)), None
+                    jnp.maximum(rmax, rm), jnp.maximum(amax, ra),
+                    csum + cs), None
 
         # The banded accumulator runs over the COLLAPSED (unique
         # canonical) rows — _banded_spread returns plan.nbl rows and
@@ -1164,27 +1170,38 @@ def make_banded_snapshot_fns(instrument, sky, beam_fn, plan, pinvQ, Q,
                 jnp.zeros((nbl, nchan), jnp.complex64),
                 jnp.zeros((nbl, nchan), jnp.complex64),
                 jnp.zeros((nbl, nchan), jnp.complex64),
-                jnp.float32(0.0), jnp.float32(0.0))
-        (tots, _, ok, vd, _, vdl, rmax, amax), _ = jax.lax.scan(
+                jnp.float32(0.0), jnp.float32(0.0),
+                jnp.zeros((nchan,), jnp.float32))
+        (tots, _, ok, vd, _, vdl, rmax, amax, csum), _ = jax.lax.scan(
             chunk, init, jnp.arange(n_chunks))
         vd = vd + vdl
         vb = _post(plan, tots[0], Q_j, matmul_fft=not interpret)
         for o in tots[1:]:
             vb = vb + _post(plan, o, Q_j, matmul_fft=not interpret)
         resid = rmax / jnp.maximum(amax, jnp.float32(1e-30))
+        # coherent flux scale: max over channels of Σ_s |A_sc| — the
+        # largest visibility any baseline could see (attained as
+        # baseline -> 0, and by aliased rows on under-resolved
+        # pixelized skies). Every f32 source-summation engine's
+        # ABSOLUTE error scales with this sum (per-element ~1ulp
+        # rounding walks over it), while max|V| over the simulated
+        # rows can cancel orders of magnitude below it — normalizing
+        # the gate by max|V| would demand an f32-impossible bound on
+        # cancelling skies (measured round 5: identical 1.8e-6
+        # absolute error read as 2.5e-7 or 2.0e-5 depending on the
+        # baseline set's |V| max; probe_pc_bisect.py).
         return (jnp.real(vd), jnp.imag(vd), jnp.real(vb),
-                jnp.imag(vb), ok, resid)
+                jnp.imag(vb), ok, resid, jnp.max(csum))
 
     gate_jit = jax.jit(_gate_impl)
 
     def gate(Mh, Ml, pch, pcl):
-        dr, di, br, bi, ok, resid = gate_jit(Mh, Ml, pch, pcl, seqh_a,
-                                             seql_a, flux_a, fnh_a,
-                                             fnl_a)
+        dr, di, br, bi, ok, resid, csA = gate_jit(
+            Mh, Ml, pch, pcl, seqh_a, seql_a, flux_a, fnh_a, fnl_a)
         direct0 = np.asarray(dr) + 1j * np.asarray(di)
         banded0 = np.asarray(br) + 1j * np.asarray(bi)
-        return direct0, banded0, bool(np.asarray(ok)), \
-            float(np.asarray(resid))
+        return (direct0, banded0, bool(np.asarray(ok)),
+                float(np.asarray(resid)), float(np.asarray(csA)))
 
     run.gate_fn = gate
     run.n_chunks = n_chunks

@@ -144,3 +144,42 @@ def test_dot_split_non_divisor_falls_back():
         plan, jnp.asarray(sh), jnp.asarray(sl), P, Q, interpret=True)
     assert bool(ok)
     assert np.isfinite(np.asarray(v)).all()
+
+
+def test_gate_coherent_scale_normalization(capsys):
+    """Round 5: the banded shared-amps gate normalizes by the coherent
+    flux scale max_c Σ_s|A_sc| (>= max|V|), not by max|V| over the
+    simulated rows — on diffuse pixelized skies the same absolute f32
+    error reads 10-100x larger against max|V| (probe_pc_bisect.py) and
+    would spuriously demote every such run. Asserts (a) the gate
+    returns a coherent scale >= the direct side's |V| max, (b) a
+    diffuse USM run whose max|V|-relative error exceeds 2e-6 still
+    passes the gate."""
+    from prisim_tpu.config import load_parms
+    from prisim_tpu.driver import run_simulation
+
+    p = load_parms({
+        "bandpass": {"nchan": 32, "freq": 150e6,
+                     "freq_resolution": 781250.0},
+        "array": {"layout": "HERA-19"},
+        "obsparm": {"n_acc": 1, "t_acc": 60.0},
+        "skyparm": {"model": "usm", "nside": 32},
+        "pp": {"key": "none"},
+        "processing": {"engine": "nufft", "nufft_spread": "banded"}})
+    import os
+    dump = os.path.join(os.environ.get("TMPDIR", "/tmp"),
+                        "gate_cscale_test.npz")
+    os.environ["PRISIM_DEBUG_XCHECK_DUMP"] = dump
+    try:
+        vs, _ = run_simulation(p, verbose=True, save=False)
+    finally:
+        os.environ.pop("PRISIM_DEBUG_XCHECK_DUMP", None)
+    out = capsys.readouterr().out
+    assert "shared-amps cross-check ok" in out
+    z = np.load(dump)
+    csA = float(z["csA0"])
+    vmax = float(np.abs(z["direct0"]).max())
+    # triangle inequality: no visibility can exceed the coherent sum
+    assert csA >= vmax * (1.0 - 1e-5)
+    # diffuse-sky cancellation is what makes the metric choice matter
+    assert csA > 2.0 * vmax
